@@ -1,0 +1,219 @@
+package graft.bulk
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, StringType}
+import graft.schema.NodeSpec
+
+/** NodeSet semantics (reference: graphio/bulk/nodeset.py) re-expressed as
+  * pure DataFrame transforms.
+  *
+  * A node table is a DataFrame with:
+  *   - the merge-key columns,
+  *   - property columns (append_props columns hold ArrayType),
+  *   - a `labels: array<string>` column (labels accumulate across merges,
+  *     mirroring `SET n:Extra`, nodeset.py:322-326).
+  *
+  * Design for scale: no driver-side buffering — "add_node" is just rows in a
+  * DataFrame. Dedup/merge are expressed so Catalyst plans them as
+  * partial-aggregate + single shuffle on the merge keys; the full-outer merge
+  * join shuffles both sides on the same keys so repeated merges into the same
+  * table reuse the hash partitioning. At production scale the merge lowers to
+  * `MERGE INTO <iceberg table> ON <mergeKeys>`; the column rules below are
+  * exactly the UPDATE/INSERT clause rules.
+  */
+object NodeSetOps {
+
+  /** Explicit ingest-order column. Spark has no implicit row order, so
+    * first-wins dedup (nodeset.py:65-72,100-104) needs an explicit ordinal.
+    */
+  val OrdCol = "_graft_ord"
+  /** Flag column: rows added with force=True bypass dedup AND do not update
+    * the dedup index (nodeset.py:74-106; test_nodeset_deduplication.py:156-182).
+    */
+  val ForceCol = "_graft_force"
+  val LabelsCol = "labels"
+
+  private def hasCol(df: DataFrame, c: String) = df.columns.contains(c)
+
+  /** Stamp a deterministic ingest order if absent. monotonically_increasing_id
+    * is ordered within and across input partitions for a deterministic source
+    * (partition id in the high bits), which is exactly the buffer-order
+    * semantics of the reference's Python list.
+    */
+  def withIngestOrder(rows: DataFrame): DataFrame =
+    if (hasCol(rows, OrdCol)) rows else rows.withColumn(OrdCol, monotonically_increasing_id())
+
+  /** A1 — row ingest: overlay default_props (row value wins over the default;
+    * nodeset.py:96-97) and stamp ingest order.
+    */
+  def ingest(rows: DataFrame, spec: NodeSpec): DataFrame = {
+    val ordered = withIngestOrder(rows)
+    spec.defaultProps.foldLeft(ordered) { case (df, (k, v)) =>
+      if (hasCol(df, k)) df.withColumn(k, coalesce(col(k), lit(v)))
+      else df.withColumn(k, lit(v))
+    }
+  }
+
+  /** A2 — first-wins distinct by merge-key tuple. Force rows are always kept
+    * and never participate in (or update) the dedup index.
+    *
+    * One window over one hash-shuffle on the merge keys; no driver state.
+    */
+  def dedupFirstWins(rows: DataFrame, mergeKeys: Seq[String]): DataFrame = {
+    val df = withIngestOrder(rows)
+    val force: Column = if (hasCol(df, ForceCol)) coalesce(col(ForceCol), lit(false)) else lit(false)
+    // Non-force rows first-win within their key; each force row is its own
+    // singleton partition (key + its own ordinal) so it is always kept and
+    // never shadows later non-force rows.
+    df.withColumn("_graft_rn", row_number().over(
+        Window.partitionBy((mergeKeys.map(col) :+ when(force, col(OrdCol)).otherwise(lit(-1L))): _*)
+          .orderBy(col(OrdCol))))
+      .filter(col("_graft_rn") === 1)
+      .drop("_graft_rn")
+  }
+
+  /** B1 — bulk create: blind append, duplicates allowed (create twice doubles
+    * the count — test_nodeset.py:135-141). Labels are stamped as a column.
+    */
+  def create(target: Option[DataFrame], rows: DataFrame, spec: NodeSpec): DataFrame = {
+    val prepared0 = ingest(rows, spec)
+    val prepared1 = if (spec.deduplicate) dedupFirstWins(prepared0, spec.mergeKeys) else prepared0
+    val stamped = prepared1
+      .withColumn(LabelsCol, lit(spec.allLabels.toArray))
+      .drop(OrdCol, ForceCol)
+    target match {
+      case Some(t) => t.unionByName(stamped, allowMissingColumns = true)
+      case None    => stamped
+    }
+  }
+
+  /** Intra-batch reduce: graphio's UNWIND processes a batch in row order —
+    * for duplicate keys within one merge call the first row "creates" and
+    * later rows "match": scalars end at the last non-null value (ON MATCH
+    * SET n += properties), preserved props keep the first value, append
+    * props accumulate in ingest order (nodeset.py:269-330).
+    *
+    * Planned as window functions over a single shuffle on the merge keys.
+    */
+  private[graft] def reduceBatch(rows: DataFrame, spec: NodeSpec): DataFrame = {
+    val df = withIngestOrder(rows).drop(ForceCol)
+    val keys = spec.mergeKeys
+    val propCols = df.columns.filterNot(c => keys.contains(c) || c == OrdCol).toSeq
+    val wAll = Window.partitionBy(keys.map(col): _*).orderBy(col(OrdCol))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val wRank = Window.partitionBy(keys.map(col): _*).orderBy(col(OrdCol))
+    val reduced = propCols.foldLeft(df) { (acc, c) =>
+      val v =
+        if (spec.appendProps.contains(c)) {
+          // accumulate every occurrence (in ingest order) into one array;
+          // inputs may already be arrays (re-merge) — flatten those.
+          acc.schema(c).dataType match {
+            case _: ArrayType => flatten(collect_list(col(c)).over(wAll))
+            case _            => collect_list(col(c)).over(wAll)
+          }
+        } else if (spec.preserve.contains(c)) first(col(c), ignoreNulls = true).over(wAll)
+        else last(col(c), ignoreNulls = true).over(wAll)
+      acc.withColumn(c, v)
+    }
+    reduced
+      .withColumn("_graft_rn", row_number().over(wRank))
+      .filter(col("_graft_rn") === 1)
+      .drop("_graft_rn", OrdCol)
+  }
+
+  /** B2 — bulk merge (keyed upsert) with the reference's four column rules
+    * (nodeset.py:269-330; goldens test_query_utils.py:60-92):
+    *   - not matched: INSERT; append_props values wrapped into 1-elem arrays;
+    *   - matched, plain scalar: update wins (n += properties);
+    *   - matched, preserved: target value kept (apoc.map.removeKeys);
+    *   - matched, append (and not preserved): target array ++ update values;
+    *   - labels accumulate (SET n:Extra → array_union).
+    *
+    * Deviation (documented): a null update value is treated as "key absent"
+    * (dict rows can omit keys; fixed-schema DataFrames can't).
+    *
+    * Scale note: this is the local-materialization form of
+    * `MERGE INTO nodes USING updates ON <mergeKeys>`; both sides shuffle on
+    * the merge keys once and AQE handles skewed keys.
+    */
+  def merge(target: Option[DataFrame], rows: DataFrame, spec: NodeSpec): DataFrame = {
+    val batch0 = reduceBatch(ingest(rows, spec), spec)
+    val newLabels = lit(spec.allLabels.toArray)
+    // Wrap append columns & stamp labels for the "fresh table" / INSERT side.
+    def asInsert(df: DataFrame): DataFrame = {
+      val wrapped = spec.appendProps.foldLeft(df) { (acc, c) =>
+        if (!hasCol(acc, c)) acc
+        else acc.schema(c).dataType match {
+          case _: ArrayType => acc
+          case _            => acc.withColumn(c, array(col(c)))
+        }
+      }
+      wrapped.withColumn(LabelsCol, newLabels)
+    }
+
+    target match {
+      case None => asInsert(batch0)
+      case Some(t0) =>
+        val batch = asInsert(batch0)
+        val t = if (hasCol(t0, LabelsCol)) t0
+                else t0.withColumn(LabelsCol, lit(Array.empty[String]))
+        // Align schemas: every prop col present on both sides.
+        val tCols = t.columns.toSet
+        val uCols = batch.columns.toSet
+        val tAligned = (uCols -- tCols).foldLeft(t)((acc, c) =>
+          acc.withColumn(c, lit(null).cast(batch.schema(c).dataType)))
+        val uAligned = (tCols -- uCols).foldLeft(batch)((acc, c) =>
+          acc.withColumn(c, lit(null).cast(t.schema(c).dataType)))
+
+        val keys = spec.mergeKeys
+        val tt = tAligned.withColumn("_t_exists", lit(true)).alias("t")
+        val uu = uAligned.withColumn("_u_exists", lit(true)).alias("u")
+        val cond = keys.map(k => col(s"t.$k") <=> col(s"u.$k")).reduce(_ && _)
+        val joined = tt.join(uu, cond, "full_outer")
+
+        val tEx = coalesce(col("t._t_exists"), lit(false))
+        val uEx = coalesce(col("u._u_exists"), lit(false))
+        val propCols = (tCols ++ uCols) -- keys - LabelsCol - "_t_exists" - "_u_exists" - OrdCol - ForceCol
+
+        val keyCols = keys.map(k => coalesce(col(s"u.$k"), col(s"t.$k")).as(k))
+        val outProps = propCols.toSeq.sorted.map { c =>
+          val tc = col(s"t.$c"); val uc = col(s"u.$c")
+          val merged =
+            if (spec.preserve.contains(c)) {
+              // matched: keep target (even null); insert: update value
+              when(tEx, tc).otherwise(uc)
+            } else if (spec.appendProps.contains(c)) {
+              // preserve beats append handled above; here: concat arrays
+              when(tEx && uEx, concat(coalesce(tc, array()), coalesce(uc, array())))
+                .when(tEx, tc)
+                .otherwise(uc)
+            } else {
+              when(uEx, coalesce(uc, tc)).otherwise(tc)
+            }
+          merged.as(c)
+        }
+        val outLabels = when(uEx,
+            array_union(coalesce(col(s"t.$LabelsCol"), array()), newLabels))
+          .otherwise(col(s"t.$LabelsCol")).as(LabelsCol)
+
+        joined.select(keyCols ++ outProps :+ outLabels: _*)
+    }
+  }
+
+  /** A6 — union of property keys across the table (schema is explicit here,
+    * so this is just the non-internal column set).
+    */
+  def allPropertyKeys(df: DataFrame, spec: NodeSpec): Seq[String] =
+    df.columns.filterNot(c =>
+      c == OrdCol || c == ForceCol || c == LabelsCol || spec.mergeKeys.contains(c)).toSeq
+
+  /** A10 analogue — the reference creates Neo4j indexes per label × merge key
+    * (utils.py:35-63). Our equivalent for columnar tables: cluster the data by
+    * the merge keys so scans prune and merges co-partition.
+    */
+  def clusterByMergeKeys(df: DataFrame, spec: NodeSpec, numPartitions: Int): DataFrame =
+    df.repartition(numPartitions, spec.mergeKeys.map(col): _*)
+      .sortWithinPartitions(spec.mergeKeys.map(col): _*)
+}

@@ -1,0 +1,127 @@
+package graft.io
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+import java.nio.file.{Files, Paths, StandardOpenOption}
+import java.util.concurrent.ConcurrentHashMap
+import scala.collection.mutable
+
+/** Table format abstraction. The sandbox has no Iceberg runtime jar, so the
+  * local implementation is parquet + an explicit commit log that supplies the
+  * atomic "snapshot committed" semantics; the same call sites lower to
+  * `format("iceberg")` + real snapshots under spark-submit in production
+  * (SURVEY §7.0). Stage writes are atomic at the directory level: parquet
+  * write to the final path only succeeds as a unit (Spark's commit protocol),
+  * and the stage only counts as done once SnapshotLog records it.
+  */
+object TableIO {
+  def write(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").parquet(path)
+
+  def read(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  def exists(path: String): Boolean =
+    Files.exists(Paths.get(path, "_SUCCESS"))
+}
+
+/** Per-stage commit log → resume-from-last-committed-snapshot.
+  * One JSON line per committed stage: {stage, path, rows, partitions, ts}.
+  * Append is a single O_APPEND write — atomic at line granularity.
+  */
+final class SnapshotLog(dir: String) {
+  private val logPath = Paths.get(dir, "_graft_snapshots.jsonl")
+  Files.createDirectories(Paths.get(dir))
+
+  def committedStages(): Set[String] =
+    if (!Files.exists(logPath)) Set.empty
+    else {
+      import scala.jdk.CollectionConverters._
+      Files.readAllLines(logPath).asScala
+        .flatMap(l => """"stage":"([^"]+)"""".r.findFirstMatchIn(l).map(_.group(1)))
+        .toSet
+    }
+
+  def isCommitted(stage: String): Boolean = committedStages().contains(stage)
+
+  def commit(stage: String, path: String, rows: Long, partitions: Int): Unit = {
+    val line =
+      s"""{"stage":"$stage","path":"$path","rows":$rows,"partitions":$partitions,"ts":${System.currentTimeMillis()}}\n"""
+    Files.writeString(logPath, line, StandardOpenOption.CREATE, StandardOpenOption.APPEND)
+  }
+
+  def reset(): Unit = Files.deleteIfExists(logPath)
+}
+
+/** Per-partition lineage + metrics, captured from Spark's own task metrics
+  * (a SparkListener on task end) — zero extra jobs, no second pass over the
+  * data. Mirrors the reference's exact batch accounting
+  * (test_nodeset.py:394-483) at the partition level.
+  */
+final case class TaskRow(stage: String, taskId: Long, partitionId: Int,
+                         recordsWritten: Long, recordsRead: Long, durationMs: Long)
+
+final class MetricsCollector(spark: SparkSession) extends SparkListener {
+  private val rows = new ConcurrentHashMap[Long, TaskRow]()
+  @volatile private var currentStage: String = "unknown"
+
+  spark.sparkContext.addSparkListener(this)
+
+  def setStage(name: String): Unit = currentStage = name
+
+  override def onTaskEnd(te: SparkListenerTaskEnd): Unit = {
+    val m = te.taskMetrics
+    if (m != null) {
+      val written = m.outputMetrics.recordsWritten
+      val read = m.inputMetrics.recordsRead + m.shuffleReadMetrics.recordsRead
+      if (written > 0 || read > 0)
+        rows.put(te.taskInfo.taskId, TaskRow(currentStage, te.taskInfo.taskId,
+          te.taskInfo.index, written, read, te.taskInfo.duration))
+    }
+  }
+
+  def drain(): Seq[TaskRow] = {
+    import scala.jdk.CollectionConverters._
+    val out = rows.values().asScala.toSeq
+    rows.clear()
+    out
+  }
+
+  /** Persist drained metrics rows for `stage` as parquet lineage. */
+  def flush(stage: String, dir: String): Long = {
+    val drained = drain().filter(_.stage == stage)
+    val written = drained.map(_.recordsWritten).sum
+    if (drained.nonEmpty) {
+      import spark.implicits._
+      spark.createDataset(drained)
+        .toDF("stage", "task_id", "partition_id", "records_written", "records_read", "duration_ms")
+        .coalesce(1).write.mode("append").parquet(s"$dir/_graft_lineage")
+    }
+    written
+  }
+}
+
+/** Stage runner: compute-or-resume each named stage, with lineage + metrics
+  * and snapshot commit. The unit of resumability: a killed job restarted with
+  * the same workDir skips every committed stage and recomputes only the rest.
+  */
+final class StageRunner(spark: SparkSession, workDir: String) {
+  val log = new SnapshotLog(workDir)
+  val metrics = new MetricsCollector(spark)
+
+  def stage(name: String)(compute: => DataFrame): DataFrame = {
+    val path = s"$workDir/$name"
+    if (log.isCommitted(name) && TableIO.exists(path)) {
+      TableIO.read(spark, path)
+    } else {
+      metrics.setStage(name)
+      spark.sparkContext.setJobDescription(s"graft-stage:$name")
+      val df = compute
+      TableIO.write(df, path)
+      val written = metrics.flush(name, workDir)
+      val out = TableIO.read(spark, path)
+      log.commit(name, path, written, out.rdd.getNumPartitions)
+      out
+    }
+  }
+}

@@ -1,0 +1,52 @@
+package graft.kg
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Mention detection + raw triple extraction over turn text.
+  *
+  * Entirely native Catalyst expressions (regexp_extract_all / regexp_extract
+  * / explode / regexp_replace) — no UDFs, stays inside whole-stage codegen,
+  * embarrassingly parallel (no shuffle until the later distinct). The
+  * predicate-phrase → canonical-predicate mapping is a broadcast join against
+  * an 8-row dict table rather than a driver-side map in a closure.
+  */
+object Extract {
+
+  /** Raw triples: one row per non-overlapping match of Corpus.TripleRegex in
+    * a turn's text. Columns: conv_id, turn_idx, subj_surface, pred, obj_surface, score.
+    */
+  def triplesRaw(turns: DataFrame): DataFrame = {
+    val spark = turns.sparkSession
+    import spark.implicits._
+    val predDict = Corpus.predicates.map(p => (p._1, p._2)).toDF("phrase", "pred")
+
+    val matches = turns
+      .select(col("conv_id"), col("turn_idx"),
+        explode(regexp_extract_all(col("text"), lit(Corpus.TripleRegex), lit(0))).as("m"))
+      .select(col("conv_id"), col("turn_idx"),
+        regexp_extract(col("m"), Corpus.TripleRegex, 1).as("subj_surface"),
+        regexp_extract(col("m"), Corpus.TripleRegex, 2).as("phrase"),
+        regexp_extract(col("m"), Corpus.TripleRegex, 3).as("obj_surface"))
+    matches
+      .join(broadcast(predDict), Seq("phrase"))
+      .select(col("conv_id"), col("turn_idx"), col("subj_surface"), col("pred"),
+        col("obj_surface"), lit(1.0).as("score"))
+  }
+
+  /** Normalized clustering key of a mention surface, as a Column: lowercase,
+    * drop corporate-suffix tokens, collapse spaces. Mirrors
+    * Corpus.normalizeSurface exactly.
+    */
+  def normSurface(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    trim(regexp_replace(
+      regexp_replace(lower(c), "\\b(corp|corporation|inc)\\b", ""),
+      " +", " "))
+
+  /** Distinct mention surfaces with their normalized keys. */
+  def surfaces(triplesRaw: DataFrame): DataFrame =
+    triplesRaw.select(col("subj_surface").as("surface"))
+      .unionAll(triplesRaw.select(col("obj_surface").as("surface")))
+      .distinct()
+      .withColumn("norm", normSurface(col("surface")))
+}

@@ -1,0 +1,100 @@
+package graft.kg
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** End-to-end: distributed pipeline vs sequential oracle (the P/R >= 0.95
+  * gate from BASELINE.json) plus the per-turn text-equality invariant and
+  * snapshot resume.
+  */
+class PipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  val N = 2000L
+
+  lazy val result: Pipeline.Result = {
+    val dir = tmpDir("graft-pipe")
+    Pipeline.run(TranscriptGen.turns(spark, N, 8).toDF(), dir)
+  }
+
+  test("per-turn text equality under stable (conv_id, turn_idx) ordering") {
+    val got = result.turns.orderBy("conv_id", "turn_idx")
+      .select("conv_id", "turn_idx", "text").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getString(2)))
+    val want = (0L until N).map(id => Corpus.turnAt(id, N))
+      .map(t => (t.conv_id, t.turn_idx, t.text))
+      .sortBy(t => (t._1, t._2))
+    assert(got.toSeq == want)
+  }
+
+  test("triple P/R >= 0.95 vs sequential oracle") {
+    val got = result.triples.select("subj", "pred", "obj").distinct()
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    val truth = SequentialOracle.triplesForCorpus(N)
+    val pr = SequentialOracle.prScore(got, truth)
+    info(s"precision=${pr.precision} recall=${pr.recall} tp=${pr.truePos} fp=${pr.falsePos} fn=${pr.falseNeg}")
+    assert(pr.precision >= 0.95, s"precision ${pr.precision}")
+    assert(pr.recall >= 0.95, s"recall ${pr.recall}")
+  }
+
+  test("triples also match the generator's spec-level truth") {
+    val got = result.triples.select("subj", "pred", "obj").distinct()
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    val truth = Corpus.expectedTriples(N)
+    val pr = SequentialOracle.prScore(got, truth)
+    info(s"spec-level precision=${pr.precision} recall=${pr.recall}")
+    assert(pr.precision >= 0.95 && pr.recall >= 0.95)
+  }
+
+  test("node table: one row per canonical entity, labels stamped") {
+    val names = result.nodes.select("name").collect().map(_.getString(0))
+    assert(names.distinct.length == names.length)
+    val labels = result.nodes.select("labels").collect()(0).getAs[scala.collection.Seq[String]](0)
+    assert(labels == Seq("Entity"))
+  }
+
+  test("edge table: identity is (src,dst,rel_type); all endpoints resolve") {
+    val e = result.edges
+    assert(e.count() == e.select("src_id", "dst_id", "rel_type").distinct().count())
+    val nodeIds = graft.bulk.RelSetOps.withNodeId(result.nodes, Seq("name"))
+      .select(col("_node_id")).as[Long].collect().toSet
+    val endpoints = e.select("src_id").as[Long].collect() ++ e.select("dst_id").as[Long].collect()
+    assert(endpoints.forall(nodeIds.contains))
+  }
+
+  test("resume: a second run over the same workDir recomputes nothing and matches") {
+    val dir = tmpDir("graft-resume")
+    val turns = TranscriptGen.turns(spark, 500L, 4).toDF()
+    val r1 = Pipeline.run(turns, dir)
+    val c1 = r1.triples.count()
+    // second run: all stages committed → read-only resume
+    val log = new graft.io.SnapshotLog(dir)
+    val committedBefore = log.committedStages()
+    val r2 = Pipeline.run(turns, dir)
+    assert(log.committedStages() == committedBefore)
+    assert(r2.triples.count() == c1)
+  }
+
+  test("lineage/metrics rows written per stage") {
+    val dir = tmpDir("graft-lineage")
+    Pipeline.run(TranscriptGen.turns(spark, 300L, 4).toDF(), dir)
+    val lineage = spark.read.parquet(s"$dir/_graft_lineage")
+    val stages = lineage.select("stage").distinct().as[String].collect().toSet
+    assert(stages.contains("turns"))
+    assert(lineage.filter(col("records_written") > 0).count() > 0)
+  }
+
+  test("conv_stats: salted two-phase agg matches direct aggregation") {
+    val turns = TranscriptGen.turns(spark, 1000L, 8).toDF()
+    val salted = Pipeline.convStatsSalted(turns)
+    val direct = turns.groupBy("conv_id")
+      .agg(count(lit(1)).as("n_turns"),
+        array_sort(array_distinct(collect_list(col("tool")))).as("tools"),
+        min(col("ts")).as("first_ts"), max(col("ts")).as("last_ts"))
+    assert(salted.exceptAll(direct).count() == 0)
+    assert(direct.exceptAll(salted).count() == 0)
+    // skew fixture really is skewed: hot conv carries ~30% of turns
+    val hot = salted.filter(col("conv_id") === "conv-hot").select("n_turns").as[Long].head()
+    assert(hot == 300L)
+  }
+}
