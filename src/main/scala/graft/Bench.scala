@@ -1,24 +1,69 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+/** Round benchmark: headline queries on SPARK_GRAFT_SF_DIR + the KG
+  * pipeline's turns/sec. Prints ONE JSON line (driver contract).
+  */
 object Bench {
-  def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
+  // the scale-relevant headliners (shuffle/join/window heavy)
+  val headline: Seq[String] = Seq(
+    "q_nodeset_dedup", "q_nodeset_merge", "q_relset_resolve",
+    "q_traverse_1hop", "q_minhash_pairs", "q_simhash_pairs",
+    "q_ngram_jaccard", "q_ann_topk", "q_cc_events", "q_conv_stats",
+    "q_token_counts", "q_quality")
+
+  val KgTurns: Long = sys.env.getOrElse("SPARK_GRAFT_KG_TURNS", "200000").toLong
+
+  def timed[A](f: => A): Double = {
+    val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+  }
+
+  def runAll(spark: SparkSession, sfDir: String): (Map[String, Double], Double) = {
+    val qTimes = headline.map { name =>
+      val fn = SparkEntry.queries(name)
+      name -> timed(fn(spark, sfDir).write.format("noop").mode("overwrite").save())
+    }.toMap
+    // KG pipeline throughput: generate + extract + canonicalize, count sink
+    val kgSec = timed {
+      kg.Pipeline.triplesInMemory(
+        kg.TranscriptGen.turns(spark, KgTurns, spark.sparkContext.defaultParallelism * 2).toDF()
+      ).write.format("noop").mode("overwrite").save()
+    }
+    (qTimes, kgSec)
+  }
+
+  def session(cpus: String): SparkSession = {
+    val s = SparkSession.builder()
       .master(s"local[$cpus]")
+      .appName("graft-bench")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
-    }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = session(cpus)
+    // entry smoke first (flagship path)
+    val entryRows = SparkEntry.entry(spark).count()
+    require(entryRows > 0, "entry produced no rows")
+    // warm-up: JIT + parquet footer caches, then measured run
+    runAll(spark, sfDir)
+    val (qTimes, kgSec) = runAll(spark, sfDir)
+    val total = qTimes.values.sum + kgSec
+    val kgThroughput = KgTurns / kgSec
+    val qs = (qTimes + ("kg_pipeline" -> kgSec))
+      .toSeq.sortBy(_._1)
+      .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
+    println(
+      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,""" +
+      s""""kg_turns_per_sec":${f"$kgThroughput%.0f"},"kg_turns":$KgTurns,"cpus":"$cpus","sf":"$sfDir"}""")
     spark.stop()
   }
 }

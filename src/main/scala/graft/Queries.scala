@@ -1,0 +1,341 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.bulk.{NodeSetOps, RelSetOps}
+import graft.ogm.Graph
+import graft.ops.{Dedup, Similarity, TextOps}
+import graft.schema._
+
+/** Driver-gate query implementations. Each query exercises one operator
+  * family from SURVEY.md §2 (or a training-data op) over the driver's
+  * parquet tables, shaped so an equivalent ANSI SQL oracle (DuckDB) produces
+  * identical values — column names aligned on both sides.
+  */
+object Queries {
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  // ---------- graphio bulk semantics over TPC-H ----------
+
+  /** B1 — blind append: create() twice doubles rows. */
+  def nodesetCreate(s: SparkSession, dir: String): DataFrame = {
+    val spec = NodeSpec(Seq("Customer"), Seq("uuid"))
+    val rows = t(s, dir, "customer")
+      .select(col("c_custkey").as("uuid"), col("c_name").as("key"))
+    val once = NodeSetOps.create(None, rows, spec)
+    NodeSetOps.create(Some(once), rows, spec).drop("labels")
+  }
+
+  /** A2 — first-wins dedup by merge key with explicit ingest order. */
+  def nodesetDedup(s: SparkSession, dir: String): DataFrame = {
+    // (l_orderkey, l_linenumber) is non-unique in this synthetic data, so
+    // the ingest order must be a total order for determinism
+    val rows = t(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey"), col("l_linenumber"))
+      .withColumn(NodeSetOps.OrdCol,
+        col("l_linenumber").cast("long") * lit(10000000L) + col("l_partkey"))
+    NodeSetOps.dedupFirstWins(rows, Seq("l_orderkey"))
+      .select("l_orderkey", "l_partkey", "l_linenumber")
+  }
+
+  /** B2 — keyed merge of two batches: scalar update wins, unmatched insert. */
+  def nodesetMerge(s: SparkSession, dir: String): DataFrame = {
+    val spec = NodeSpec(Seq("Cust"), Seq("uuid"))
+    val orders = t(s, dir, "orders")
+    def batch(status: String) = orders.filter(col("o_orderstatus") === status)
+      .groupBy(col("o_custkey").as("uuid"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("last_status", lit(status))
+    val m1 = NodeSetOps.merge(None, batch("O"), spec)
+    NodeSetOps.merge(Some(m1), batch("F"), spec)
+      .select("uuid", "cnt", "last_status")
+  }
+
+  /** B2-append — append_props accumulates across merges (array output). */
+  def nodesetMergeAppend(s: SparkSession, dir: String): DataFrame = {
+    val spec = NodeSpec(Seq("Cust"), Seq("uuid"), appendProps = Seq("cnt"))
+    val orders = t(s, dir, "orders")
+    def batch(status: String) = orders.filter(col("o_orderstatus") === status)
+      .groupBy(col("o_custkey").as("uuid"))
+      .agg(count(lit(1)).as("cnt"))
+    val m1 = NodeSetOps.merge(None, batch("O"), spec)
+    NodeSetOps.merge(Some(m1), batch("F"), spec)
+      .select(col("uuid"),
+        array_join(transform(col("cnt"), x => x.cast("string")), ",").as("cnt_list"))
+  }
+
+  /** B3 — endpoint resolution joins; dangling refs silently dropped. */
+  def relsetResolve(s: SparkSession, dir: String): DataFrame = {
+    val cust = t(s, dir, "customer")
+    val nodes = cust.select(col("c_custkey").as("key"))
+      .withColumn("labels", array(lit("Customer")))
+    val spec = RelSpec("SAME_SEG", Seq("Customer"), Seq("Customer"),
+      Seq(EqKey("key")), Seq(EqKey("key")))
+    // valid edges from orders + a dangling batch (shifted keys match nothing)
+    val valid = t(s, dir, "orders").select(
+      col("o_custkey").as("start_key"), col("o_custkey").as("end_key"),
+      col("o_orderstatus").as("status"))
+    val dangling = valid
+      .withColumn("start_key", col("start_key") + lit(100000000L))
+    val resolved = RelSetOps.create(None, valid.unionAll(dangling), nodes, spec)
+    resolved.groupBy("status").agg(count(lit(1)).as("n")).orderBy("status")
+  }
+
+  /** B4 — merge idempotence: edge identity (src,dst,type); re-merge stable. */
+  def relsetMergeIdem(s: SparkSession, dir: String): DataFrame = {
+    val nodes = t(s, dir, "customer").select(col("c_custkey").as("key"))
+      .withColumn("labels", array(lit("Customer")))
+    val spec = RelSpec("PLACED", Seq("Customer"), Seq("Customer"),
+      Seq(EqKey("key")), Seq(EqKey("key")))
+    val edges = t(s, dir, "orders").select(
+      col("o_custkey").as("start_key"), col("o_custkey").as("end_key"),
+      col("o_totalprice").as("price"))
+    val m1 = RelSetOps.merge(None, edges, nodes, spec)
+    val m2 = RelSetOps.merge(Some(m1), edges, nodes, spec)
+    m2.groupBy("rel_type").agg(count(lit(1)).as("n"))
+  }
+
+  /** ArrayProperty — containment endpoint match (keyword ∈ doc words). */
+  def relsetArrayContains(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("words"))
+      .withColumn("labels", array(lit("Doc")))
+    val kws = strDf(s, "kw", Seq("spark", "join", "vector"))
+      .withColumn("labels", array(lit("Keyword")))
+    // uber node table with aligned schema
+    val nodes = docs.withColumn("kw", lit(null).cast("string"))
+      .unionByName(kws.withColumn("doc_id", lit(null).cast("long"))
+        .withColumn("words", lit(null).cast("array<string>")), allowMissingColumns = true)
+    val spec = RelSpec("MENTIONS", Seq("Keyword"), Seq("Doc"),
+      Seq(EqKey("kw")), Seq(ArrayKey("words")))
+    val staged = strDf(s, "kw", Seq("spark", "join", "vector"))
+      .select(col("kw").as("start_kw"), col("kw").as("end_words"), col("kw"))
+    RelSetOps.create(None, staged, nodes, spec)
+      .groupBy("kw").agg(count(lit(1)).as("n_docs")).orderBy("kw")
+  }
+
+  private def strDf(s: SparkSession, name: String, xs: Seq[String]): DataFrame = {
+    import s.implicits._
+    s.createDataset(xs).toDF(name)
+  }
+
+  // ---------- OGM read path over a customer/orders graph ----------
+
+  private def custOrderGraph(s: SparkSession, dir: String): Graph = {
+    val cust = t(s, dir, "customer").select(
+      col("c_custkey").as("key"), col("c_mktsegment").as("seg"),
+      lit(null).cast("double").as("price"), lit(null).cast("string").as("status"))
+      .withColumn("labels", array(lit("Customer")))
+    val ords = t(s, dir, "orders").select(
+      (col("o_orderkey") + lit(10000000L)).as("key"), lit(null).cast("string").as("seg"),
+      col("o_totalprice").as("price"), col("o_orderstatus").as("status"))
+      .withColumn("labels", array(lit("Order")))
+    val nodes = cust.unionByName(ords)
+    val spec = RelSpec("PLACED", Seq("Customer"), Seq("Order"),
+      Seq(EqKey("key")), Seq(EqKey("key")))
+    val staged = t(s, dir, "orders").select(
+      col("o_custkey").as("start_key"), (col("o_orderkey") + lit(10000000L)).as("end_key"))
+    val edges = RelSetOps.merge(None, staged, nodes, spec)
+    Graph(nodes, edges)
+  }
+
+  /** B5/B6 — node scan with the full predicate matrix. */
+  def filterOps(s: SparkSession, dir: String): DataFrame = {
+    val parts = t(s, dir, "part")
+      .select(col("p_partkey"), col("p_name"), col("p_size"), col("p_type"))
+      .withColumn("labels", array(lit("Part")))
+    val g = Graph(parts, s.emptyDataFrame)
+    g.matchNodes(Seq("Part"),
+        FieldFilter("p_size", FilterOp.Ge, 10),
+        FieldFilter("p_size", FilterOp.Lt, 40),
+        FieldFilter("p_name", FilterOp.Contains, "e"),
+        FieldFilter("p_name", FilterOp.StartsWith, "r"),
+        FieldFilter("p_name", FilterOp.EndsWith, "t"),
+        FieldFilter("p_type", FilterOp.Ne, "PROMO"))
+      .select("p_partkey", "p_name", "p_size", "p_type")
+  }
+
+  /** B7 — 1-hop traversal: DISTINCT orders placed by BUILDING customers. */
+  def traverse1hop(s: SparkSession, dir: String): DataFrame = {
+    val g = custOrderGraph(s, dir)
+    g.traverse(
+        srcLabels = Seq("Customer"), srcKeys = Seq("key"),
+        relType = "PLACED",
+        dstLabels = Seq("Order"), dstKeys = Seq("key"),
+        srcFilters = Seq(FieldFilter("seg", FilterOp.Eq, "BUILDING")),
+        relFilters = Nil,
+        dstFilters = Seq(FieldFilter("price", FilterOp.Gt, 100000.0)))
+      .select((col("key") - lit(10000000L)).as("o_orderkey"), col("status"))
+  }
+
+  /** B8 — reverse traversal: DISTINCT customers (the edge SOURCE side)
+    * anchored by a filter on the target side (orders with status F).
+    */
+  def traverseReverse(s: SparkSession, dir: String): DataFrame = {
+    val g = custOrderGraph(s, dir)
+    g.traverse(
+        srcLabels = Seq("Customer"), srcKeys = Seq("key"),
+        relType = "PLACED",
+        dstLabels = Seq("Order"), dstKeys = Seq("key"),
+        dstFilters = Seq(FieldFilter("status", FilterOp.Eq, "F")),
+        reverse = true)
+      .select(col("key").as("c_custkey"), col("seg"))
+  }
+
+  /** B10 — DETACH DELETE: drop BUILDING customers; count survivors. */
+  def detachDelete(s: SparkSession, dir: String): DataFrame = {
+    val g = custOrderGraph(s, dir)
+    val g2 = g.detachDeleteNodes(Seq("Customer"), Seq("key"),
+      FieldFilter("seg", FilterOp.Eq, "BUILDING"))
+    val n = g2.nodes.filter(array_contains(col("labels"), "Customer")).count()
+    val e = g2.edges.count()
+    import s.implicits._
+    Seq((n, e)).toDF("n_customers", "n_edges")
+  }
+
+  // ---------- training-data ops over documents/embeddings/events ----------
+
+  /** Exact dedup: keep min doc_id per identical text. */
+  def dedupExact(s: SparkSession, dir: String): DataFrame =
+    Dedup.exact(t(s, dir, "documents"))
+      .select("doc_id", "n_chars")
+
+  /** Exact token-set Jaccard pairs (1-gram shingles) within one language
+    * block. Exact all-pairs is O(block²) by nature — it is the small-block
+    * verification tool; MinHash-LSH (q_minhash_pairs) is the corpus-scale
+    * path. Bounding to one block keeps the exact variant honest about that.
+    */
+  def ngramJaccard(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").filter(col("lang") === "de")
+    val base = docs.select(col("lang").as("blk"), col("doc_id").as("id"),
+      array_distinct(split(lower(trim(col("text"))), "\\s+")).as("sh"))
+    // A shuffle join on `blk` would hash on ~5 distinct languages — 5 busy
+    // tasks no matter the cluster size. Broadcasting the right side keeps
+    // the join partition-parallel on the left (and at real scale the exact
+    // all-pairs variant is only ever run on blocks small enough to
+    // broadcast — LSH covers the rest).
+    val l = base.alias("l"); val r = broadcast(base).alias("r")
+    l.join(r, col("l.blk") === col("r.blk") && col("l.id") < col("r.id"))
+      .withColumn("jaccard", round(
+        size(array_intersect(col("l.sh"), col("r.sh"))).cast("double") /
+          size(array_union(col("l.sh"), col("r.sh"))), 6))
+      .filter(col("jaccard") >= 0.5)
+      .select(col("l.id").as("a"), col("r.id").as("b"), col("jaccard"))
+  }
+
+  /** MinHash-LSH near-dup pairs (jaccard >= 0.9 on word 3-gram shingles). */
+  def minhashPairs(s: SparkSession, dir: String): DataFrame =
+    Dedup.minhashLshPairs(t(s, dir, "documents"), 0.9)
+      .withColumn("jaccard", round(col("jaccard"), 6))
+
+  /** SimHash near-dup pairs, hamming <= 3. */
+  def simhashPairs(s: SparkSession, dir: String): DataFrame =
+    Dedup.simhashPairs(t(s, dir, "documents"), 3)
+
+  /** Text metrics: whitespace + BPE-ish token counts. */
+  def tokenCounts(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(col("doc_id"),
+      TextOps.tokenCountWs(col("text")).as("n_ws"),
+      TextOps.tokenCountBpe(col("text")).as("n_bpe"))
+
+  /** Language ID by stopword-ratio argmax. */
+  def langId(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(col("doc_id"),
+      TextOps.langId(col("text")).as("lang_pred"))
+
+  /** Quality scoring. */
+  def quality(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(col("doc_id"),
+      TextOps.qualityScore(col("text")).as("quality"))
+
+  /** Document fingerprint (rolling hash; engine-specific hash → rows-only). */
+  def fingerprint(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(col("doc_id"),
+      TextOps.fingerprint(col("text")).as("fingerprint"))
+
+  /** Brute-force cosine ANN: top-5 neighbors for query vectors vec_id < 8. */
+  def annBruteForce(s: SparkSession, dir: String): DataFrame = {
+    val embs = t(s, dir, "embeddings")
+      .select(col("vec_id"), expr("transform(embedding, x -> cast(x as double))").as("embedding"))
+    val queries = embs.filter(col("vec_id") < 8)
+    Similarity.bruteForceTopK(embs, queries, 5)
+      .select(col("query_id"), col("item_id"), col("rank"), round(col("cos"), 6).as("cos"))
+  }
+
+  /** IVF approximate ANN (scale path; approx → rows-only check). */
+  def annIvf(s: SparkSession, dir: String): DataFrame = {
+    val embs = t(s, dir, "embeddings")
+      .select(col("vec_id"), expr("transform(embedding, x -> cast(x as double))").as("embedding"))
+    val queries = embs.filter(col("vec_id") < 8)
+    Similarity.ivfTopK(embs, queries, 5, nCells = 16, nProbe = 4)
+  }
+
+  /** Embedding near-dup pairs, exact within label blocks (oracle-checkable). */
+  def embedNearDup(s: SparkSession, dir: String): DataFrame = {
+    val embs = t(s, dir, "embeddings").select(col("vec_id"), col("label"),
+      expr("transform(embedding, x -> cast(x as double))").as("v"))
+    val l = embs.alias("l"); val r = embs.alias("r")
+    l.join(r, col("l.label") === col("r.label") && col("l.vec_id") < col("r.vec_id"))
+      .withColumn("cos", round(Similarity.cosine(col("l.v"), col("r.v")), 6))
+      .filter(col("cos") >= 0.3)
+      .select(col("l.vec_id").as("a"), col("r.vec_id").as("b"), col("cos"))
+  }
+
+  /** Embedding near-dup via sign-LSH blocking (approx → rows-only). */
+  def embedNearDupLsh(s: SparkSession, dir: String): DataFrame = {
+    val embs = t(s, dir, "embeddings")
+      .select(col("vec_id"), expr("transform(embedding, x -> cast(x as double))").as("embedding"))
+    Similarity.cosinePairsLsh(embs, 0.3, bits = 8)
+  }
+
+  // ---------- KG pipeline shapes over events-as-transcripts ----------
+
+  /** Triple extraction + aggregation: events → (subj, pred, obj, support). */
+  def kgTriples(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events").select(
+        concat(lit("user:"), col("user_id")).as("subj"),
+        col("event_type").as("pred"),
+        concat(lit("bucket:"), floor(col("value") / 100).cast("long")).as("obj"))
+      .groupBy("subj", "pred", "obj").agg(count(lit(1)).as("support"))
+
+  /** Entity node table via NodeSetOps.merge over extracted triples. */
+  def kgEntities(s: SparkSession, dir: String): DataFrame = {
+    val triples = kgTriples(s, dir)
+    val rows = triples.select(col("subj").as("name"), col("support"))
+      .unionAll(triples.select(col("obj").as("name"), col("support")))
+      .groupBy("name").agg(sum(col("support")).as("mentions"))
+    NodeSetOps.merge(None, rows, NodeSpec(Seq("Entity"), Seq("name")))
+      .select("name", "mentions")
+  }
+
+  /** Connected components (user ↔ event_type bipartite graph). */
+  def ccEvents(s: SparkSession, dir: String): DataFrame = {
+    val edges = t(s, dir, "events").select(
+      concat(lit("u:"), col("user_id")).as("a"),
+      concat(lit("e:"), col("event_type")).as("b")).distinct()
+    graft.kg.ConnectedComponents.runOnStrings(edges, "a", "b")
+      .withColumnRenamed("key", "node").withColumnRenamed("canonical", "component")
+  }
+
+  /** Salted two-phase per-conversation aggregation over events. */
+  def convStats(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val partial = ev.groupBy(col("user_id"), pmod(col("event_id"), lit(16)).as("_salt"))
+      .agg(count(lit(1)).as("n"), collect_set(col("event_type")).as("et"),
+        min(col("ts")).as("mn"), max(col("ts")).as("mx"))
+    partial.groupBy("user_id")
+      .agg(sum(col("n")).as("n_events"),
+        array_join(array_sort(array_distinct(flatten(collect_list(col("et"))))), ",").as("event_types"),
+        min(col("mn")).as("first_ts"), max(col("mx")).as("last_ts"))
+  }
+
+  /** Multimodal plumbing (stubbed decode kernel) — rows-only smoke. */
+  def multimodal(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Multimodal
+    val media = Multimodal.syntheticMedia(s, 300)
+    Multimodal.extractFeatures(media).toDF()
+      .groupBy("kind").agg(count(lit(1)).as("n"), sum(col("n_bytes")).as("bytes"))
+  }
+}

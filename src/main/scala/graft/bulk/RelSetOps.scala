@@ -96,7 +96,9 @@ object RelSetOps {
     val (exploded, joinPairs) = keys.foldLeft((filtered, Seq.empty[(String, String)])) {
       case ((n, acc), EqKey(k)) => (n, acc :+ (k -> s"${prefix}_$k"))
       case ((n, acc), ArrayKey(k)) =>
-        val ex = n.withColumn(s"_x_$k", explode(col(k)))
+        // distinct first: containment is a per-node predicate — a value
+        // occurring twice in the array must not yield two edges
+        val ex = n.withColumn(s"_x_$k", explode(array_distinct(col(k))))
         (ex, acc :+ (s"_x_$k" -> s"${prefix}_$k"))
     }
     val nSide = exploded

@@ -96,6 +96,26 @@ object Pipeline {
     Result(turnsDf, triplesRaw, triples, nodes, edges, convStats)
   }
 
+  /** The same dataflow without stage materialization — for smoke tests and
+    * benchmarks where snapshot/resume isn't the point.
+    */
+  def triplesInMemory(turns: DataFrame): DataFrame = {
+    val triplesRaw = Extract.triplesRaw(turns)
+    val surfaces = Extract.surfaces(triplesRaw)
+    val pairs = Lsh.candidatePairs(surfaces.select("norm").distinct(), JaccardThreshold)
+    val clustered = ConnectedComponents.runOnStrings(pairs, "a", "b")
+    val canonicalMap = surfaces
+      .join(clustered, surfaces("norm") === clustered("key"), "left_outer")
+      .select(col("surface"), coalesce(col("canonical"), col("norm")).as("canonical"))
+    val cm = broadcast(canonicalMap)
+    triplesRaw
+      .join(cm.withColumnRenamed("surface", "subj_surface")
+              .withColumnRenamed("canonical", "subj"), Seq("subj_surface"))
+      .join(cm.withColumnRenamed("surface", "obj_surface")
+              .withColumnRenamed("canonical", "obj"), Seq("obj_surface"))
+      .select("subj", "pred", "obj", "conv_id", "turn_idx", "score")
+  }
+
   /** Per-conversation stats via two-phase salted aggregation: partial
     * aggregate on (conv_id, salt) — spreads the hot conversation over 16
     * reducers — then final combine on conv_id. collect_set-style state is

@@ -1,0 +1,116 @@
+package graft.ogm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.bulk.{NodeSetOps, RelSetOps}
+import graft.schema.{FieldFilter, NodeSpec, RelSpec}
+
+/** The read/query layer — the Spark form of the reference's OGM Query path
+  * (graphio/ogm/model.py:300-553). A Query is a lazily composed DataFrame
+  * plan; `.all()` in the reference maps to simply using the DataFrame (or
+  * `.limit(1)` for `first()`, B5). Filters are conjunctive-only, like the
+  * reference (model.py:427-433).
+  */
+final case class Graph(nodes: DataFrame, edges: DataFrame) {
+
+  private def labelCond(labels: Seq[String]): Column =
+    if (labels.isEmpty) lit(true)
+    else labels.map(l => array_contains(col(NodeSetOps.LabelsCol), l)).reduce(_ && _)
+
+  /** B5/B6 — node scan with conjunctive predicates. */
+  def matchNodes(labels: Seq[String], filters: FieldFilter*): DataFrame =
+    nodes.filter(filters.map(_.toColumn).foldLeft(labelCond(labels))(_ && _))
+
+  /** `first()` — LIMIT 1 (model.py:437-438). */
+  def firstNode(labels: Seq[String], filters: FieldFilter*): DataFrame =
+    matchNodes(labels, filters: _*).limit(1)
+
+  /** B7/B8 — 1-hop traversal:
+    * MATCH (source)-[r:TYPE]->(target) with per-leg filters, RETURN DISTINCT
+    * target. `reverse=true` flips the physical legs (the querying class is
+    * the relation's target — model.py:314-340); edge rows are stored
+    * canonically, only the join swaps.
+    *
+    * Physical shape: 3-way join src ⋈ edges ⋈ dst with every per-leg filter
+    * pushed below its join — Catalyst sees them as scan filters.
+    */
+  def traverse(
+      srcLabels: Seq[String], srcKeys: Seq[String],
+      relType: String,
+      dstLabels: Seq[String], dstKeys: Seq[String],
+      srcFilters: Seq[FieldFilter] = Nil,
+      relFilters: Seq[FieldFilter] = Nil,
+      dstFilters: Seq[FieldFilter] = Nil,
+      reverse: Boolean = false): DataFrame = {
+
+    def side(labels: Seq[String], keys: Seq[String], fs: Seq[FieldFilter], alias: String) =
+      RelSetOps.withNodeId(
+        nodes.filter(fs.map(_.toColumn).foldLeft(labelCond(labels))(_ && _)), keys)
+        .alias(alias)
+
+    // Edge rows are stored canonically src→dst; `reverse` only changes which
+    // side is RETURNED (the querying class is the relation's target —
+    // model.py:314-340). Filters always bind to their physical leg.
+    val src = side(srcLabels, srcKeys, srcFilters, "s")
+    val dst = side(dstLabels, dstKeys, dstFilters, "d")
+    val e = edges
+      .filter(relFilters.map(_.toColumn).foldLeft(col(RelSetOps.RelType) === relType)(_ && _))
+      .alias("e")
+
+    val joined = src
+      .join(e, col(s"s._node_id") === col(s"e.${RelSetOps.SrcId}"))
+      .join(dst, col(s"e.${RelSetOps.DstId}") === col(s"d._node_id"))
+
+    val targetAlias = if (reverse) "s" else "d"
+    val targetCols = nodes.columns.map(c => col(s"$targetAlias.$c"))
+    joined.select(targetCols.toIndexedSeq: _*).distinct()
+  }
+
+  /** B9 — raw SQL escape hatch: the caller registers views and runs
+    * arbitrary SQL; result must be node-shaped (we enforce the merge-key
+    * columns exist, the analogue of "must bind n").
+    */
+  def rawQuery(sql: String, requiredCols: Seq[String]): DataFrame = {
+    val spark = nodes.sparkSession
+    nodes.createOrReplaceTempView("nodes")
+    edges.createOrReplaceTempView("edges")
+    val out = spark.sql(sql)
+    val missing = requiredCols.filterNot(out.columns.contains)
+    require(missing.isEmpty,
+      s"raw query must return node-shaped rows; missing: ${missing.mkString(",")}")
+    out
+  }
+
+  /** B10 — point delete with DETACH semantics: remove matching nodes AND
+    * every edge touching them (anti-joins; DELETE FROM at table level).
+    */
+  def detachDeleteNodes(labels: Seq[String], mergeKeys: Seq[String], filters: FieldFilter*): Graph = {
+    val doomed = matchNodes(labels, filters: _*)
+    val keep = nodes.exceptAll(doomed)
+    // node identity for the edge anti-join: same (labels, mergeKeys) hash the
+    // edges were resolved with
+    val ids = RelSetOps.withNodeId(doomed, mergeKeys).select(col("_node_id"))
+    val keptEdges = edges
+      .join(ids, edges(RelSetOps.SrcId) === ids("_node_id"), "left_anti")
+      .join(ids, edges(RelSetOps.DstId) === ids("_node_id"), "left_anti")
+    Graph(keep, keptEdges)
+  }
+
+  /** B11 — targeted edge delete: all edges of a type from anchored sources,
+    * optionally restricted to specific targets.
+    */
+  def deleteEdges(relType: String, srcFilter: Seq[FieldFilter],
+                  dstFilter: Seq[FieldFilter] = Nil, keys: Seq[String]): Graph = {
+    val srcIds = RelSetOps.withNodeId(
+      nodes.filter(srcFilter.map(_.toColumn).reduceOption(_ && _).getOrElse(lit(true))), keys)
+      .select(col("_node_id"))
+    val dstIds = RelSetOps.withNodeId(
+      nodes.filter(dstFilter.map(_.toColumn).reduceOption(_ && _).getOrElse(lit(true))), keys)
+      .select(col("_node_id"))
+    val doomed = edges
+      .filter(col(RelSetOps.RelType) === relType)
+      .join(srcIds, edges(RelSetOps.SrcId) === srcIds("_node_id"), "left_semi")
+      .join(dstIds, edges(RelSetOps.DstId) === dstIds("_node_id"), "left_semi")
+    Graph(nodes, edges.exceptAll(doomed))
+  }
+}

@@ -1,0 +1,158 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.kg.Lsh
+
+/** Deduplication operators for training-data pipelines: exact, MinHash-LSH,
+  * SimHash, n-gram Jaccard, embedding-cosine near-dup.
+  *
+  * Scale design: every variant reduces to (a) a narrow projection computing
+  * a signature, (b) ONE hash-shuffle on the signature/band key, (c) an
+  * optional verify join. No cross joins anywhere; candidate generation is
+  * always blocked. Keeper selection is deterministic (min id) so reruns are
+  * stable.
+  */
+object Dedup {
+
+  /** Exact dedup on a normalized text key: keep the lowest id per group.
+    * One shuffle on the 64-char sha2 of the text (not the text itself —
+    * at 100 TB you shuffle 64-byte keys, not document bodies).
+    */
+  def exact(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val w = Window.partitionBy(sha2(col(textCol), 256)).orderBy(col(idCol))
+    docs.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1).drop("_rn")
+  }
+
+  /** Pairs of exact duplicates (a < b) — the audit view of `exact`. */
+  def exactDupPairs(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val h = docs.select(col(idCol).as("id"), sha2(col(textCol), 256).as("h"))
+    val l = h.alias("l"); val r = h.alias("r")
+    l.join(r, col("l.h") === col("r.h") && col("l.id") < col("r.id"))
+      .select(col("l.id").as("a"), col("r.id").as("b"))
+  }
+
+  /** Word 3-gram shingles of a text column (lowercased, space-split). */
+  def wordShingles(text: Column, n: Int = 3): Column = {
+    val toks = split(lower(trim(text)), "\\s+")
+    when(size(toks) < n, array(array_join(toks, " ")))
+      .otherwise(array_distinct(transform(
+        sequence(lit(0), size(toks) - n),
+        i => array_join(slice(toks, i + 1, lit(n)), " "))))
+  }
+
+  /** MinHash-LSH near-dup candidate pairs over word shingles, verified with
+    * exact Jaccard. Returns (a, b, jaccard) with a < b.
+    */
+  def minhashLshPairs(docs: DataFrame, threshold: Double,
+                      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val withSig = docs
+      .select(col(idCol).as("id"), wordShingles(col(textCol)).as("_sh"))
+      .withColumn("_sig", expr(
+        s"""transform(sequence(0, ${Lsh.NumHashes - 1}),
+           |  j -> array_min(transform(_sh, s -> xxhash64(s, j))))""".stripMargin))
+    val banded = withSig.select(
+      col("id"), col("_sh"),
+      posexplode(expr(
+        s"transform(sequence(0, ${Lsh.NumBands - 1}), b -> hash(slice(_sig, b * ${Lsh.RowsPerBand} + 1, ${Lsh.RowsPerBand})))"))
+        .as(Seq("band_idx", "band_key")))
+    val l = banded.alias("l"); val r = banded.alias("r")
+    l.join(r,
+        col("l.band_idx") === col("r.band_idx") &&
+        col("l.band_key") === col("r.band_key") &&
+        col("l.id") < col("r.id"))
+      .select(col("l.id").as("a"), col("r.id").as("b"),
+        col("l._sh").as("sha"), col("r._sh").as("shb"))
+      .dropDuplicates("a", "b")
+      .withColumn("jaccard",
+        size(array_intersect(col("sha"), col("shb"))).cast("double") /
+          size(array_union(col("sha"), col("shb"))))
+      .filter(col("jaccard") >= threshold)
+      .select("a", "b", "jaccard")
+  }
+
+  /** Drop near-duplicates: connected-components over the near-dup pair graph
+    * (a duplicate of a duplicate is a duplicate), keep the min id per
+    * component. Uses the same no-GraphX CC as the KG pipeline.
+    */
+  def minhashLshDedup(docs: DataFrame, threshold: Double,
+                      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val pairs = minhashLshPairs(docs, threshold, idCol, textCol)
+    val cc = graft.kg.ConnectedComponents.run(
+      pairs.select(col("a").as("src"), col("b").as("dst")))
+    val losers = cc.filter(col("id") =!= col("component")).select(col("id"))
+    docs.join(losers, docs(idCol) === losers("id"), "left_anti")
+  }
+
+  /** 64-bit SimHash over word shingles: per-bit weighted vote of shingle
+    * hashes. Built as: explode shingles → one bit-count aggregation per doc.
+    * Near-dups = pairs whose signatures agree on >= (64 - maxHamming) bits;
+    * candidates via band-of-16-bits blocking (4 bands ⇒ any pair with
+    * hamming <= 3 shares at least one exact band by pigeonhole... for
+    * hamming <= 3 and 4 bands, guaranteed).
+    */
+  def simhash(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val sh = docs.select(col(idCol).as("id"),
+      explode(wordShingles(col(textCol))).as("s"))
+      .withColumn("h", xxhash64(col("s")))
+    // sum_{bit} sign contribution; bit j of result = 1 iff sum of (+1/-1) > 0
+    val bitCols = (0 until 64).map { j =>
+      sum(when(shiftright(col("h"), j).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$j")
+    }
+    val agg = sh.groupBy("id").agg(bitCols.head, bitCols.tail: _*)
+    val sig = (0 until 64).map(j =>
+      when(col(s"b$j") > 0, shiftleft(lit(1L), j)).otherwise(lit(0L)))
+      .reduce((a: Column, b: Column) => a.bitwiseOR(b))
+    agg.select(col("id"), sig.as("simhash"))
+  }
+
+  /** SimHash near-dup pairs with hamming distance <= maxHamming, blocked on
+    * 16-bit bands (guaranteed complete for maxHamming <= 3).
+    */
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 3,
+                   idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(maxHamming <= 3, "4-band blocking is only complete for hamming <= 3")
+    val sigs = simhash(docs, idCol, textCol)
+    val banded = sigs.select(col("id"), col("simhash"),
+      posexplode(array((0 until 4).map(b =>
+        shiftrightunsigned(col("simhash"), b * 16).bitwiseAND(0xFFFFL)): _*))
+        .as(Seq("band_idx", "band_key")))
+    val l = banded.alias("l"); val r = banded.alias("r")
+    l.join(r,
+        col("l.band_idx") === col("r.band_idx") &&
+        col("l.band_key") === col("r.band_key") &&
+        col("l.id") < col("r.id"))
+      .select(col("l.id").as("a"), col("r.id").as("b"),
+        col("l.simhash").as("sa"), col("r.simhash").as("sb"))
+      .dropDuplicates("a", "b")
+      .withColumn("hamming", bit_count(col("sa").bitwiseXOR(col("sb"))))
+      .filter(col("hamming") <= maxHamming)
+      .select("a", "b", "hamming")
+  }
+
+  /** Exact n-gram Jaccard similarity for all pairs within a blocking key
+    * (e.g. language) — the exact (non-LSH) small-block variant.
+    */
+  def ngramJaccardPairs(docs: DataFrame, blockCol: String, threshold: Double,
+                        idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val base = docs.select(col(blockCol).as("blk"), col(idCol).as("id"),
+      wordShingles(col(textCol)).as("sh"))
+    val l = base.alias("l"); val r = base.alias("r")
+    l.join(r, col("l.blk") === col("r.blk") && col("l.id") < col("r.id"))
+      .withColumn("jaccard",
+        size(array_intersect(col("l.sh"), col("r.sh"))).cast("double") /
+          size(array_union(col("l.sh"), col("r.sh"))))
+      .filter(col("jaccard") >= threshold)
+      .select(col("l.id").as("a"), col("r.id").as("b"), col("jaccard"))
+  }
+
+  /** Embedding cosine near-dup pairs: candidates blocked by sign-LSH
+    * (random-hyperplane bits from deterministic seed vectors), verified by
+    * exact cosine >= threshold.
+    */
+  def embeddingNearDupPairs(embs: DataFrame, threshold: Double, bits: Int = 16,
+                            idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    Similarity.cosinePairsLsh(embs, threshold, bits, idCol, vecCol)
+}

@@ -1,0 +1,103 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal column plumbing: image/audio/video payloads ride as opaque
+  * `binary` columns with a typed metadata struct; decode/feature steps are
+  * per-partition batch transforms.
+  *
+  * The actual codec work (JPEG decode, resampling, frame sampling) requires
+  * native libraries that are NOT in this container — those kernels are
+  * STUBBED with a deterministic fake (clearly marked below). Everything
+  * Spark-side is real and tested: the schema contract, the partitioning
+  * (payloads are large → size-based repartition before the decode stage so
+  * one task doesn't get 10 GB of video), the batched per-partition execution
+  * shape (the Scala twin of `mapInPandas`: `mapPartitions` over an iterator,
+  * amortizing per-batch model/codec setup), and the output feature schema.
+  */
+object Multimodal {
+
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("kind", StringType, nullable = false),        // image | audio | video
+    StructField("payload", BinaryType, nullable = true),      // opaque encoded bytes
+    StructField("meta", StructType(Seq(
+      StructField("width", IntegerType, nullable = true),
+      StructField("height", IntegerType, nullable = true),
+      StructField("sample_rate", IntegerType, nullable = true),
+      StructField("duration_ms", LongType, nullable = true),
+      StructField("codec", StringType, nullable = true)
+    )), nullable = true)
+  ))
+
+  final case class MediaFeature(media_id: Long, kind: String, n_bytes: Int,
+                                checksum: Long, feature: Array[Float])
+
+  /** Deterministic synthetic media table (payload = seeded bytes) — stands
+    * in for a real binary-file source (`spark.read.format("binaryFile")` in
+    * production).
+    */
+  def syntheticMedia(spark: SparkSession, n: Long): DataFrame = {
+    import spark.implicits._
+    spark.range(n).select(
+      col("id").as("media_id"),
+      element_at(array(lit("image"), lit("audio"), lit("video")),
+        (pmod(col("id"), lit(3)) + 1).cast("int")).as("kind"),
+      // payload: deterministic pseudo-bytes, length 64 + id%192
+      expr("cast(concat_ws('', transform(sequence(0, cast(64 + id % 192 as int)), " +
+        "j -> chr(32 + pmod(xxhash64(id, j), 90)))) as binary)").as("payload"),
+      struct(
+        lit(640).as("width"), lit(480).as("height"),
+        lit(16000).as("sample_rate"), (col("id") % 10000).as("duration_ms"),
+        lit("synthetic").as("codec")).as("meta"))
+  }
+
+  /** Size-aware repartition before the decode stage: spread by payload
+    * bytes so a partition holds ~targetBytes of media, not ~equal row
+    * counts — the thing that matters when one video is 10,000× one image.
+    */
+  def repartitionBySize(media: DataFrame, targetBytesPerPartition: Long): DataFrame = {
+    val spark = media.sparkSession
+    val totalBytes = media.agg(sum(length(col("payload")))).head().getLong(0)
+    val parts = math.max(1, (totalBytes / targetBytesPerPartition).toInt)
+    // salt by id so same-size rows spread; hash partitioning on a uniform key
+    media.repartition(parts, col("media_id"))
+  }
+
+  /** ===== STUBBED KERNEL =====
+    * Real implementation decodes payload with an image/audio codec and runs
+    * a feature extractor. This container has no codec libs, so the kernel
+    * is a deterministic fake: checksum + an 8-dim feature derived from the
+    * bytes. The mapPartitions shape (batch iterator, per-partition setup
+    * happening ONCE before the loop) is the real contract.
+    */
+  def extractFeatures(media: DataFrame): Dataset[MediaFeature] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("kind"), col("payload"))
+      .as[(Long, String, Array[Byte])]
+      .mapPartitions { it =>
+        // per-partition setup: in production, load codec + model HERE (once)
+        val codecHandle = new Object // stub
+        it.map { case (id, kind, bytes) =>
+          val payload = if (bytes == null) Array.empty[Byte] else bytes
+          var cs = 1125899906842597L
+          var i = 0
+          while (i < payload.length) { cs = cs * 31 + payload(i); i += 1 }
+          val feat = Array.tabulate(8)(j =>
+            ((cs >>> (j * 8)) & 0xFF).toFloat / 255f)
+          MediaFeature(id, kind, payload.length, cs, feat)
+        }
+      }
+  }
+
+  /** Frame-sampling plan for video rows: which frame offsets a decoder would
+    * pull, as real Spark columns (the decode itself is the stub above).
+    */
+  def frameSamplePlan(media: DataFrame, everyMs: Long): DataFrame =
+    media.filter(col("kind") === "video")
+      .select(col("media_id"),
+        explode(sequence(lit(0L), col("meta.duration_ms"), lit(everyMs))).as("frame_ms"))
+}

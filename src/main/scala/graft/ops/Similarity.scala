@@ -1,0 +1,134 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.kg.Corpus
+
+/** Similarity search over an embedding column (array<float>).
+  *
+  * Baseline: brute-force cosine top-k — a blocked cross join kept honest by
+  * broadcasting the (small) query side; exact, O(n·q), the correctness
+  * reference.
+  *
+  * Scale path: IVF (inverted file) — deterministic coarse centroids, assign
+  * each vector to its nearest centroid once (narrow pass), search only the
+  * nProbe closest cells per query. Turns the 100 TB scan into a partition-
+  * pruned fraction. Sign-LSH bucketing serves the pair-mining case (near-dup)
+  * where there is no query set at all.
+  *
+  * All vector math uses zip_with/aggregate higher-order functions — codegen,
+  * no UDFs, no driver collect.
+  */
+object Similarity {
+
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, v) => acc + v)
+
+  def norm(a: Column): Column =
+    sqrt(aggregate(a, lit(0.0d), (acc, v) => acc + v * v))
+
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (norm(a) * norm(b))
+
+  /** Exact brute-force top-k: for each query vector, the k nearest corpus
+    * vectors by cosine. Query side is broadcast (it is the small side by
+    * construction); ranking is a window per query.
+    */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                     idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val c = corpus.select(col(idCol).as("item_id"), col(vecCol).as("_cv"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("_qv"))
+    val scored = c.join(broadcast(q), col("item_id") =!= col("query_id"))
+      .withColumn("cos", cosine(col("_cv"), col("_qv")))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("item_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "item_id", "rank", "cos")
+  }
+
+  /** Deterministic pseudo-random hyperplane component for (bit, dim):
+    * zero-mean uniform in [-0.5, 0.5) derived from splitmix64 — same value
+    * on every executor, no RNG state, no broadcast needed.
+    */
+  private def planeComponent(bit: Int, dim: Column): Column = {
+    val h = xxhash64(lit(bit), dim)
+    (pmod(h, lit(1000000L)).cast("double") / lit(1000000.0d)) - lit(0.5d)
+  }
+
+  /** Sign-LSH signature: `bits` hyperplane-sign bits packed into a long. */
+  def signLsh(vec: Column, bits: Int): Column =
+    (0 until bits).map { b =>
+      val proj = aggregate(
+        zip_with(vec, sequence(lit(0), size(vec) - 1),
+          (v, i) => v * planeComponent(b, i)),
+        lit(0.0d), (acc, v) => acc + v)
+      when(proj > 0, shiftleft(lit(1L), b)).otherwise(lit(0L))
+    }.reduce((a: Column, b: Column) => a.bitwiseOR(b))
+
+  /** Near-neighbor pairs with cosine >= threshold, candidates from sign-LSH
+    * buckets (pairs agreeing on all `bits` signs land in one bucket; with a
+    * second rotated table for recall). Exact-cosine verified.
+    */
+  def cosinePairsLsh(embs: DataFrame, threshold: Double, bits: Int = 16,
+                     idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val sig = embs.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .withColumn("sig", signLsh(col("v"), bits))
+    // two tables: full signature + low-half signature (coarser, higher recall)
+    val banded = sig.select(col("id"), col("v"),
+      posexplode(array(col("sig"),
+        col("sig").bitwiseAND(lit((1L << (bits / 2)) - 1)))).as(Seq("tbl", "bkt")))
+    val l = banded.alias("l"); val r = banded.alias("r")
+    l.join(r, col("l.tbl") === col("r.tbl") && col("l.bkt") === col("r.bkt") &&
+        col("l.id") < col("r.id"))
+      .select(col("l.id").as("a"), col("r.id").as("b"),
+        col("l.v").as("va"), col("r.v").as("vb"))
+      .dropDuplicates("a", "b")
+      .withColumn("cos", cosine(col("va"), col("vb")))
+      .filter(col("cos") >= threshold)
+      .select("a", "b", "cos")
+  }
+
+  /** IVF index: deterministic coarse centroids = the vectors whose ids hash
+    * lowest (a seeded sample — stable, single narrow pass), then one
+    * assignment pass. Returns (centroid_id, vec table with cell column).
+    */
+  def ivfAssign(embs: DataFrame, nCells: Int,
+                idCol: String = "vec_id", vecCol: String = "embedding"): (DataFrame, DataFrame) = {
+    val w = Window.orderBy(xxhash64(col(idCol)))
+    val centroids = embs
+      .withColumn("_r", row_number().over(w))
+      .filter(col("_r") <= nCells)
+      .select(col("_r").cast("int").as("cell"), col(vecCol).as("cv"))
+    val assigned = embs.join(broadcast(centroids))
+      .withColumn("cos", cosine(col(vecCol), col("cv")))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col(idCol)).orderBy(col("cos").desc, col("cell"))))
+      .filter(col("rk") === 1)
+      .select(embs.columns.map(col) :+ col("cell"): _*)
+    (centroids, assigned)
+  }
+
+  /** IVF top-k search: score queries against centroids (broadcast), keep the
+    * nProbe best cells per query, then search only vectors in those cells.
+    */
+  def ivfTopK(embs: DataFrame, queries: DataFrame, k: Int, nCells: Int, nProbe: Int,
+              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val (centroids, assigned) = ivfAssign(embs, nCells, idCol, vecCol)
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("_qv"))
+    val probe = q.join(broadcast(centroids))
+      .withColumn("ccos", cosine(col("_qv"), col("cv")))
+      .withColumn("crk", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("ccos").desc, col("cell"))))
+      .filter(col("crk") <= nProbe)
+      .select("query_id", "_qv", "cell")
+    val cand = assigned.select(col(idCol).as("item_id"), col(vecCol).as("_cv"), col("cell"))
+      .join(probe, "cell")
+      .filter(col("item_id") =!= col("query_id"))
+      .withColumn("cos", cosine(col("_cv"), col("_qv")))
+    cand.withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("item_id"))))
+      .filter(col("rank") <= k)
+      .select("query_id", "item_id", "rank", "cos")
+  }
+}

@@ -1,0 +1,92 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines, all
+  * built from codegen'd native functions (no UDFs): token counting,
+  * language-ID heuristics, quality scoring, document fingerprinting.
+  * Every op is a narrow projection — at 100 TB the scan reads only `text`
+  * (column pruning) and the ops run inside one WholeStageCodegen span with
+  * zero shuffles.
+  */
+object TextOps {
+
+  /** Whitespace token count. */
+  def tokenCountWs(text: Column): Column =
+    size(split(trim(text), "\\s+"))
+
+  /** BPE-ish subword count: runs of letters, runs of digits, or single
+    * non-space symbols — the standard pre-tokenizer shape.
+    */
+  def tokenCountBpe(text: Column): Column =
+    size(regexp_extract_all(lower(text), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0)))
+
+  /** Stopword-hit ratio for a given stopword list: fraction of whitespace
+    * tokens that are in the list.
+    */
+  def stopwordRatio(text: Column, stopwords: Seq[String]): Column = {
+    val toks = split(lower(trim(text)), "\\s+")
+    val hits = size(filter(toks, t => t.isin(stopwords.map(lit): _*)))
+    hits.cast("double") / greatest(size(toks), lit(1))
+  }
+
+  /** n-gram-heuristic language ID: scores each candidate language by its
+    * marker-token hit ratio and returns the argmax (ties → first). The
+    * marker lists are tiny and inlined into the plan as literals, so the
+    * whole classifier is a single codegen'd projection.
+    */
+  val langMarkers: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "a", "in", "is", "that"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "los", "del"),
+    "fr" -> Seq("le", "la", "de", "et", "les", "des", "un", "est"),
+    "de" -> Seq("der", "die", "und", "das", "ist", "von", "den", "ein")
+  )
+
+  def langIdScore(text: Column, lang: String): Column =
+    stopwordRatio(text, langMarkers(lang))
+
+  def langId(text: Column): Column = {
+    // build struct array (score, lang), take max — array_max on structs
+    // compares lexicographically (score first)
+    val scored = array(langMarkers.keys.toSeq.sorted.map(l =>
+      struct(langIdScore(text, l).as("score"), lit(l).as("lang"))): _*)
+    array_max(scored).getField("lang")
+  }
+
+  /** Composite quality score in [0,1]: length sweet-spot, alpha ratio,
+    * repetition penalty (distinct-token ratio), mean word length sanity.
+    */
+  def qualityScore(text: Column): Column = {
+    val toks = split(lower(trim(text)), "\\s+")
+    val n = greatest(size(toks), lit(1))
+    val lenScore = least(n.cast("double") / lit(64.0), lit(1.0))
+    val alphaRatio =
+      (length(regexp_replace(lower(text), "[^a-z]", "")).cast("double") /
+        greatest(length(text), lit(1)))
+    val distinctRatio = size(array_distinct(toks)).cast("double") / n
+    round((lenScore * 0.3 + alphaRatio * 0.35 + distinctRatio * 0.35), 6)
+  }
+
+  /** Deterministic document fingerprint: polynomial rolling hash over
+    * whitespace tokens (base 31, 63-bit), computed with the `aggregate`
+    * higher-order function — order-sensitive, shuffle-free, and
+    * reproducible across engines that share the token split.
+    */
+  def fingerprint(text: Column): Column =
+    aggregate(
+      split(trim(text), "\\s+"),
+      lit(0L),
+      // acc stays < 1e9 so acc*31 + h never overflows (ANSI mode safe)
+      (acc, t) => pmod(acc * lit(31L) + pmod(xxhash64(t), lit(1000000007L)), lit(1000000007L))
+    )
+
+  /** Convenience: annotate a documents frame with all text metrics. */
+  def annotate(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs
+      .withColumn("n_tokens_ws", tokenCountWs(col(textCol)))
+      .withColumn("n_tokens_bpe", tokenCountBpe(col(textCol)))
+      .withColumn("lang_pred", langId(col(textCol)))
+      .withColumn("quality", qualityScore(col(textCol)))
+      .withColumn("fingerprint", fingerprint(col(textCol)))
+}
