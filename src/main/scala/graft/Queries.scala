@@ -287,7 +287,7 @@ object Queries {
   def embedNearDupLsh(s: SparkSession, dir: String): DataFrame = {
     val embs = t(s, dir, "embeddings")
       .select(col("vec_id"), expr("transform(embedding, x -> cast(x as double))").as("embedding"))
-    Similarity.cosinePairsLsh(embs, 0.3, bits = 8)
+    Similarity.cosinePairsLsh(embs, 0.3, bits = 16, bandBits = 4)
   }
 
   // ---------- KG pipeline shapes over events-as-transcripts ----------

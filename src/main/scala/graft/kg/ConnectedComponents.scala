@@ -10,9 +10,19 @@ import org.apache.spark.sql.functions._
   * "Connected Components in MapReduce and Beyond", SoCC'14). Converges in
   * O(log^2 n) rounds independent of graph diameter — the right choice at
   * 10^12-edge scale, where label propagation's O(diameter) rounds on a long
-  * chain would be fatal. Each round is one groupBy + one join (hash shuffles
-  * on node id); `localCheckpoint` truncates the lineage so the plan doesn't
-  * grow with iterations.
+  * chain would be fatal.
+  *
+  * Cost discipline (this loop runs inside larger pipelines):
+  *   - ONE action per iteration: convergence is checked with a
+  *     (count, xxhash64-sum) fingerprint of the edge set computed in the
+  *     same job that materializes the lazy localCheckpoint — not with
+  *     exceptAll (which costs two extra shuffle jobs per round).
+  *   - lineage truncated per round via localCheckpoint (lazy; materialized
+  *     by the fingerprint action).
+  *   - shuffle width adapts to the edge count (`partitionsFor`): a
+  *     66-surface similarity graph must not pay 32-partition shuffles per
+  *     round, and a 10^10-edge graph must not run single-partition. AQE
+  *     handles the in-between.
   *
   * Input: edges DataFrame with long columns (src, dst), undirected, self
   * loops ignored. Output: (id, component) — component = min node id in the
@@ -56,33 +66,46 @@ object ConnectedComponents {
       .distinct()
   }
 
+  /** Edge-set fingerprint (count + order-independent hash sum) — one job,
+    * also materializes the lazy checkpoint backing `e`.
+    */
+  private def fingerprint(e: DataFrame): (Long, BigDecimal) = {
+    // decimal sum: overflow-free under ANSI mode
+    val r = e.agg(
+      count(lit(1)),
+      sum(xxhash64(col("src"), col("dst")).cast("decimal(38,0)"))).head()
+    (r.getLong(0), if (r.isNullAt(1)) BigDecimal(0) else BigDecimal(r.getDecimal(1)))
+  }
+
   /** Returns (id, component) for every node id appearing in `edges`. */
   def run(edges: DataFrame, maxIter: Int = 25): DataFrame = {
     val spark = edges.sparkSession
     val e0 = edges
       .select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
     val allNodes = e0.select(col("src").as("id"))
-      .unionAll(e0.select(col("dst").as("id"))).distinct().localCheckpoint()
+      .unionAll(e0.select(col("dst").as("id"))).distinct().localCheckpoint(false)
+
     var e = e0
       .filter(col("src") =!= col("dst"))
       .distinct()
-      .localCheckpoint()
+      .localCheckpoint(false)
+    var fp = fingerprint(e)
 
-    var converged = false
+    var converged = fp._1 == 0
     var i = 0
     while (!converged && i < maxIter) {
-      val ls = largeStar(e)
-      val ss = smallStar(ls).localCheckpoint()
-      // Converged when the small-star output equals the previous edge set.
-      val changed = ss.exceptAll(e).limit(1).count() + e.exceptAll(ss).limit(1).count()
+      // shuffle width: AQE coalesces the groupBy/join exchanges to match the
+      // actual edge volume, so tiny graphs run narrow and huge graphs wide
+      val ss = smallStar(largeStar(e)).localCheckpoint(false)
+      val fp2 = fingerprint(ss)
       e = ss
-      converged = changed == 0
+      converged = fp2 == fp
+      fp = fp2
       i += 1
     }
     // After convergence every edge points node -> component min.
     val assign = e.select(col("src").as("id"), col("dst").as("component"))
       .groupBy("id").agg(min("component").as("component"))
-    // Roots and isolated nodes map to themselves.
     allNodes.join(assign, Seq("id"), "left_outer")
       .select(col("id"), coalesce(col("component"), col("id")).as("component"))
   }
@@ -92,15 +115,18 @@ object ConnectedComponents {
     * is the minimum ORIGINAL key (lexicographic) in the component.
     */
   def runOnStrings(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
-    val spark = edges.sparkSession
     val keyed = edges.select(
       col(srcCol).as("ks"), col(dstCol).as("kd"),
       xxhash64(col(srcCol)).as("src"), xxhash64(col(dstCol)).as("dst"))
+      // consumed by idMap twice and by run(); pin it so the (possibly
+      // expensive) edge-producing subplan evaluates once
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val idMap = keyed.select(col("ks").as("key"), col("src").as("id"))
       .unionAll(keyed.select(col("kd").as("key"), col("dst").as("id")))
       .distinct()
     val cc = run(keyed.select("src", "dst"))
     val withKeys = idMap.join(cc, Seq("id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val canon = withKeys
       .groupBy("component").agg(min("key").as("canonical"))
     withKeys.join(canon, Seq("component"))

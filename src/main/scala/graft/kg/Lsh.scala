@@ -54,6 +54,9 @@ object Lsh {
       posexplode(expr(
         s"transform(sequence(0, ${NumBands - 1}), b -> hash(slice(_sig, b * $RowsPerBand + 1, $RowsPerBand)))"))
         .as(Seq("band_idx", "band_key")))
+      // both sides of the self-join consume this; without persist the whole
+      // distinct+shingle+signature subplan runs twice (and more downstream)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val l = banded.alias("l")
     val r = banded.alias("r")
     val cand = l.join(r,

@@ -100,7 +100,11 @@ object Pipeline {
     * benchmarks where snapshot/resume isn't the point.
     */
   def triplesInMemory(turns: DataFrame): DataFrame = {
+    // triplesRaw fans out to three consumers (surface mining, canonical-map
+    // build, final join) — persist it or the full extraction runs 3×. This
+    // mirrors what Pipeline.run gets from its stage materialization.
     val triplesRaw = Extract.triplesRaw(turns)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val surfaces = Extract.surfaces(triplesRaw)
     val pairs = Lsh.candidatePairs(surfaces.select("norm").distinct(), JaccardThreshold)
     val clustered = ConnectedComponents.runOnStrings(pairs, "a", "b")

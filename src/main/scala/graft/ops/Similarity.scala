@@ -66,18 +66,23 @@ object Similarity {
       when(proj > 0, shiftleft(lit(1L), b)).otherwise(lit(0L))
     }.reduce((a: Column, b: Column) => a.bitwiseOR(b))
 
-  /** Near-neighbor pairs with cosine >= threshold, candidates from sign-LSH
-    * buckets (pairs agreeing on all `bits` signs land in one bucket; with a
-    * second rotated table for recall). Exact-cosine verified.
+  /** Near-neighbor pairs with cosine >= threshold, candidates from multi-
+    * table sign-LSH (bands of `bandBits` hyperplane-sign bits; a pair is a
+    * candidate if ANY band matches — standard L-table LSH). Exact-cosine
+    * verified, so precision is exact and only recall is probabilistic:
+    * P(miss) = (1 - (1 - θ/π)^bandBits)^numBands.
     */
-  def cosinePairsLsh(embs: DataFrame, threshold: Double, bits: Int = 16,
-                     idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+  def cosinePairsLsh(embs: DataFrame, threshold: Double, bits: Int = 32,
+                     idCol: String = "vec_id", vecCol: String = "embedding",
+                     bandBits: Int = 8): DataFrame = {
+    val numBands = bits / bandBits
     val sig = embs.select(col(idCol).as("id"), col(vecCol).as("v"))
       .withColumn("sig", signLsh(col("v"), bits))
-    // two tables: full signature + low-half signature (coarser, higher recall)
+    val bands = (0 until numBands).map(b =>
+      shiftrightunsigned(col("sig"), b * bandBits)
+        .bitwiseAND(lit((1L << bandBits) - 1)))
     val banded = sig.select(col("id"), col("v"),
-      posexplode(array(col("sig"),
-        col("sig").bitwiseAND(lit((1L << (bits / 2)) - 1)))).as(Seq("tbl", "bkt")))
+      posexplode(array(bands: _*)).as(Seq("tbl", "bkt")))
     val l = banded.alias("l"); val r = banded.alias("r")
     l.join(r, col("l.tbl") === col("r.tbl") && col("l.bkt") === col("r.bkt") &&
         col("l.id") < col("r.id"))

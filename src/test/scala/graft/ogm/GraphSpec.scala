@@ -1,0 +1,98 @@
+package graft.ogm
+
+import graft.SparkSpec
+import graft.bulk.RelSetOps
+import graft.schema._
+import org.apache.spark.sql.functions._
+
+/** OGM read-path contracts (reference: test/ogm/test_model.py). */
+class GraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  // Person(name, age, city) + KNOWS edges, mirroring the reference fixtures
+  def people = Seq(
+    ("alice", 30, "ny"), ("bob", 40, "sf"), ("carol", 25, "ny"), ("dave", 35, "la")
+  ).toDF("name", "age", "city")
+    .withColumn("labels", array(lit("Person")))
+
+  def graph: Graph = {
+    val spec = RelSpec("KNOWS", Seq("Person"), Seq("Person"),
+      Seq(EqKey("name")), Seq(EqKey("name")))
+    val staged = Seq(
+      ("alice", "bob", 90), ("alice", "carol", 50), ("bob", "dave", 70)
+    ).toDF("start_name", "end_name", "score")
+    Graph(people, RelSetOps.merge(None, staged, people, spec))
+  }
+
+  test("filter-op matrix on node scan (test_model.py:781-1257)") {
+    val g = graph
+    assert(g.matchNodes(Seq("Person"), FieldFilter("age", FilterOp.Gt, 30)).count() == 2)
+    assert(g.matchNodes(Seq("Person"), FieldFilter("age", FilterOp.Ge, 30)).count() == 3)
+    assert(g.matchNodes(Seq("Person"), FieldFilter("age", FilterOp.Ne, 30)).count() == 3)
+    assert(g.matchNodes(Seq("Person"), FieldFilter("name", FilterOp.StartsWith, "a")).count() == 1)
+    assert(g.matchNodes(Seq("Person"), FieldFilter("name", FilterOp.EndsWith, "e")).count() == 2)
+    assert(g.matchNodes(Seq("Person"), FieldFilter("name", FilterOp.Contains, "aro")).count() == 1)
+    assert(g.matchNodes(Seq("Person"),
+      FieldFilter("city", FilterOp.Eq, "ny"), FieldFilter("age", FilterOp.Lt, 28)).count() == 1)
+  }
+
+  test("firstNode returns at most one row (LIMIT 1, model.py:437-438)") {
+    assert(graph.firstNode(Seq("Person")).count() == 1)
+  }
+
+  test("1-hop traversal with source anchor + rel filter (test_model.py:583-665)") {
+    val g = graph
+    val out = g.traverse(
+      Seq("Person"), Seq("name"), "KNOWS", Seq("Person"), Seq("name"),
+      srcFilters = Seq(FieldFilter("name", FilterOp.Eq, "alice")),
+      relFilters = Seq(FieldFilter("score", FilterOp.Gt, 60)))
+    assert(out.select("name").as[String].collect().toSeq == Seq("bob"))
+  }
+
+  test("reverse traversal returns sources anchored on target (test_model.py:1670-1829)") {
+    val g = graph
+    val out = g.traverse(
+      Seq("Person"), Seq("name"), "KNOWS", Seq("Person"), Seq("name"),
+      dstFilters = Seq(FieldFilter("name", FilterOp.Eq, "dave")),
+      reverse = true)
+    assert(out.select("name").as[String].collect().toSeq == Seq("bob"))
+  }
+
+  test("traversal RETURN DISTINCT collapses multi-path targets (model.py:518)") {
+    val spec = RelSpec("KNOWS", Seq("Person"), Seq("Person"),
+      Seq(EqKey("name")), Seq(EqKey("name")))
+    // two parallel edges alice→bob of different type would be distinct ids;
+    // same type merges — so build two sources pointing at bob instead
+    val staged = Seq(("alice", "bob", 1), ("carol", "bob", 2)).toDF("start_name", "end_name", "w")
+    val g = Graph(people, RelSetOps.merge(None, staged, people, spec))
+    val out = g.traverse(Seq("Person"), Seq("name"), "KNOWS", Seq("Person"), Seq("name"))
+    assert(out.count() == 1) // bob once, despite two in-edges
+  }
+
+  test("detach delete removes nodes and their edges (test_model.py:233-249)") {
+    val g = graph
+    val g2 = g.detachDeleteNodes(Seq("Person"), Seq("name"),
+      FieldFilter("name", FilterOp.Eq, "bob"))
+    assert(g2.nodes.count() == 3)
+    // alice→bob and bob→dave must both be gone
+    assert(g2.edges.count() == 1)
+  }
+
+  test("targeted edge delete (test_model.py:461-581)") {
+    val g = graph
+    val g2 = g.deleteEdges("KNOWS",
+      Seq(FieldFilter("name", FilterOp.Eq, "alice")),
+      Seq(FieldFilter("name", FilterOp.Eq, "carol")), Seq("name"))
+    assert(g2.edges.count() == 2)
+    assert(g2.nodes.count() == 4) // nodes untouched
+  }
+
+  test("raw SQL escape hatch enforces node-shaped result (model.py:543-546)") {
+    val g = graph
+    val out = g.rawQuery("SELECT name, age FROM nodes WHERE age > 30 ORDER BY name", Seq("name"))
+    assert(out.select("name").as[String].collect().toSeq == Seq("bob", "dave"))
+    intercept[IllegalArgumentException] {
+      g.rawQuery("SELECT age FROM nodes", Seq("name"))
+    }
+  }
+}

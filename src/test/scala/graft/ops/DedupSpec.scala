@@ -1,0 +1,66 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog", "en"),
+    (2L, "the quick brown fox jumps over the lazy dog", "en"),  // exact dup of 1
+    (3L, "the quick brown fox jumps over the lazy cat", "en"),  // near dup of 1
+    (4L, "completely different text about spark pipelines and shuffles", "en"),
+    (5L, "otro texto totalmente distinto sobre datos", "es"),
+    (6L, "the quick brown fox jumps over the lazy dog", "es")   // exact dup, other block
+  ).toDF("doc_id", "text", "lang")
+
+  test("exact dedup keeps min id per identical text") {
+    val out = Dedup.exact(docs).select("doc_id").as[Long].collect().sorted
+    assert(out.toSeq == Seq(1L, 3L, 4L, 5L))
+  }
+
+  test("exact dup pairs") {
+    val pairs = Dedup.exactDupPairs(docs).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L), (1L, 6L), (2L, 6L)))
+  }
+
+  test("minhash LSH finds exact and near dups, not unrelated docs") {
+    val pairs = Dedup.minhashLshPairs(docs, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(pairs.contains((1L, 6L)))
+    // near-dup 1~3: 3-gram shingle jaccard of 1-word-difference ~ 0.5-0.6
+    assert(pairs.contains((1L, 3L)))
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+    assert(!pairs.exists(p => p._1 == 5L || p._2 == 5L))
+  }
+
+  test("minhash dedup drops the whole duplicate component, keeps min id") {
+    val kept = Dedup.minhashLshDedup(docs, 0.5).select("doc_id").as[Long].collect().sorted
+    assert(kept.contains(1L) && kept.contains(4L) && kept.contains(5L))
+    assert(!kept.contains(2L) && !kept.contains(6L))
+  }
+
+  test("simhash: identical docs have distance 0; near dups small distance") {
+    val sigs = Dedup.simhash(docs).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sigs(1L) == sigs(2L))
+    assert(sigs(1L) == sigs(6L))
+    val hamming13 = java.lang.Long.bitCount(sigs(1L) ^ sigs(3L))
+    val hamming14 = java.lang.Long.bitCount(sigs(1L) ^ sigs(4L))
+    assert(hamming13 < hamming14)
+  }
+
+  test("simhash pair mining finds exact dups at hamming 0") {
+    val pairs = Dedup.simhashPairs(docs, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)) && pairs.contains((1L, 6L)))
+  }
+
+  test("ngram jaccard exact pairs within block") {
+    val pairs = Dedup.ngramJaccardPairs(docs, "lang", 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))     // same block exact dup
+    assert(!pairs.contains((1L, 6L)))    // exact dup but different block
+  }
+}
