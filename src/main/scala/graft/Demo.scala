@@ -9,6 +9,7 @@ import graft.kg._
   */
 object Demo {
   def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("--streaming")) { streamingDemo(); return }
     val n = if (args.nonEmpty) args(0).toLong else 5000L
     val spark = SparkSession.builder()
       .master("local[8]")
@@ -50,5 +51,42 @@ object Demo {
     println(s"[demo] committed stages: ${new graft.io.SnapshotLog(workDir).committedStages().toSeq.sorted.mkString(", ")}")
     spark.stop()
     if (pr.precision < 0.95 || pr.recall < 0.95) sys.exit(1)
+  }
+
+  /** Incremental (Structured Streaming) construction demo: transcripts
+    * arrive as three parquet files; per-micro-batch merges must converge to
+    * the same graph a single batch run produces.
+    */
+  def streamingDemo(): Unit = {
+    import graft.kg.Corpus
+    import graft.streaming.IncrementalPipeline
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .appName("graft-streaming-demo")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+    val n = 1200L
+    val inDir = java.nio.file.Files.createTempDirectory("graft-stream-in").toString
+    val ckDir = java.nio.file.Files.createTempDirectory("graft-stream-ck").toString
+    Seq((0L, 400L), (400L, 800L), (800L, 1200L)).foreach { case (lo, hi) =>
+      spark.range(lo, hi).map(id => Corpus.turnAt(id, n)).toDF()
+        .coalesce(1).write.mode("append").parquet(inDir)
+    }
+    val state = new IncrementalPipeline.GraphState(spark)
+    val q = IncrementalPipeline.start(spark, inDir, ckDir, state)
+    q.awaitTermination(180000)
+    val batchState = new IncrementalPipeline.GraphState(spark)
+    batchState.mergeBatch(IncrementalPipeline.extractBatch(
+      kg.TranscriptGen.turns(spark, n, 8).toDF()))
+    val sN = state.nodes.get.count(); val sE = state.edges.get.count()
+    val bN = batchState.nodes.get.count(); val bE = batchState.edges.get.count()
+    println(s"[demo-stream] streamed: $sN nodes, $sE edges; batch: $bN nodes, $bE edges")
+    println(s"[demo-stream] converged=${sN == bN && sE == bE}")
+    spark.stop()
+    if (sN != bN || sE != bE) sys.exit(1)
   }
 }

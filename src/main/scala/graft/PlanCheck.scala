@@ -1,0 +1,41 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Plan hygiene audit: prints the formatted physical plan for key queries
+  * and greps for the properties that matter at 100 TB — parquet filter
+  * pushdown (PushedFilters), column pruning (ReadSchema width), broadcast
+  * vs shuffle join selection, and WholeStageCodegen coverage.
+  *
+  * `sbt "runMain graft.PlanCheck [sfDir]"`
+  */
+object PlanCheck {
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"
+    val spark = Bench.session("8")
+
+    val interesting = Seq(
+      "q_filter_ops",      // pushdown of all predicate types
+      "q_traverse_1hop",   // 3-way join selection
+      "q_nodeset_merge",   // full-outer merge shape
+      "q_dedup_exact",     // window over hash
+      "q_kg_triples",      // agg pushdown/pruning
+      "q_ann_topk"         // broadcast NL join + window
+    )
+    for (name <- interesting) {
+      println(s"\n================ $name ================")
+      val df = SparkEntry.queries(name)(spark, sfDir)
+      val plan = df.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      println(plan)
+      val pushed = "PushedFilters: \\[[^\\]]*[A-Za-z][^\\]]*\\]".r.findAllIn(plan).toList
+      val schemas = "ReadSchema: [^\n]*".r.findAllIn(plan).toList
+      val joins = plan.linesIterator.filter(l =>
+        l.contains("Join") && l.contains("(")).map(_.trim.takeWhile(_ != '(')).toList
+      println(s"[plancheck] $name pushedFilters=${pushed.size} " +
+        s"joins=${joins.mkString(",")} readSchemas=${schemas.size}")
+      schemas.foreach(s => println(s"[plancheck]   $s"))
+    }
+    spark.stop()
+  }
+}

@@ -23,9 +23,26 @@ object ScalingBench {
     def job(spark: org.apache.spark.sql.SparkSession, n: Long, cpus: Int): Unit = {
       val turnsDf = kg.TranscriptGen.turns(spark, n, cpus * 2).toDF()
       val out = phase match {
-        case "gen"     => turnsDf
-        case "extract" => kg.Extract.triplesRaw(turnsDf)
-        case _         => kg.Pipeline.triplesInMemory(turnsDf)
+        case "gen"       => turnsDf
+        case "extract"   => kg.Extract.triplesRaw(turnsDf)
+        case "nopersist" => kg.Pipeline.triplesInMemory(turnsDf, persistRaw = false)
+        case "ckpt" =>
+          // variant: raw pinned via localCheckpoint (no columnar compression)
+          val raw = kg.Extract.triplesRaw(turnsDf).localCheckpoint(false)
+          val surfaces = kg.Extract.surfaces(raw)
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          val pairs = kg.Lsh.candidatePairs(surfaces.select("norm").distinct(), kg.Pipeline.JaccardThreshold)
+          val clustered = kg.ConnectedComponents.runOnStrings(pairs, "a", "b")
+          val cm = org.apache.spark.sql.functions.broadcast(
+            surfaces.join(clustered, surfaces("norm") === clustered("key"), "left_outer")
+              .select(org.apache.spark.sql.functions.col("surface"),
+                org.apache.spark.sql.functions.coalesce(
+                  org.apache.spark.sql.functions.col("canonical"),
+                  org.apache.spark.sql.functions.col("norm")).as("canonical")))
+          raw
+            .join(cm.withColumnRenamed("surface", "subj_surface").withColumnRenamed("canonical", "subj"), Seq("subj_surface"))
+            .join(cm.withColumnRenamed("surface", "obj_surface").withColumnRenamed("canonical", "obj"), Seq("obj_surface"))
+        case _           => kg.Pipeline.triplesInMemory(turnsDf)
       }
       out.write.format("noop").mode("overwrite").save()
     }

@@ -154,7 +154,12 @@ object NodeSetOps {
     }
 
     target match {
-      case None => asInsert(batch0)
+      case None =>
+        // same column order as the merged path: keys, sorted props, labels
+        val ins = asInsert(batch0)
+        val props = ins.columns.filterNot(c =>
+          spec.mergeKeys.contains(c) || c == LabelsCol).sorted
+        ins.select((spec.mergeKeys ++ props :+ LabelsCol).map(col): _*)
       case Some(t0) =>
         val batch = asInsert(batch0)
         val t = if (hasCol(t0, LabelsCol)) t0

@@ -193,7 +193,11 @@ object RelSetOps {
         }
       }
     target match {
-      case None => asInsert(batch0)
+      case None =>
+        val ins = asInsert(batch0)
+        val keys = Seq(SrcId, DstId, RelType)
+        val props = ins.columns.filterNot(keys.contains).sorted
+        ins.select((keys ++ props).map(col): _*)
       case Some(t0) =>
         val batch = asInsert(batch0)
         val tCols = t0.columns.toSet

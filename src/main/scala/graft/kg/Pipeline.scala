@@ -99,13 +99,21 @@ object Pipeline {
   /** The same dataflow without stage materialization — for smoke tests and
     * benchmarks where snapshot/resume isn't the point.
     */
-  def triplesInMemory(turns: DataFrame): DataFrame = {
-    // triplesRaw fans out to three consumers (surface mining, canonical-map
-    // build, final join) — persist it or the full extraction runs 3×. This
-    // mirrors what Pipeline.run gets from its stage materialization.
-    val triplesRaw = Extract.triplesRaw(turns)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  def triplesInMemory(turns: DataFrame, persistRaw: Boolean = true): DataFrame = {
+    // triplesRaw fans out to two scans (surface mining, final join) — persist
+    // it or the full extraction runs per consumer. This mirrors what
+    // Pipeline.run gets from its stage materialization. persistRaw=false
+    // trades the (memory-bandwidth-bound) cache scan for a second
+    // (compute-bound, better-scaling) extraction pass.
+    val raw0 = Extract.triplesRaw(turns)
+    val triplesRaw =
+      if (persistRaw) raw0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else raw0
+    // surfaces is tiny (distinct mention strings); pinning it means the two
+    // downstream consumers (LSH blocking, canonical-map build) do NOT each
+    // re-scan the full triple set
     val surfaces = Extract.surfaces(triplesRaw)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val pairs = Lsh.candidatePairs(surfaces.select("norm").distinct(), JaccardThreshold)
     val clustered = ConnectedComponents.runOnStrings(pairs, "a", "b")
     val canonicalMap = surfaces
