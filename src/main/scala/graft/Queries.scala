@@ -121,6 +121,34 @@ object Queries {
     s.createDataset(xs).toDF(name)
   }
 
+  /** A1 — ingest with default-prop overlay: row value wins, null filled. */
+  def ingestDefaults(s: SparkSession, dir: String): DataFrame = {
+    val spec = NodeSpec(Seq("Event"), Seq("event_id"),
+      defaultProps = Map("et" -> "unknown"))
+    val rows = t(s, dir, "events").select(col("event_id"),
+      nullif(col("event_type"), lit("error")).as("et"))
+    NodeSetOps.ingest(rows, spec)
+      .select("event_id", "et")
+  }
+
+  /** A4 — staged-edge uniqueness filter: duplicates collapse pre-resolution. */
+  def uniqueEdges(s: SparkSession, dir: String): DataFrame = {
+    val spec = RelSpec("DUP", Seq("Customer"), Seq("Customer"),
+      Seq(EqKey("key")), Seq(EqKey("key")), unique = true)
+    val staged = t(s, dir, "orders").select(
+      col("o_custkey").as("start_key"), col("o_custkey").as("end_key"),
+      col("o_orderstatus").as("status"))
+    val doubled = staged.unionAll(staged)
+    RelSetOps.uniqueEdges(doubled, spec)
+      .groupBy("status").agg(count(lit(1)).as("n")).orderBy("status")
+  }
+
+  /** A6 — property-key union across heterogeneous rows (JSON props). */
+  def propKeyUnion(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .select(explode(json_object_keys(col("props"))).as("key"))
+      .distinct().orderBy("key")
+
   // ---------- OGM read path over a customer/orders graph ----------
 
   private def custOrderGraph(s: SparkSession, dir: String): Graph = {

@@ -15,7 +15,10 @@ object SparkEntry {
     kg.Pipeline.triplesInMemory(kg.TranscriptGen.turns(spark, 600L, 8).toDF())
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // graphio bulk semantics (SURVEY §2 A1-A4, B1-B4)
+    // graphio bulk semantics (SURVEY §2 A1-A6, B1-B4)
+    "q_ingest_defaults"      -> (Queries.ingestDefaults _),
+    "q_unique_edges"         -> (Queries.uniqueEdges _),
+    "q_prop_key_union"       -> (Queries.propKeyUnion _),
     "q_nodeset_create"       -> (Queries.nodesetCreate _),
     "q_nodeset_dedup"        -> (Queries.nodesetDedup _),
     "q_nodeset_merge"        -> (Queries.nodesetMerge _),
@@ -53,6 +56,18 @@ object SparkEntry {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "q_ingest_defaults" ->
+      """SELECT event_id, COALESCE(NULLIF(event_type, 'error'), 'unknown') AS et
+        |FROM events""".stripMargin,
+
+    "q_unique_edges" ->
+      """SELECT status, count(*) AS n FROM (
+        |  SELECT DISTINCT o_custkey, o_orderstatus AS status FROM orders)
+        |GROUP BY status ORDER BY status""".stripMargin,
+
+    "q_prop_key_union" ->
+      """SELECT DISTINCT unnest(json_keys(props)) AS key FROM events ORDER BY key""".stripMargin,
+
     "q_nodeset_create" ->
       """SELECT c_custkey AS uuid, c_name AS key FROM customer
         |UNION ALL SELECT c_custkey AS uuid, c_name AS key FROM customer""".stripMargin,
