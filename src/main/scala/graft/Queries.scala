@@ -66,6 +66,31 @@ object Queries {
         array_join(transform(col("cnt"), x => x.cast("string")), ",").as("cnt_list"))
   }
 
+  /** B2-labels — additional labels accumulate across merges of different
+    * specs onto the same keys (SET n:Extra → array_union).
+    */
+  def labelsAccum(s: SparkSession, dir: String): DataFrame = {
+    val specA = NodeSpec(Seq("Customer"), Seq("uuid"), additionalLabels = Seq("Gold"))
+    val specB = NodeSpec(Seq("Customer"), Seq("uuid"), additionalLabels = Seq("Active"))
+    val rows = t(s, dir, "customer").select(col("c_custkey").as("uuid"))
+    val m = NodeSetOps.merge(Some(NodeSetOps.merge(None, rows, specA)), rows, specB)
+    m.select(col("uuid"), array_join(array_sort(col("labels")), ",").as("labels_str"))
+  }
+
+  /** B2-compound — merge on a compound key: only full-key matches update. */
+  def multikeyMerge(s: SparkSession, dir: String): DataFrame = {
+    val spec = NodeSpec(Seq("Line"), Seq("l_orderkey", "l_linenumber"))
+    val li = t(s, dir, "lineitem")
+    val b1 = li.groupBy("l_orderkey", "l_linenumber")
+      .agg(sum(col("l_quantity")).as("qty"), lit("b1").as("src"))
+    val b2 = li.filter(col("l_returnflag") === "R")
+      .groupBy("l_orderkey", "l_linenumber")
+      .agg(sum(col("l_quantity") * 2).as("qty"), lit("b2").as("src"))
+    NodeSetOps.merge(Some(NodeSetOps.merge(None, b1, spec)), b2, spec)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        round(col("qty"), 2).as("qty"), col("src"))
+  }
+
   /** B3 — endpoint resolution joins; dangling refs silently dropped. */
   def relsetResolve(s: SparkSession, dir: String): DataFrame = {
     val cust = t(s, dir, "customer")
@@ -358,6 +383,16 @@ object Queries {
         array_join(array_sort(array_distinct(flatten(collect_list(col("et"))))), ",").as("event_types"),
         min(col("mn")).as("first_ts"), max(col("mx")).as("last_ts"))
   }
+
+  /** Tumbling-window aggregation (the batch face of the streaming
+    * turn-rate monitor — same expression runs under readStream with a
+    * watermark in streaming.IncrementalPipeline.turnRates).
+    */
+  def windowAgg(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy(window(col("ts"), "5 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("win_start"), col("event_type"), col("n"))
 
   /** Multimodal plumbing (stubbed decode kernel) — rows-only smoke. */
   def multimodal(s: SparkSession, dir: String): DataFrame = {

@@ -22,6 +22,8 @@ object SparkEntry {
     "q_nodeset_create"       -> (Queries.nodesetCreate _),
     "q_nodeset_dedup"        -> (Queries.nodesetDedup _),
     "q_nodeset_merge"        -> (Queries.nodesetMerge _),
+    "q_labels_accum"         -> (Queries.labelsAccum _),
+    "q_multikey_merge"       -> (Queries.multikeyMerge _),
     "q_nodeset_merge_append" -> (Queries.nodesetMergeAppend _),
     "q_relset_resolve"       -> (Queries.relsetResolve _),
     "q_relset_merge_idem"    -> (Queries.relsetMergeIdem _),
@@ -51,6 +53,7 @@ object SparkEntry {
     "q_kg_entities"          -> (Queries.kgEntities _),
     "q_cc_events"            -> (Queries.ccEvents _),
     "q_conv_stats"           -> (Queries.convStats _),
+    "q_window_agg"           -> (Queries.windowAgg _),
     // multimodal plumbing (stub kernel)
     "q_multimodal"           -> (Queries.multimodal _)
   )
@@ -87,6 +90,21 @@ object SparkEntry {
         |       COALESCE(f.cnt, o.cnt) AS cnt,
         |       COALESCE(f.last_status, o.last_status) AS last_status
         |FROM o FULL OUTER JOIN f ON o.uuid = f.uuid""".stripMargin,
+
+    "q_labels_accum" ->
+      """SELECT c_custkey AS uuid, 'Active,Customer,Gold' AS labels_str FROM customer""",
+
+    "q_multikey_merge" ->
+      """WITH b1 AS (SELECT l_orderkey, l_linenumber, sum(l_quantity) AS qty, 'b1' AS src
+        |            FROM lineitem GROUP BY 1, 2),
+        |     b2 AS (SELECT l_orderkey, l_linenumber, sum(l_quantity * 2) AS qty, 'b2' AS src
+        |            FROM lineitem WHERE l_returnflag = 'R' GROUP BY 1, 2)
+        |SELECT COALESCE(b2.l_orderkey, b1.l_orderkey) AS l_orderkey,
+        |       COALESCE(b2.l_linenumber, b1.l_linenumber) AS l_linenumber,
+        |       ROUND(COALESCE(b2.qty, b1.qty), 2) AS qty,
+        |       COALESCE(b2.src, b1.src) AS src
+        |FROM b1 FULL OUTER JOIN b2
+        |  ON b1.l_orderkey = b2.l_orderkey AND b1.l_linenumber = b2.l_linenumber""".stripMargin,
 
     "q_nodeset_merge_append" ->
       """WITH o AS (SELECT o_custkey AS uuid, count(*) AS cnt
@@ -263,6 +281,11 @@ object SparkEntry {
         |  UNION
         |  SELECT r.n, u.b FROM reach r JOIN und u ON r.m = u.a)
         |SELECT n AS node, min(m) AS component FROM reach GROUP BY n""".stripMargin,
+
+    "q_window_agg" ->
+      """SELECT time_bucket(INTERVAL '5 minutes', ts) AS win_start,
+        |       event_type, count(*) AS n
+        |FROM events GROUP BY 1, 2""".stripMargin,
 
     "q_conv_stats" ->
       """SELECT user_id, count(*) AS n_events,

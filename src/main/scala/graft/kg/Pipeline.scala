@@ -68,14 +68,16 @@ object Pipeline {
     // a merged RelationshipSet (edge identity = (src,dst,type), mention
     // provenance accumulated via append_props).
     val entitySpec = NodeSpec(labels = Seq("Entity"), mergeKeys = Seq("name"))
-    val nodes = stages.stage("nodes") {
+    val nodes = stages.stage(graft.schema.GraphSchema.nodeTableName(entitySpec)) {
       val entityRows = triples.select(col("subj").as("name"))
         .unionAll(triples.select(col("obj").as("name")))
         .groupBy("name").agg(count(lit(1)).as("mention_count"))
       NodeSetOps.merge(None, entityRows, entitySpec)
     }
 
-    val edges = stages.stage("edges") {
+    val relSpec = RelSpec("REL", Seq("Entity"), Seq("Entity"),
+      Seq(EqKey("name")), Seq(EqKey("name")))
+    val edges = stages.stage(graft.schema.GraphSchema.relTableName(relSpec)) {
       val triplesAgg = triples
         .groupBy("subj", "pred", "obj")
         .agg(count(lit(1)).as("support"),
@@ -86,9 +88,7 @@ object Pipeline {
       // One logical RelationshipSet per predicate type would mirror the
       // reference 1:1; at scale we keep one edge table with rel_type as a
       // per-row column and resolve endpoints once.
-      val spec = RelSpec("REL", Seq("Entity"), Seq("Entity"),
-        Seq(EqKey("name")), Seq(EqKey("name")))
-      RelSetOps.merge(None, relRows, nodes, spec, relTypeCol = Some("pred"))
+      RelSetOps.merge(None, relRows, nodes, relSpec, relTypeCol = Some("pred"))
     }
 
     val convStats = stages.stage("conv_stats")(convStatsSalted(turnsDf))

@@ -32,9 +32,15 @@ final class GraphSchema(val defaultNamespace: String = "default") {
     * registry default, like the reference's `database=` parameter.
     */
   def nodeTablePath(root: String, spec: NodeSpec, namespace: Option[String] = None): String =
-    s"$root/${namespace.getOrElse(defaultNamespace)}/nodeset_${spec.allLabels.mkString("_")}_${spec.mergeKeys.mkString("_")}"
+    s"$root/${namespace.getOrElse(defaultNamespace)}/${GraphSchema.nodeTableName(spec)}"
 
   def relTablePath(root: String, spec: RelSpec, namespace: Option[String] = None): String =
-    s"$root/${namespace.getOrElse(defaultNamespace)}/relationshipset_${spec.relType}_" +
-      s"${spec.startNodeLabels.mkString("_")}_${spec.endNodeLabels.mkString("_")}"
+    s"$root/${namespace.getOrElse(defaultNamespace)}/${GraphSchema.relTableName(spec)}"
+}
+
+object GraphSchema {
+  def nodeTableName(spec: NodeSpec): String =
+    s"nodeset_${spec.allLabels.mkString("_")}_${spec.mergeKeys.mkString("_")}"
+  def relTableName(spec: RelSpec): String =
+    s"relationshipset_${spec.relType}_${spec.startNodeLabels.mkString("_")}_${spec.endNodeLabels.mkString("_")}"
 }
