@@ -1,0 +1,89 @@
+package graft.kg
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import scala.collection.mutable
+
+/** Surface → canonical-name map construction, size-adaptive:
+  *
+  *   - SMALL distinct-surface sets (<= smallThreshold) are collected and
+  *     solved in the driver: exact all-pairs Jaccard + union-find. This is
+  *     the same adaptive move Spark itself makes when it collects a small
+  *     join side to broadcast — a 66-surface similarity graph must not pay
+  *     ~15 driver-serial seconds of LSH-band jobs and CC iterations.
+  *   - LARGE sets run the distributed path: MinHash-LSH band blocking
+  *     (Lsh.candidatePairs) + large-star/small-star connected components.
+  *
+  * Both paths produce identical canonical maps at the same threshold (the
+  * small path is exact; the LSH path's miss probability is ~1% per
+  * qualifying pair at jaccard 0.5, 16 bands × 2 rows) — equivalence is
+  * asserted in PipelineSpec by running both.
+  *
+  * NOTE: intentionally implemented independently from
+  * [[SequentialOracle.canonicalMap]] (different code, same spec) so the
+  * oracle stays a meaningful check even when the small path is taken.
+  */
+object Canonicalize {
+  // all-pairs in the driver is O(n²): 2000 norms ≈ 2M pair checks ≈ <1s;
+  // beyond that the distributed LSH path wins
+  val DefaultSmallThreshold = 2000L
+
+  /** Distributed path: LSH blocking → CC → (norm, canonical). */
+  def distributedMap(distinctNorms: DataFrame, jaccardThreshold: Double): DataFrame = {
+    val pairs = Lsh.candidatePairs(distinctNorms, jaccardThreshold)
+    ConnectedComponents.runOnStrings(pairs, "a", "b")
+      .withColumnRenamed("key", "norm")
+  }
+
+  /** Driver-local path: exact all-pairs + union-find (path halving). */
+  def localMap(norms: Array[String], jaccardThreshold: Double): Seq[(String, String)] = {
+    val n = norms.length
+    val grams: Array[Set[String]] = norms.map(s =>
+      if (s.length < 3) Set(s) else s.sliding(3).toSet)
+    val parent = Array.tabulate(n)(identity)
+    def find(x0: Int): Int = {
+      var x = x0
+      while (parent(x) != x) { parent(x) = parent(parent(x)); x = parent(x) }
+      x
+    }
+    def union(a: Int, b: Int): Unit = {
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) { if (norms(ra) <= norms(rb)) parent(rb) = ra else parent(ra) = rb }
+    }
+    var i = 0
+    while (i < n) {
+      var j = i + 1
+      while (j < n) {
+        val inter = grams(i).intersect(grams(j)).size
+        val uni = grams(i).size + grams(j).size - inter
+        if (uni > 0 && inter.toDouble / uni >= jaccardThreshold) union(i, j)
+        j += 1
+      }
+      i += 1
+    }
+    // root selection above is by union order; normalize to lexicographic min
+    val rootMin = mutable.Map.empty[Int, String]
+    for (k <- 0 until n) {
+      val r = find(k)
+      rootMin.updateWith(r) {
+        case Some(m) => Some(if (norms(k) < m) norms(k) else m)
+        case None    => Some(norms(k))
+      }
+    }
+    (0 until n).map(k => norms(k) -> rootMin(find(k)))
+  }
+
+  /** Size-adaptive canonical map over a DataFrame with distinct `norm`. */
+  def canonicalMap(distinctNorms: DataFrame, jaccardThreshold: Double,
+                   smallThreshold: Long = DefaultSmallThreshold): DataFrame = {
+    val spark = distinctNorms.sparkSession
+    import spark.implicits._
+    val cnt = distinctNorms.count()
+    if (cnt <= smallThreshold) {
+      val norms = distinctNorms.as[String].collect()
+      spark.createDataset(localMap(norms, jaccardThreshold)).toDF("norm", "canonical")
+    } else {
+      distributedMap(distinctNorms, jaccardThreshold)
+    }
+  }
+}

@@ -43,13 +43,14 @@ object Pipeline {
 
     val surfaces = stages.stage("surfaces")(Extract.surfaces(triplesRaw))
 
-    val pairs = stages.stage("cand_pairs")(
-      Lsh.candidatePairs(surfaces.select("norm").distinct(), JaccardThreshold))
-
     val canonicalMap = stages.stage("canonical_map") {
-      // surfaces with no similar partner canonicalize to themselves
-      val clustered = ConnectedComponents.runOnStrings(pairs, "a", "b")
-      surfaces.join(clustered, surfaces("norm") === clustered("key"), "left_outer")
+      // size-adaptive: driver-local exact solve for small surface sets,
+      // LSH blocking + connected components above the gate; surfaces with
+      // no similar partner canonicalize to themselves
+      val clustered = Canonicalize.canonicalMap(
+        surfaces.select("norm").distinct(), JaccardThreshold)
+        .withColumnRenamed("norm", "cnorm")
+      surfaces.join(clustered, surfaces("norm") === clustered("cnorm"), "left_outer")
         .select(col("surface"), coalesce(col("canonical"), col("norm")).as("canonical"))
     }
 
@@ -99,7 +100,8 @@ object Pipeline {
   /** The same dataflow without stage materialization — for smoke tests and
     * benchmarks where snapshot/resume isn't the point.
     */
-  def triplesInMemory(turns: DataFrame, persistRaw: Boolean = true): DataFrame = {
+  def triplesInMemory(turns: DataFrame, persistRaw: Boolean = true,
+                      smallThreshold: Long = Canonicalize.DefaultSmallThreshold): DataFrame = {
     // triplesRaw fans out to two scans (surface mining, final join) — persist
     // it or the full extraction runs per consumer. This mirrors what
     // Pipeline.run gets from its stage materialization. persistRaw=false
@@ -114,10 +116,11 @@ object Pipeline {
     // re-scan the full triple set
     val surfaces = Extract.surfaces(triplesRaw)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val pairs = Lsh.candidatePairs(surfaces.select("norm").distinct(), JaccardThreshold)
-    val clustered = ConnectedComponents.runOnStrings(pairs, "a", "b")
+    val clustered = Canonicalize.canonicalMap(
+      surfaces.select("norm").distinct(), JaccardThreshold, smallThreshold)
+      .withColumnRenamed("norm", "cnorm")
     val canonicalMap = surfaces
-      .join(clustered, surfaces("norm") === clustered("key"), "left_outer")
+      .join(clustered, surfaces("norm") === clustered("cnorm"), "left_outer")
       .select(col("surface"), coalesce(col("canonical"), col("norm")).as("canonical"))
     val cm = broadcast(canonicalMap)
     triplesRaw

@@ -46,6 +46,20 @@ class PipelineSpec extends SparkSpec {
     assert(pr.precision >= 0.95 && pr.recall >= 0.95)
   }
 
+  test("distributed (LSH+CC) and driver-local canonicalization agree, both at P/R 1.0") {
+    val turns = TranscriptGen.turns(spark, 1500L, 8).toDF()
+    def tripleSet(smallThreshold: Long) =
+      Pipeline.triplesInMemory(turns, smallThreshold = smallThreshold)
+        .select("subj", "pred", "obj").distinct()
+        .collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    val local = tripleSet(Long.MaxValue) // force driver-local path
+    val dist = tripleSet(0L)             // force LSH + connected components
+    assert(local == dist)
+    val truth = SequentialOracle.triplesForCorpus(1500L)
+    val prL = SequentialOracle.prScore(local, truth)
+    assert(prL.precision >= 0.95 && prL.recall >= 0.95)
+  }
+
   test("node table: one row per canonical entity, labels stamped") {
     val names = result.nodes.select("name").collect().map(_.getString(0))
     assert(names.distinct.length == names.length)
