@@ -185,13 +185,37 @@ object Queries {
       (col("o_orderkey") + lit(10000000L)).as("key"), lit(null).cast("string").as("seg"),
       col("o_totalprice").as("price"), col("o_orderstatus").as("status"))
       .withColumn("labels", array(lit("Order")))
-    val nodes = cust.unionByName(ords)
-    val spec = RelSpec("PLACED", Seq("Customer"), Seq("Order"),
+    val nats = t(s, dir, "nation").select(
+      (col("n_nationkey") + lit(20000000L)).as("key"), col("n_name").as("seg"),
+      lit(null).cast("double").as("price"), lit(null).cast("string").as("status"))
+      .withColumn("labels", array(lit("Nation")))
+    val nodes = cust.unionByName(ords).unionByName(nats)
+    val placedSpec = RelSpec("PLACED", Seq("Customer"), Seq("Order"),
       Seq(EqKey("key")), Seq(EqKey("key")))
-    val staged = t(s, dir, "orders").select(
+    val placed = t(s, dir, "orders").select(
       col("o_custkey").as("start_key"), (col("o_orderkey") + lit(10000000L)).as("end_key"))
-    val edges = RelSetOps.merge(None, staged, nodes, spec)
+    val locatedSpec = RelSpec("LOCATED", Seq("Customer"), Seq("Nation"),
+      Seq(EqKey("key")), Seq(EqKey("key")))
+    val located = t(s, dir, "customer").select(
+      col("c_custkey").as("start_key"), (col("c_nationkey") + lit(20000000L)).as("end_key"))
+    val edges = RelSetOps.merge(None, placed, nodes, placedSpec)
+      .unionByName(RelSetOps.merge(None, located, nodes, locatedSpec))
     Graph(nodes, edges)
+  }
+
+  /** Multi-hop traversal (extension): nation ←LOCATED– customers –PLACED→
+    * orders — all orders placed by customers of one nation, in one chain of
+    * hash joins.
+    */
+  def traverse2hop(s: SparkSession, dir: String): DataFrame = {
+    val g = custOrderGraph(s, dir)
+    val nation0 = t(s, dir, "nation").select(col("n_name")).orderBy("n_name").limit(1)
+      .collect()(0).getString(0)
+    g.traverseChain(
+        Seq("Nation"), Seq("key"),
+        hops = Seq(("LOCATED", true, Nil), ("PLACED", false, Nil)),
+        anchorFilters = Seq(FieldFilter("seg", FilterOp.Eq, nation0)))
+      .select((col("key") - lit(10000000L)).as("o_orderkey"), col("status"))
   }
 
   /** B5/B6 — node scan with the full predicate matrix. */

@@ -32,6 +32,7 @@ object SparkEntry {
     "q_filter_ops"           -> (Queries.filterOps _),
     "q_traverse_1hop"        -> (Queries.traverse1hop _),
     "q_traverse_reverse"     -> (Queries.traverseReverse _),
+    "q_traverse_2hop"        -> (Queries.traverse2hop _),
     "q_detach_delete"        -> (Queries.detachDelete _),
     // training-data ops: dedup family
     "q_dedup_exact"          -> (Queries.dedupExact _),
@@ -148,10 +149,18 @@ object SparkEntry {
         |FROM customer JOIN orders ON o_custkey = c_custkey
         |WHERE o_orderstatus = 'F'""".stripMargin,
 
+    "q_traverse_2hop" ->
+      """SELECT DISTINCT o_orderkey, o_orderstatus AS status
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE n_name = (SELECT min(n_name) FROM nation)""".stripMargin,
+
     "q_detach_delete" ->
       """SELECT (SELECT count(*) FROM customer WHERE c_mktsegment <> 'BUILDING') AS n_customers,
-        |       (SELECT count(*) FROM orders JOIN customer ON o_custkey = c_custkey
-        |        WHERE c_mktsegment <> 'BUILDING') AS n_edges""".stripMargin,
+        |       ((SELECT count(*) FROM orders JOIN customer ON o_custkey = c_custkey
+        |         WHERE c_mktsegment <> 'BUILDING') +
+        |        (SELECT count(*) FROM customer WHERE c_mktsegment <> 'BUILDING')) AS n_edges""".stripMargin,
 
     "q_dedup_exact" ->
       """SELECT doc_id, n_chars FROM (

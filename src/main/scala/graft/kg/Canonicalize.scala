@@ -73,17 +73,31 @@ object Canonicalize {
     (0 until n).map(k => norms(k) -> rootMin(find(k)))
   }
 
-  /** Size-adaptive canonical map over a DataFrame with distinct `norm`. */
+  /** Size-adaptive canonical map over a DataFrame with distinct `norm`.
+    * Output: (norm, canonical, link_score) where link_score is the exact
+    * char-3-gram Jaccard between the surface's normalized form and its
+    * canonical name (1.0 for exact matches) — the entity-link confidence
+    * carried onto every triple.
+    */
   def canonicalMap(distinctNorms: DataFrame, jaccardThreshold: Double,
                    smallThreshold: Long = DefaultSmallThreshold): DataFrame = {
     val spark = distinctNorms.sparkSession
     import spark.implicits._
     val cnt = distinctNorms.count()
-    if (cnt <= smallThreshold) {
-      val norms = distinctNorms.as[String].collect()
-      spark.createDataset(localMap(norms, jaccardThreshold)).toDF("norm", "canonical")
-    } else {
-      distributedMap(distinctNorms, jaccardThreshold)
-    }
+    val mapped =
+      if (cnt <= smallThreshold) {
+        val norms = distinctNorms.as[String].collect()
+        spark.createDataset(localMap(norms, jaccardThreshold)).toDF("norm", "canonical")
+      } else {
+        distributedMap(distinctNorms, jaccardThreshold)
+      }
+    mapped
+      .withColumn("_sa", Lsh.shinglesExpr("norm"))
+      .withColumn("_sb", Lsh.shinglesExpr("canonical"))
+      .withColumn("link_score",
+        when(col("norm") === col("canonical"), lit(1.0)).otherwise(
+          size(array_intersect(col("_sa"), col("_sb"))).cast("double") /
+            size(array_union(col("_sa"), col("_sb")))))
+      .select("norm", "canonical", "link_score")
   }
 }

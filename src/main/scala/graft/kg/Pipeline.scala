@@ -51,17 +51,13 @@ object Pipeline {
         surfaces.select("norm").distinct(), JaccardThreshold)
         .withColumnRenamed("norm", "cnorm")
       surfaces.join(clustered, surfaces("norm") === clustered("cnorm"), "left_outer")
-        .select(col("surface"), coalesce(col("canonical"), col("norm")).as("canonical"))
+        .select(col("surface"),
+          coalesce(col("canonical"), col("norm")).as("canonical"),
+          coalesce(col("link_score"), lit(1.0)).as("link_score"))
     }
 
     val triples = stages.stage("triples") {
-      val cm = broadcast(canonicalMap)
-      triplesRaw
-        .join(cm.withColumnRenamed("surface", "subj_surface")
-                .withColumnRenamed("canonical", "subj"), Seq("subj_surface"))
-        .join(cm.withColumnRenamed("surface", "obj_surface")
-                .withColumnRenamed("canonical", "obj"), Seq("obj_surface"))
-        .select("subj", "pred", "obj", "conv_id", "turn_idx", "score")
+      joinCanonical(triplesRaw, broadcast(canonicalMap))
     }
 
     // Materialization through the graphio-semantics bulk operators:
@@ -121,15 +117,26 @@ object Pipeline {
       .withColumnRenamed("norm", "cnorm")
     val canonicalMap = surfaces
       .join(clustered, surfaces("norm") === clustered("cnorm"), "left_outer")
-      .select(col("surface"), coalesce(col("canonical"), col("norm")).as("canonical"))
+      .select(col("surface"),
+        coalesce(col("canonical"), col("norm")).as("canonical"),
+        coalesce(col("link_score"), lit(1.0)).as("link_score"))
     val cm = broadcast(canonicalMap)
+    joinCanonical(triplesRaw, cm)
+  }
+
+  /** Resolve both triple endpoints against the canonical map; the triple's
+    * score is the product of its two entity-link confidences.
+    */
+  private[kg] def joinCanonical(triplesRaw: DataFrame, cm: DataFrame): DataFrame =
     triplesRaw
       .join(cm.withColumnRenamed("surface", "subj_surface")
-              .withColumnRenamed("canonical", "subj"), Seq("subj_surface"))
+              .withColumnRenamed("canonical", "subj")
+              .withColumnRenamed("link_score", "_subj_score"), Seq("subj_surface"))
       .join(cm.withColumnRenamed("surface", "obj_surface")
-              .withColumnRenamed("canonical", "obj"), Seq("obj_surface"))
-      .select("subj", "pred", "obj", "conv_id", "turn_idx", "score")
-  }
+              .withColumnRenamed("canonical", "obj")
+              .withColumnRenamed("link_score", "_obj_score"), Seq("obj_surface"))
+      .select(col("subj"), col("pred"), col("obj"), col("conv_id"), col("turn_idx"),
+        (col("_subj_score") * col("_obj_score")).as("score"))
 
   /** Per-conversation stats via two-phase salted aggregation: partial
     * aggregate on (conv_id, salt) — spreads the hot conversation over 16

@@ -56,6 +56,27 @@ object SequentialOracle {
     }.toMap
   }
 
+  /** Entity-link confidence: exact trigram Jaccard between the normalized
+    * surface and its canonical name (1.0 for exact matches).
+    */
+  def linkScore(surface: String, canonical: String): Double = {
+    val n = Corpus.normalizeSurface(surface)
+    if (n == canonical) 1.0 else jaccard(charTrigrams(n), charTrigrams(canonical))
+  }
+
+  /** Scored canonical triples: score = subj link confidence × obj link
+    * confidence (the pipeline's formula).
+    */
+  def scoredTriples(turns: Seq[(String, Int, String)]): Set[(String, String, String, Double)] = {
+    val raw = turns.flatMap { case (conv, idx, text) => extract(text, conv, idx) }
+    val surfaces = raw.flatMap(t => Seq(t.subjSurface, t.objSurface)).toSet
+    val canon = canonicalMap(surfaces)
+    raw.map { t =>
+      val s = canon(t.subjSurface); val o = canon(t.objSurface)
+      (s, t.pred, o, linkScore(t.subjSurface, s) * linkScore(t.objSurface, o))
+    }.toSet
+  }
+
   /** End-to-end oracle: turns → canonical (subj, pred, obj) set. */
   def triples(turns: Seq[(String, Int, String)]): Set[(String, String, String)] = {
     val raw = turns.flatMap { case (conv, idx, text) => extract(text, conv, idx) }

@@ -66,6 +66,44 @@ final case class Graph(nodes: DataFrame, edges: DataFrame) {
     joined.select(targetCols.toIndexedSeq: _*).distinct()
   }
 
+  /** Multi-hop traversal — an EXTENSION: the reference raises
+    * NotImplementedError beyond one hop (model.py:392,412,304); here each
+    * hop is one more edge join, so chains compose naturally. `hops` is a
+    * sequence of (relType, reverse, relFilters); node filters apply to the
+    * anchor (first) and target (last) legs. Returns DISTINCT terminal nodes.
+    *
+    * Physical shape: a linear chain of hash joins on node ids; Catalyst
+    * broadcasts small legs and AQE re-plans skewed ones — no iteration, no
+    * driver loop.
+    */
+  def traverseChain(
+      anchorLabels: Seq[String], keys: Seq[String],
+      hops: Seq[(String, Boolean, Seq[FieldFilter])],
+      anchorFilters: Seq[FieldFilter] = Nil,
+      targetFilters: Seq[FieldFilter] = Nil): DataFrame = {
+    require(hops.nonEmpty, "at least one hop")
+    val allNodes = RelSetOps.withNodeId(nodes, keys)
+    def nodeSide(filters: Seq[FieldFilter], labels: Seq[String]) =
+      allNodes.filter(filters.map(_.toColumn).foldLeft(labelCond(labels))(_ && _))
+
+    var frontier = nodeSide(anchorFilters, anchorLabels)
+      .select(col("_node_id").as("_frontier_id"))
+    for (((relType, reverse, relFilters), i) <- hops.zipWithIndex) {
+      val e = edges
+        .filter(relFilters.map(_.toColumn).foldLeft(col(RelSetOps.RelType) === relType)(_ && _))
+        .select(col(RelSetOps.SrcId).as("_e_src"), col(RelSetOps.DstId).as("_e_dst"))
+      val (fromCol, toCol) = if (reverse) ("_e_dst", "_e_src") else ("_e_src", "_e_dst")
+      frontier = frontier
+        .join(e, col("_frontier_id") === col(fromCol))
+        .select(col(toCol).as("_frontier_id"))
+        .distinct()
+    }
+    val target = nodeSide(targetFilters, Nil)
+    target.join(frontier, target("_node_id") === frontier("_frontier_id"))
+      .select(nodes.columns.map(col).toIndexedSeq: _*)
+      .distinct()
+  }
+
   /** B9 — raw SQL escape hatch: the caller registers views and runs
     * arbitrary SQL; result must be node-shaped (we enforce the merge-key
     * columns exist, the analogue of "must bind n").

@@ -60,6 +60,24 @@ class PipelineSpec extends SparkSpec {
     assert(prL.precision >= 0.95 && prL.recall >= 0.95)
   }
 
+  test("entity-link scores match the oracle formula (trigram jaccard product)") {
+    val n = 800L
+    val got = Pipeline.triplesInMemory(TranscriptGen.turns(spark, n, 4).toDF())
+      .select("subj", "pred", "obj", "score").distinct()
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2),
+        math.rint(r.getDouble(3) * 1e9) / 1e9)).toSet
+    val turns = (0L until n).map { id =>
+      val t = Corpus.turnAt(id, n); (t.conv_id, t.turn_idx, t.text)
+    }
+    val want = SequentialOracle.scoredTriples(turns)
+      .map(t => (t._1, t._2, t._3, math.rint(t._4 * 1e9) / 1e9))
+    assert(got == want)
+    // variant-linked triples must carry confidence < 1
+    assert(got.exists(_._4 < 1.0))
+    assert(got.forall(t => t._4 > 0.0 && t._4 <= 1.0))
+  }
+
   test("node table: one row per canonical entity, labels stamped") {
     val names = result.nodes.select("name").collect().map(_.getString(0))
     assert(names.distinct.length == names.length)

@@ -69,6 +69,28 @@ class GraphSpec extends SparkSpec {
     assert(out.count() == 1) // bob once, despite two in-edges
   }
 
+  test("multi-hop traversal chains joins (extension; reference raises at >2 steps)") {
+    val g = graph // alice→bob(90), alice→carol(50), bob→dave(70)
+    val twoHop = g.traverseChain(
+      Seq("Person"), Seq("name"),
+      hops = Seq(("KNOWS", false, Nil), ("KNOWS", false, Nil)),
+      anchorFilters = Seq(FieldFilter("name", FilterOp.Eq, "alice")))
+    assert(twoHop.select("name").as[String].collect().toSeq == Seq("dave"))
+    // reverse second hop: alice → {bob,carol} → (who also points at them?) —
+    // bob is reached by alice only; carol by alice only ⇒ {alice}
+    val backHop = g.traverseChain(
+      Seq("Person"), Seq("name"),
+      hops = Seq(("KNOWS", false, Nil), ("KNOWS", true, Nil)),
+      anchorFilters = Seq(FieldFilter("name", FilterOp.Eq, "alice")))
+    assert(backHop.select("name").as[String].collect().toSeq == Seq("alice"))
+    // rel filter on the first hop prunes the chain
+    val filtered = g.traverseChain(
+      Seq("Person"), Seq("name"),
+      hops = Seq(("KNOWS", false, Seq(FieldFilter("score", FilterOp.Lt, 60))), ("KNOWS", false, Nil)),
+      anchorFilters = Seq(FieldFilter("name", FilterOp.Eq, "alice")))
+    assert(filtered.count() == 0) // only alice→carol(50) survives; carol has no out-edges
+  }
+
   test("detach delete removes nodes and their edges (test_model.py:233-249)") {
     val g = graph
     val g2 = g.detachDeleteNodes(Seq("Person"), Seq("name"),
