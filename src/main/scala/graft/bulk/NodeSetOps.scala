@@ -114,6 +114,7 @@ object NodeSetOps {
             case _            => collect_list(col(c)).over(wAll)
           }
         } else if (spec.preserve.contains(c)) first(col(c), ignoreNulls = true).over(wAll)
+        else if (spec.sumProps.contains(c)) sum(col(c)).over(wAll)
         else last(col(c), ignoreNulls = true).over(wAll)
       acc.withColumn(c, v)
     }
@@ -137,8 +138,20 @@ object NodeSetOps {
     * Scale note: this is the local-materialization form of
     * `MERGE INTO nodes USING updates ON <mergeKeys>`; both sides shuffle on
     * the merge keys once and AQE handles skewed keys.
+    *
+    * Per-call overrides mirror the reference's merge(...) kwargs
+    * (nodeset.py:186-196): `preserve` / `appendProps` replace the container
+    * config for THIS call only, and `mergeProperties` merges on a different
+    * key subset than the spec's merge_keys.
     */
-  def merge(target: Option[DataFrame], rows: DataFrame, spec: NodeSpec): DataFrame = {
+  def merge(target: Option[DataFrame], rows: DataFrame, spec0: NodeSpec,
+            preserve: Option[Seq[String]] = None,
+            appendProps: Option[Seq[String]] = None,
+            mergeProperties: Option[Seq[String]] = None): DataFrame = {
+    val spec = spec0.copy(
+      preserve = preserve.getOrElse(spec0.preserve),
+      appendProps = appendProps.getOrElse(spec0.appendProps),
+      mergeKeys = mergeProperties.getOrElse(spec0.mergeKeys))
     val batch0 = reduceBatch(ingest(rows, spec), spec)
     val newLabels = lit(spec.allLabels.toArray)
     // Wrap append columns & stamp labels for the "fresh table" / INSERT side.
@@ -192,6 +205,11 @@ object NodeSetOps {
             } else if (spec.appendProps.contains(c)) {
               // preserve beats append handled above; here: concat arrays
               when(tEx && uEx, concat(coalesce(tc, array()), coalesce(uc, array())))
+                .when(tEx, tc)
+                .otherwise(uc)
+            } else if (spec.sumProps.contains(c)) {
+              // arithmetic update on match: n.c = n.c + u.c (nulls = 0)
+              when(tEx && uEx, coalesce(tc, lit(0)) + coalesce(uc, lit(0)))
                 .when(tEx, tc)
                 .otherwise(uc)
             } else {

@@ -33,13 +33,21 @@ object RelSetOps {
 
   private def hasCol(df: DataFrame, c: String) = df.columns.contains(c)
 
-  /** Stable node identity for a node-table row: hash of (labels, merge-key
-    * values). Mirrors Neo4j's internal node id at the semantic level: two
-    * rows with the same labels+keys are the same node.
+  /** Stable node identity for a node-table row: hash of (primary label,
+    * merge-key values). Mirrors Neo4j's internal node id at the semantic
+    * level: two rows with the same primary label + keys are the same node.
+    *
+    * Identity uses labels[0] ONLY — the spec's primary label, which is
+    * immutable: NodeSetOps stamps it first at create/merge and label
+    * accumulation (`SET n:Extra` → array_union, which preserves first-seen
+    * order) can only APPEND. Hashing the full label array would silently
+    * re-identify a node (orphaning its resolved edges) whenever a later
+    * merge added a label — the reference's node identity (Neo4j internal id)
+    * is stable under added labels (nodeset.py:322-326).
     */
   def withNodeId(nodes: DataFrame, mergeKeys: Seq[String], idCol: String = "_node_id"): DataFrame =
     nodes.withColumn(idCol,
-      xxhash64(array_join(array_sort(col(NodeSetOps.LabelsCol)), ","),
+      xxhash64(element_at(col(NodeSetOps.LabelsCol), 1),
         struct(mergeKeys.map(col): _*)))
 
   /** A3 — edge ingest: overlay default rel props (relationshipset.py:121-126)
@@ -160,6 +168,7 @@ object RelSetOps {
           case _: ArrayType => flatten(collect_list(col(c)).over(wAll))
           case _            => collect_list(col(c)).over(wAll)
         }
+        else if (spec.sumProps.contains(c)) sum(col(c)).over(wAll)
         else last(col(c), ignoreNulls = true).over(wAll)
       acc.withColumn(c, v)
     }
@@ -171,9 +180,14 @@ object RelSetOps {
   /** B4 — bulk edge merge: endpoint resolution as B3, then keyed upsert on
     * (src_id, dst_id, rel_type). Re-merging the same batch keeps counts
     * stable (idempotence, test_relationshipset.py:244-256).
+    *
+    * `appendProps` is the per-call override of the container config —
+    * relationshipset.py:218-226 (the only merge kwarg the reference takes).
     */
-  def merge(target: Option[DataFrame], edges: DataFrame, nodes: DataFrame, spec: RelSpec,
-            relTypeCol: Option[String] = None): DataFrame = {
+  def merge(target: Option[DataFrame], edges: DataFrame, nodes: DataFrame, spec0: RelSpec,
+            relTypeCol: Option[String] = None,
+            appendProps: Option[Seq[String]] = None): DataFrame = {
+    val spec = spec0.copy(appendProps = appendProps.getOrElse(spec0.appendProps))
     val staged = if (spec.unique) uniqueEdges(edges, spec) else edges
     mergeResolved(target, resolve(staged, nodes, spec, relTypeCol), spec)
   }
@@ -220,6 +234,10 @@ object RelSetOps {
           val merged =
             if (spec.appendProps.contains(c))
               when(tEx && uEx, concat(coalesce(tc, array()), coalesce(uc, array())))
+                .when(tEx, tc).otherwise(uc)
+            else if (spec.sumProps.contains(c))
+              // arithmetic update on match: r.c = r.c + u.c (nulls = 0)
+              when(tEx && uEx, coalesce(tc, lit(0)) + coalesce(uc, lit(0)))
                 .when(tEx, tc).otherwise(uc)
             else when(uEx, coalesce(uc, tc)).otherwise(tc)
           merged.as(c)

@@ -80,6 +80,15 @@ final class MetricsCollector(spark: SparkSession) extends SparkListener {
     }
   }
 
+  /** Detach from the SparkContext — a collector left registered after its
+    * pipeline finishes would keep receiving (and retaining) task rows for
+    * every later job in the session.
+    */
+  def close(): Unit = {
+    spark.sparkContext.removeSparkListener(this)
+    rows.clear()
+  }
+
   def drain(): Seq[TaskRow] = {
     import scala.jdk.CollectionConverters._
     val out = rows.values().asScala.toSeq
@@ -105,9 +114,12 @@ final class MetricsCollector(spark: SparkSession) extends SparkListener {
   * and snapshot commit. The unit of resumability: a killed job restarted with
   * the same workDir skips every committed stage and recomputes only the rest.
   */
-final class StageRunner(spark: SparkSession, workDir: String) {
+final class StageRunner(spark: SparkSession, workDir: String) extends AutoCloseable {
   val log = new SnapshotLog(workDir)
   val metrics = new MetricsCollector(spark)
+
+  /** Release the metrics listener; call when the pipeline is done. */
+  override def close(): Unit = metrics.close()
 
   def stage(name: String)(compute: => DataFrame): DataFrame = {
     val path = s"$workDir/$name"

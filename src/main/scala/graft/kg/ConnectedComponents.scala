@@ -103,6 +103,13 @@ object ConnectedComponents {
       fp = fp2
       i += 1
     }
+    if (!converged)
+      // a truncated run can silently split components downstream — make the
+      // exhaustion visible (callers that need a hard guarantee raise maxIter;
+      // O(log^2 n) rounds means 25 covers any realistic n)
+      org.slf4j.LoggerFactory.getLogger(getClass)
+        .warn(s"connected components did NOT converge after $maxIter " +
+          s"large-star/small-star rounds (edges=${fp._1}); assignment may split components")
     // After convergence every edge points node -> component min.
     val assign = e.select(col("src").as("id"), col("dst").as("component"))
       .groupBy("id").agg(min("component").as("component"))
@@ -115,21 +122,29 @@ object ConnectedComponents {
     * is the minimum ORIGINAL key (lexicographic) in the component.
     */
   def runOnStrings(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
     val keyed = edges.select(
       col(srcCol).as("ks"), col(dstCol).as("kd"),
       xxhash64(col(srcCol)).as("src"), xxhash64(col(dstCol)).as("dst"))
       // consumed by idMap twice and by run(); pin it so the (possibly
       // expensive) edge-producing subplan evaluates once
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val idMap = keyed.select(col("ks").as("key"), col("src").as("id"))
       .unionAll(keyed.select(col("kd").as("key"), col("dst").as("id")))
       .distinct()
     val cc = run(keyed.select("src", "dst"))
     val withKeys = idMap.join(cc, Seq("id"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val canon = withKeys
       .groupBy("component").agg(min("key").as("canonical"))
-    withKeys.join(canon, Seq("component"))
+    val out = withKeys.join(canon, Seq("component"))
       .select(col("key"), col("canonical"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // materialize the assignment once, then release the working caches —
+    // repeated pipeline invocations in one session must not accumulate blocks
+    out.count()
+    withKeys.unpersist()
+    keyed.unpersist()
+    out
   }
 }

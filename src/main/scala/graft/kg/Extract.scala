@@ -21,13 +21,20 @@ object Extract {
     import spark.implicits._
     val predDict = Corpus.predicates.map(p => (p._1, p._2)).toDF("phrase", "pred")
 
+    // One regex execution per match: rewrite the matched span to its three
+    // capture groups joined by \u0001 (a byte that cannot occur in text),
+    // then split — vs regexp_extract ×3, which re-runs the pattern per group.
+    // This sits in the dominant (per-row CPU) stage, so the 3× matters.
+    val D = "\u0001"
     val matches = turns
       .select(col("conv_id"), col("turn_idx"),
         explode(regexp_extract_all(col("text"), lit(Corpus.TripleRegex), lit(0))).as("m"))
       .select(col("conv_id"), col("turn_idx"),
-        regexp_extract(col("m"), Corpus.TripleRegex, 1).as("subj_surface"),
-        regexp_extract(col("m"), Corpus.TripleRegex, 2).as("phrase"),
-        regexp_extract(col("m"), Corpus.TripleRegex, 3).as("obj_surface"))
+        split(regexp_replace(col("m"), Corpus.TripleRegex, s"$$1$D$$2$D$$3"), D).as("g"))
+      .select(col("conv_id"), col("turn_idx"),
+        col("g").getItem(0).as("subj_surface"),
+        col("g").getItem(1).as("phrase"),
+        col("g").getItem(2).as("obj_surface"))
     matches
       .join(broadcast(predDict), Seq("phrase"))
       .select(col("conv_id"), col("turn_idx"), col("subj_surface"), col("pred"),
@@ -43,10 +50,15 @@ object Extract {
       regexp_replace(lower(c), "\\b(corp|corporation|inc)\\b", ""),
       " +", " "))
 
-  /** Distinct mention surfaces with their normalized keys. */
+  /** Distinct mention surfaces with their normalized keys.
+    *
+    * explode(array(subj, obj)) instead of a self-unionAll: ONE scan of the
+    * triple table (the unionAll form scans the cached/persisted triples
+    * twice — a measured fixed cost in the full-pipeline scaling bench).
+    */
   def surfaces(triplesRaw: DataFrame): DataFrame =
-    triplesRaw.select(col("subj_surface").as("surface"))
-      .unionAll(triplesRaw.select(col("obj_surface").as("surface")))
+    triplesRaw
+      .select(explode(array(col("subj_surface"), col("obj_surface"))).as("surface"))
       .distinct()
       .withColumn("norm", normSurface(col("surface")))
 }

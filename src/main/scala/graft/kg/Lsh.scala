@@ -44,33 +44,47 @@ object Lsh {
     *
     * Input: DataFrame with a distinct string column `norm`.
     * Output: columns (a, b, jaccard).
+    *
+    * Scale shape: the banded table carries ONLY (norm, band_idx, band_key) —
+    * the NumBands× explode and the self-join shuffle never move the shingle
+    * arrays (which are ~3× the surface text). Shingles are joined back from a
+    * persisted (norm, _sh) side onto the deduplicated candidate pairs for the
+    * exact-Jaccard verify. The verified pair set (small) is materialized
+    * eagerly so the working caches are released before returning.
     */
   def candidatePairs(norms: DataFrame, threshold: Double): DataFrame = {
-    val withSig = norms
+    import org.apache.spark.storage.StorageLevel
+    val shingled = norms
       .withColumn("_sh", shinglesExpr("norm"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val banded = shingled
       .withColumn("_sig", signature("_sh"))
-    val banded = withSig.select(
-      col("norm"), col("_sh"),
-      posexplode(expr(
-        s"transform(sequence(0, ${NumBands - 1}), b -> hash(slice(_sig, b * $RowsPerBand + 1, $RowsPerBand)))"))
-        .as(Seq("band_idx", "band_key")))
-      // both sides of the self-join consume this; without persist the whole
-      // distinct+shingle+signature subplan runs twice (and more downstream)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .select(col("norm"),
+        posexplode(expr(
+          s"transform(sequence(0, ${NumBands - 1}), b -> hash(slice(_sig, b * $RowsPerBand + 1, $RowsPerBand)))"))
+          .as(Seq("band_idx", "band_key")))
+      // persisted so the NumHashes-hash signature computes once, not per side
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val l = banded.alias("l")
     val r = banded.alias("r")
     val cand = l.join(r,
         col("l.band_idx") === col("r.band_idx") &&
         col("l.band_key") === col("r.band_key") &&
         col("l.norm") < col("r.norm"))
-      .select(col("l.norm").as("a"), col("r.norm").as("b"),
-        col("l._sh").as("sha"), col("r._sh").as("shb"))
+      .select(col("l.norm").as("a"), col("r.norm").as("b"))
       .dropDuplicates("a", "b")
-    cand
+    val out = cand
+      .join(shingled.select(col("norm").as("a"), col("_sh").as("sha")), Seq("a"))
+      .join(shingled.select(col("norm").as("b"), col("_sh").as("shb")), Seq("b"))
       .withColumn("inter", size(array_intersect(col("sha"), col("shb"))))
       .withColumn("uni", size(array_union(col("sha"), col("shb"))))
       .withColumn("jaccard", col("inter").cast("double") / col("uni"))
       .filter(col("jaccard") >= threshold)
       .select(col("a"), col("b"), col("jaccard"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    out.count() // materialize, then free the working caches
+    banded.unpersist()
+    shingled.unpersist()
+    out
   }
 }

@@ -36,7 +36,11 @@ object Pipeline {
   def run(turns: DataFrame, workDir: String): Result = {
     val spark = turns.sparkSession
     val stages = new StageRunner(spark, workDir)
+    try runStages(turns, stages)
+    finally stages.close() // detach the metrics listener from the session
+  }
 
+  private def runStages(turns: DataFrame, stages: StageRunner): Result = {
     val turnsDf = stages.stage("turns")(turns)
 
     val triplesRaw = stages.stage("triples_raw")(Extract.triplesRaw(turnsDf))

@@ -45,32 +45,51 @@ object Dedup {
 
   /** MinHash-LSH near-dup candidate pairs over word shingles, verified with
     * exact Jaccard. Returns (a, b, jaccard) with a < b.
+    *
+    * Scale shape: the banded table carries ONLY (id, band_idx, band_key) —
+    * the NumBands× explode and the self-join shuffle move 3 fixed-width
+    * values per row, never the shingle arrays (which are bigger than the
+    * documents themselves). Shingles are joined back from a persisted
+    * (id, _sh) side onto the deduplicated candidate id-pairs for the exact
+    * verify. Both working caches are released before returning; only the
+    * (small) verified pair set stays pinned.
     */
   def minhashLshPairs(docs: DataFrame, threshold: Double,
                       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val withSig = docs
+    import org.apache.spark.storage.StorageLevel
+    val shingled = docs
       .select(col(idCol).as("id"), wordShingles(col(textCol)).as("_sh"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val banded = shingled
       .withColumn("_sig", expr(
         s"""transform(sequence(0, ${Lsh.NumHashes - 1}),
            |  j -> array_min(transform(_sh, s -> xxhash64(s, j))))""".stripMargin))
-    val banded = withSig.select(
-      col("id"), col("_sh"),
-      posexplode(expr(
-        s"transform(sequence(0, ${Lsh.NumBands - 1}), b -> hash(slice(_sig, b * ${Lsh.RowsPerBand} + 1, ${Lsh.RowsPerBand})))"))
-        .as(Seq("band_idx", "band_key")))
+      .select(col("id"),
+        posexplode(expr(
+          s"transform(sequence(0, ${Lsh.NumBands - 1}), b -> hash(slice(_sig, b * ${Lsh.RowsPerBand} + 1, ${Lsh.RowsPerBand})))"))
+          .as(Seq("band_idx", "band_key")))
+      // persisted so the NumHashes-hash signature computes once, not per side
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val l = banded.alias("l"); val r = banded.alias("r")
-    l.join(r,
+    val cand = l.join(r,
         col("l.band_idx") === col("r.band_idx") &&
         col("l.band_key") === col("r.band_key") &&
         col("l.id") < col("r.id"))
-      .select(col("l.id").as("a"), col("r.id").as("b"),
-        col("l._sh").as("sha"), col("r._sh").as("shb"))
+      .select(col("l.id").as("a"), col("r.id").as("b"))
       .dropDuplicates("a", "b")
+    val out = cand
+      .join(shingled.select(col("id").as("a"), col("_sh").as("sha")), Seq("a"))
+      .join(shingled.select(col("id").as("b"), col("_sh").as("shb")), Seq("b"))
       .withColumn("jaccard",
         size(array_intersect(col("sha"), col("shb"))).cast("double") /
           size(array_union(col("sha"), col("shb"))))
       .filter(col("jaccard") >= threshold)
       .select("a", "b", "jaccard")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    out.count() // materialize the result, then free the wide caches
+    banded.unpersist()
+    shingled.unpersist()
+    out
   }
 
   /** Drop near-duplicates: connected-components over the near-dup pair graph

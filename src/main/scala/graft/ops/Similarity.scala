@@ -71,40 +71,64 @@ object Similarity {
     * candidate if ANY band matches — standard L-table LSH). Exact-cosine
     * verified, so precision is exact and only recall is probabilistic:
     * P(miss) = (1 - (1 - θ/π)^bandBits)^numBands.
+    *
+    * Scale shape: the banded table carries ONLY (id, tbl, bkt) — 3 fixed-width
+    * ints per band row — so the numBands× explode and the self-join shuffle
+    * never move vector payloads. Vectors are joined back onto the (small,
+    * deduplicated) candidate id-pair set for the exact verify. The verified
+    * pair set is materialized eagerly so both working caches can be released
+    * before returning.
     */
   def cosinePairsLsh(embs: DataFrame, threshold: Double, bits: Int = 32,
                      idCol: String = "vec_id", vecCol: String = "embedding",
                      bandBits: Int = 8): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
     val numBands = bits / bandBits
-    val sig = embs.select(col(idCol).as("id"), col(vecCol).as("v"))
-      .withColumn("sig", signLsh(col("v"), bits))
+    val vecs = embs.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val bands = (0 until numBands).map(b =>
       shiftrightunsigned(col("sig"), b * bandBits)
         .bitwiseAND(lit((1L << bandBits) - 1)))
-    val banded = sig.select(col("id"), col("v"),
-      posexplode(array(bands: _*)).as(Seq("tbl", "bkt")))
+    val banded = vecs
+      .withColumn("sig", signLsh(col("v"), bits))
+      .select(col("id"), posexplode(array(bands: _*)).as(Seq("tbl", "bkt")))
+      // persisted so the 32-hash signature computes once, not per join side
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val l = banded.alias("l"); val r = banded.alias("r")
-    l.join(r, col("l.tbl") === col("r.tbl") && col("l.bkt") === col("r.bkt") &&
+    val cand = l.join(r,
+        col("l.tbl") === col("r.tbl") && col("l.bkt") === col("r.bkt") &&
         col("l.id") < col("r.id"))
-      .select(col("l.id").as("a"), col("r.id").as("b"),
-        col("l.v").as("va"), col("r.v").as("vb"))
+      .select(col("l.id").as("a"), col("r.id").as("b"))
       .dropDuplicates("a", "b")
+    val out = cand
+      .join(vecs.select(col("id").as("a"), col("v").as("va")), Seq("a"))
+      .join(vecs.select(col("id").as("b"), col("v").as("vb")), Seq("b"))
       .withColumn("cos", cosine(col("va"), col("vb")))
       .filter(col("cos") >= threshold)
       .select("a", "b", "cos")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    out.count() // materialize the (small) result, then free the wide caches
+    banded.unpersist()
+    vecs.unpersist()
+    out
   }
 
   /** IVF index: deterministic coarse centroids = the vectors whose ids hash
-    * lowest (a seeded sample — stable, single narrow pass), then one
-    * assignment pass. Returns (centroid_id, vec table with cell column).
+    * lowest (a seeded sample — stable), then one assignment pass. Returns
+    * (centroid table, vec table with cell column).
+    *
+    * Centroid pick is orderBy+limit, which Spark plans as
+    * TakeOrderedAndProject: a parallel per-partition top-nCells followed by a
+    * driver merge of nCells rows — NOT a global sort, so a 10^9-vector corpus
+    * never funnels through one task. The centroid's own id doubles as the
+    * cell key, so no post-limit re-ranking window is needed either.
     */
   def ivfAssign(embs: DataFrame, nCells: Int,
                 idCol: String = "vec_id", vecCol: String = "embedding"): (DataFrame, DataFrame) = {
-    val w = Window.orderBy(xxhash64(col(idCol)))
     val centroids = embs
-      .withColumn("_r", row_number().over(w))
-      .filter(col("_r") <= nCells)
-      .select(col("_r").cast("int").as("cell"), col(vecCol).as("cv"))
+      .orderBy(xxhash64(col(idCol)))
+      .limit(nCells)
+      .select(col(idCol).cast("long").as("cell"), col(vecCol).as("cv"))
     val assigned = embs.join(broadcast(centroids))
       .withColumn("cos", cosine(col(vecCol), col("cv")))
       .withColumn("rk", row_number().over(

@@ -15,7 +15,12 @@ final case class NodeSpec(
     preserve: Seq[String] = Nil,
     appendProps: Seq[String] = Nil,
     additionalLabels: Seq[String] = Nil,
-    deduplicate: Boolean = false
+    deduplicate: Boolean = false,
+    // EXTENSION (no reference analogue): numeric props accumulated by
+    // ADDITION on match — the merge rule incremental/streaming loads need so
+    // counts converge to the batch pipeline's totals (arithmetic-update
+    // MERGE, à la `UPDATE SET n.c = n.c + u.c`).
+    sumProps: Seq[String] = Nil
 ) {
   require(mergeKeys.nonEmpty, "mergeKeys must be non-empty (nodeset.py:180-184)")
   def allLabels: Seq[String] = (labels ++ additionalLabels).distinct
@@ -38,7 +43,10 @@ final case class RelSpec(
     endNodeProperties: Seq[KeyMatch],
     defaultProps: Map[String, Any] = Map.empty,
     appendProps: Seq[String] = Nil,
-    unique: Boolean = false
+    unique: Boolean = false,
+    // EXTENSION: numeric edge props accumulated by ADDITION on match (see
+    // NodeSpec.sumProps) — support/mention counts under incremental merges.
+    sumProps: Seq[String] = Nil
 ) {
   require(startNodeProperties.nonEmpty && endNodeProperties.nonEmpty,
     "endpoint match properties required (relationshipset.py:42-76)")

@@ -31,9 +31,14 @@ import graft.schema.{EqKey, NodeSpec, RelSpec}
   */
 object IncrementalPipeline {
 
-  val entitySpec: NodeSpec = NodeSpec(Seq("Entity"), Seq("name"))
+  // sumProps: counts ACCUMULATE on match across micro-batches — plain
+  // scalar props would be 'update wins', so a multi-batch stream would end
+  // with only the LAST batch's counts instead of converging to the batch
+  // pipeline's totals.
+  val entitySpec: NodeSpec = NodeSpec(Seq("Entity"), Seq("name"),
+    sumProps = Seq("mention_count"))
   val relSpec: RelSpec = RelSpec("REL", Seq("Entity"), Seq("Entity"),
-    Seq(EqKey("name")), Seq(EqKey("name")))
+    Seq(EqKey("name")), Seq(EqKey("name")), sumProps = Seq("support"))
 
   /** Per-batch triple extraction with surface-normalized entity names. */
   def extractBatch(turns: DataFrame): DataFrame = {
@@ -76,11 +81,19 @@ object IncrementalPipeline {
 
   /** Start the incremental stream over a parquet directory of transcript
     * files. Returns the query + live state.
+    *
+    * `maxFilesPerTrigger` bounds micro-batch size (and, in tests, forces the
+    * multi-micro-batch path so cross-batch accumulation is actually
+    * exercised). Exactly-once for the sum-accumulated counts comes from the
+    * streaming checkpoint: a replayed batch is re-delivered with the same
+    * batchId and foreachBatch re-runs it only if it never committed.
     */
   def start(spark: SparkSession, inputDir: String, checkpointDir: String,
-            state: GraphState): StreamingQuery = {
+            state: GraphState, maxFilesPerTrigger: Option[Int] = Some(1)): StreamingQuery = {
     val schema = org.apache.spark.sql.Encoders.product[graft.schema.TranscriptTurn].schema
-    val stream = spark.readStream.schema(schema).parquet(inputDir)
+    val reader = spark.readStream.schema(schema)
+    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+    val stream = reader.parquet(inputDir)
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())

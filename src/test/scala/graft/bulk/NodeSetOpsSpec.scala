@@ -115,6 +115,57 @@ class NodeSetOpsSpec extends SparkSpec {
     assert(labels == Set("Test", "Foo", "Bar"))
   }
 
+  test("per-call preserve override replaces the spec config (nodeset.py:186-196)") {
+    // spec has NO preserve; the second merge call passes it as a kwarg
+    val b1 = Seq((1L, "original")).toDF("uuid", "key")
+    val b2 = Seq((1L, "changed")).toDF("uuid", "key")
+    val t = NodeSetOps.merge(Some(NodeSetOps.merge(None, b1, simpleSpec)), b2, simpleSpec,
+      preserve = Some(Seq("key")))
+    assert(t.collect()(0).getAs[String]("key") == "original")
+    // and WITHOUT the kwarg the same merge updates (call-scoped, not sticky)
+    val t2 = NodeSetOps.merge(Some(NodeSetOps.merge(None, b1, simpleSpec)), b2, simpleSpec)
+    assert(t2.collect()(0).getAs[String]("key") == "changed")
+  }
+
+  test("per-call append_props override (nodeset.py:190-192)") {
+    val b1 = Seq((1L, "value")).toDF("uuid", "key")
+    val b2 = Seq((1L, "other_value")).toDF("uuid", "key")
+    // first merge stamps arrays only when the call says key is appendable
+    val t1 = NodeSetOps.merge(None, b1, simpleSpec, appendProps = Some(Seq("key")))
+    val t = NodeSetOps.merge(Some(t1), b2, simpleSpec, appendProps = Some(Seq("key")))
+    val got = t.collect()(0).getAs[scala.collection.Seq[String]]("key")
+    assert(got == Seq("value", "other_value"))
+  }
+
+  test("per-call merge_properties: merge on a different key subset (nodeset.py:195-196)") {
+    val b1 = Seq((1L, "a", 10), (2L, "b", 20)).toDF("uuid", "key", "n")
+    val t1 = NodeSetOps.merge(None, b1, simpleSpec)
+    // merge ON key (not uuid): matches the key='a' row and updates it
+    val b2 = Seq((99L, "a", 11)).toDF("uuid", "key", "n")
+    val t = NodeSetOps.merge(Some(t1), b2, simpleSpec, mergeProperties = Some(Seq("key")))
+    assert(t.count() == 2)
+    val byKey = t.collect().map(r => r.getAs[String]("key") -> r).toMap
+    assert(byKey("a").getAs[Int]("n") == 11)
+    assert(byKey("a").getAs[Long]("uuid") == 99L) // ON MATCH SET n += props
+    assert(byKey("b").getAs[Int]("n") == 20)
+  }
+
+  test("sumProps accumulates numerics by addition on match (extension)") {
+    val spec = simpleSpec.copy(sumProps = Seq("cnt"))
+    val b1 = Seq((1L, 10L), (2L, 5L)).toDF("uuid", "cnt")
+    val b2 = Seq((1L, 7L), (3L, 1L)).toDF("uuid", "cnt")
+    val t = NodeSetOps.merge(Some(NodeSetOps.merge(None, b1, spec)), b2, spec)
+    val byId = t.collect().map(r => r.getAs[Long]("uuid") -> r.getAs[Long]("cnt")).toMap
+    assert(byId == Map(1L -> 17L, 2L -> 5L, 3L -> 1L))
+  }
+
+  test("sumProps sums duplicate keys within one batch too") {
+    val spec = simpleSpec.copy(sumProps = Seq("cnt"))
+    val rows = Seq((1L, 10L, 1L), (1L, 3L, 2L)).toDF("uuid", "cnt", NodeSetOps.OrdCol)
+    val t = NodeSetOps.merge(None, rows, spec)
+    assert(t.collect()(0).getAs[Long]("cnt") == 13L)
+  }
+
   test("intra-batch duplicate keys: last scalar wins, appends accumulate in order") {
     val spec = simpleSpec.copy(appendProps = Seq("src"))
     val rows = Seq((1L, "v1", "s1", 1L), (1L, "v2", "s2", 2L))

@@ -78,6 +78,54 @@ class RelSetOpsSpec extends SparkSpec {
     assert(r.getAs[String]("note") == "n2")
   }
 
+  test("per-call append_props override on merge (relationshipset.py:218-226)") {
+    val e1 = edges100.withColumn("source", lit("source_a"))
+    val e2 = edges100.withColumn("source", lit("source_b"))
+    val t = RelSetOps.merge(
+      Some(RelSetOps.merge(None, e1, nodeWorld, spec, appendProps = Some(Seq("source")))),
+      e2, nodeWorld, spec, appendProps = Some(Seq("source")))
+    assert(t.count() == 100)
+    val r = t.collect()(0)
+    assert(r.getAs[scala.collection.Seq[String]]("source") == Seq("source_a", "source_b"))
+  }
+
+  test("sumProps accumulates edge support across merges (extension)") {
+    val sSpec = spec.copy(sumProps = Seq("support"))
+    val e1 = Seq((1L, 1L, 3L)).toDF("start_uuid", "end_uuid", "support")
+    val e2 = Seq((1L, 1L, 4L)).toDF("start_uuid", "end_uuid", "support")
+    val t = RelSetOps.merge(Some(RelSetOps.merge(None, e1, nodeWorld, sSpec)), e2, nodeWorld, sSpec)
+    val rows = t.collect()
+    assert(rows.length == 1)
+    assert(rows(0).getAs[Long]("support") == 7L)
+  }
+
+  test("node identity survives label accumulation: edges not orphaned (stability)") {
+    // create Person nodes, resolve edges, then merge an extra label onto the
+    // nodes — previously the id hashed the FULL labels array, so the added
+    // label silently re-identified every node and orphaned its edges
+    val pSpec = NodeSpec(Seq("Person"), Seq("uuid"))
+    val people = Seq(Tuple1(1L), Tuple1(2L)).toDF("uuid")
+    val nodes1 = NodeSetOps.merge(None, people, pSpec)
+    val eSpec = RelSpec("KNOWS", Seq("Person"), Seq("Person"),
+      Seq(EqKey("uuid")), Seq(EqKey("uuid")))
+    val edges = RelSetOps.merge(None,
+      Seq((1L, 2L)).toDF("start_uuid", "end_uuid"), nodes1, eSpec)
+    // accumulate a label AFTER edges were resolved
+    val nodes2 = NodeSetOps.merge(Some(nodes1), people,
+      pSpec.copy(additionalLabels = Seq("Vip")))
+    assert(nodes2.collect().forall(
+      _.getAs[scala.collection.Seq[String]]("labels").toSet == Set("Person", "Vip")))
+    // edges must still join back to the relabeled nodes
+    val ids = RelSetOps.withNodeId(nodes2, Seq("uuid"))
+    val resolved = edges
+      .join(ids.select(col("_node_id").as("src_id"), col("uuid").as("src_uuid")), "src_id")
+      .join(ids.select(col("_node_id").as("dst_id"), col("uuid").as("dst_uuid")), "dst_id")
+      .collect()
+    assert(resolved.length == 1)
+    assert(resolved(0).getAs[Long]("src_uuid") == 1L)
+    assert(resolved(0).getAs[Long]("dst_uuid") == 2L)
+  }
+
   test("multi merge keys on both endpoints (test_relationshipset.py:50-59)") {
     val nodes = (0 until 50).map(i => (i.toLong, i * 2L, Seq("Multi")))
       .toDF("uuid", "num", "labels")

@@ -49,4 +49,39 @@ class SimilaritySpec extends SparkSpec {
       .collect()
     assert(out.length == 1 && out(0).getLong(1) == 1L) // nProbe=all cells ⇒ exact
   }
+
+  /** Deterministic clustered corpus: 10 well-separated cluster axes in 8-d,
+    * each vector = its cluster axis + small hash-derived noise.
+    */
+  private def clusteredCorpus(n: Int) = {
+    def noise(id: Long, j: Int): Double =
+      ((graft.kg.Corpus.mix(id * 31 + j) >>> 11).toDouble / (1L << 53)) * 0.2 - 0.1
+    val rows = (0 until n).map { i =>
+      val c = i % 8
+      val v = Array.tabulate(8)(j => (if (j == c) 1.0 else 0.0) + noise(i.toLong, j))
+      (i.toLong, v.toSeq)
+    }
+    rows.toDF("vec_id", "embedding")
+  }
+
+  test("IVF recall@5 >= 0.9 vs brute force (quality bar for the scale path)") {
+    val corpus = clusteredCorpus(200)
+    val queries = corpus.filter($"vec_id" < 10)
+    def topSets(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1)))
+        .groupBy(_._1).map { case (q, xs) => q -> xs.map(_._2).toSet }
+    val exact = topSets(Similarity.bruteForceTopK(corpus, queries, 5))
+    val approx = topSets(Similarity.ivfTopK(corpus, queries, 5, nCells = 16, nProbe = 6))
+    val hits = exact.map { case (q, want) => (approx.getOrElse(q, Set.empty) & want).size }.sum
+    val recall = hits.toDouble / (exact.size * 5)
+    assert(recall >= 0.9, s"IVF recall@5 = $recall")
+  }
+
+  test("IVF centroid pick plans as TakeOrderedAndProject, no global-sort window") {
+    val corpus = clusteredCorpus(100)
+    val (cents, _) = Similarity.ivfAssign(corpus, 8)
+    val plan = cents.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert(!plan.contains("Window"), plan)
+  }
 }

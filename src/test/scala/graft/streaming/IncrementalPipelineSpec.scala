@@ -26,8 +26,11 @@ class IncrementalPipelineSpec extends SparkSpec {
       slice.coalesce(1).write.mode("append").parquet(inDir)
     }
 
+    // maxFilesPerTrigger=1 forces THREE micro-batches — the cross-batch
+    // accumulation path, not a single batch that hides 'update wins' bugs
     val state = new IncrementalPipeline.GraphState(spark)
-    val q = IncrementalPipeline.start(spark, inDir, ckDir, state)
+    val q = IncrementalPipeline.start(spark, inDir, ckDir, state,
+      maxFilesPerTrigger = Some(1))
     q.awaitTermination(120000)
 
     val gotNodes = state.nodes.get.select("name").as[String].collect().toSet
@@ -40,10 +43,21 @@ class IncrementalPipelineSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
     assert(gotEdges == wantEdges)
 
-    // support aggregates correctly across batches: total support equals
-    // total triple mentions
+    // support aggregates correctly ACROSS batches: total support equals
+    // total triple mentions (sumProps accumulation, not 'last batch wins')
     val totalSupport = state.edges.get.agg(sum("support")).head().getLong(0)
     assert(totalSupport == batchTriples.count())
+
+    // same for node mention counts: every subj+obj mention counted once
+    val totalMentions = state.nodes.get.agg(sum("mention_count")).head().getLong(0)
+    assert(totalMentions == 2 * batchTriples.count())
+
+    // per-edge support matches the batch truth exactly, not just in total
+    val gotSupport = state.edges.get.select("src_id", "dst_id", "rel_type", "support")
+      .collect().map(r => ((r.getLong(0), r.getLong(1), r.getString(2)), r.getLong(3))).toMap
+    val wantSupport = batchState.edges.get.select("src_id", "dst_id", "rel_type", "support")
+      .collect().map(r => ((r.getLong(0), r.getLong(1), r.getString(2)), r.getLong(3))).toMap
+    assert(gotSupport == wantSupport)
   }
 
   test("windowed turn-rate aggregation (watermark + tumbling window)") {
