@@ -168,11 +168,43 @@ object Queries {
       .groupBy("status").agg(count(lit(1)).as("n")).orderBy("status")
   }
 
-  /** A6 — property-key union across heterogeneous rows (JSON props). */
-  def propKeyUnion(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "events")
-      .select(explode(json_object_keys(col("props"))).as("key"))
-      .distinct().orderBy("key")
+  /** A6 — property-key union across heterogeneous rows (nodeset.py:220-233).
+    * Two batches with DISJOINT property columns merge into one node table;
+    * the key union is {o_cnt, f_price} and the per-key non-null counts prove
+    * the rows really are heterogeneous (each key present on only its
+    * batch's rows).
+    */
+  def propKeyUnion(s: SparkSession, dir: String): DataFrame = {
+    val spec = NodeSpec(Seq("Cust"), Seq("uuid"))
+    val orders = t(s, dir, "orders")
+    val b1 = orders.filter(col("o_orderstatus") === "O")
+      .groupBy(col("o_custkey").as("uuid")).agg(count(lit(1)).as("o_cnt"))
+    val b2 = orders.filter(col("o_orderstatus") === "F")
+      .groupBy(col("o_custkey").as("uuid")).agg(count(lit(1)).as("f_price"))
+    val m = NodeSetOps.merge(Some(NodeSetOps.merge(None, b1, spec)), b2, spec)
+    val keys = NodeSetOps.allPropertyKeys(m, spec).sorted
+    require(keys == Seq("f_price", "o_cnt"), s"key union mismatch: $keys")
+    m.agg(count(col("f_price")).as("f"), count(col("o_cnt")).as("o"))
+      .select(explode(map(
+        lit("f_price"), col("f"), lit("o_cnt"), col("o"))).as(Seq("key", "n_nonnull")))
+      .orderBy("key")
+  }
+
+  /** B2-override — per-call `preserve` kwarg beats the spec for one merge
+    * call only (nodeset.py:186-196): cnt updates, first_status is kept.
+    */
+  def mergeOverride(s: SparkSession, dir: String): DataFrame = {
+    val spec = NodeSpec(Seq("Cust"), Seq("uuid")) // NO preserve in the spec
+    val orders = t(s, dir, "orders")
+    def batch(status: String) = orders.filter(col("o_orderstatus") === status)
+      .groupBy(col("o_custkey").as("uuid"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("first_status", lit(status))
+    val m1 = NodeSetOps.merge(None, batch("O"), spec)
+    NodeSetOps.merge(Some(m1), batch("F"), spec,
+        preserve = Some(Seq("first_status")))
+      .select("uuid", "cnt", "first_status")
+  }
 
   // ---------- OGM read path over a customer/orders graph ----------
 
@@ -270,6 +302,67 @@ object Queries {
     val e = g2.edges.count()
     import s.implicits._
     Seq((n, e)).toDF("n_customers", "n_edges")
+  }
+
+  /** B9 — parameterized raw SQL over the graph's views: named args bind as
+    * literals (spark.sql(sql, args)), never spliced.
+    */
+  def rawQueryGate(s: SparkSession, dir: String): DataFrame = {
+    val g = custOrderGraph(s, dir)
+    g.rawQuery(
+      """SELECT seg, count(*) AS n FROM nodes
+        |WHERE array_contains(labels, 'Customer') AND seg <> :seg
+        |GROUP BY seg ORDER BY seg""".stripMargin,
+      Seq("seg"), Map("seg" -> "BUILDING"))
+  }
+
+  /** B11 — targeted edge delete: PLACED edges from BUILDING customers to
+    * F-status orders are removed; LOCATED edges untouched.
+    */
+  def edgeDelete(s: SparkSession, dir: String): DataFrame = {
+    val g = custOrderGraph(s, dir)
+    val g2 = g.deleteEdges("PLACED",
+      srcFilter = Seq(FieldFilter("seg", FilterOp.Eq, "BUILDING")),
+      dstFilter = Seq(FieldFilter("status", FilterOp.Eq, "F")),
+      keys = Seq("key"))
+    g2.edges.groupBy("rel_type").agg(count(lit(1)).as("n")).orderBy("rel_type")
+  }
+
+  /** A8 — snapshot/resume: the same staged pipeline runs twice into one
+    * workDir; the second run must SKIP both committed stages (asserted) and
+    * read back the identical snapshot.
+    */
+  def resume(s: SparkSession, dir: String): DataFrame = {
+    import graft.io.StageRunner
+    val wd = java.nio.file.Files.createTempDirectory("graft-q-resume").toString
+    def build(runner: StageRunner): DataFrame = {
+      val ev = runner.stage("ev_filtered")(
+        t(s, dir, "events").filter(col("event_type") =!= "error"))
+      runner.stage("ev_stats")(
+        ev.groupBy("event_type").agg(count(lit(1)).as("n"),
+          min(col("ts")).as("first_ts"), max(col("ts")).as("last_ts")))
+    }
+    val r1 = new StageRunner(s, wd)
+    try build(r1).count() finally r1.close()
+    val r2 = new StageRunner(s, wd)
+    try {
+      require(r2.log.isCommitted("ev_filtered") && r2.log.isCommitted("ev_stats"),
+        "first run must have committed both stages")
+      build(r2).orderBy("event_type") // resume path: reads snapshots only
+    } finally r2.close()
+  }
+
+  /** B6-temporal — timestamp predicates through the FieldFilter algebra
+    * (reference date/datetime matching, test_model.py:1259-1430).
+    */
+  def temporalFilter(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events").withColumn("labels", array(lit("Event")))
+    val g = Graph(ev, s.emptyDataFrame)
+    g.matchNodes(Seq("Event"),
+        FieldFilter("ts", FilterOp.Ge, to_timestamp(lit("2024-01-10 00:00:00"))),
+        FieldFilter("ts", FilterOp.Lt, to_timestamp(lit("2024-01-20 00:00:00"))),
+        FieldFilter("event_type", FilterOp.Eq, "click"))
+      .select("event_id", "ts")
   }
 
   // ---------- training-data ops over documents/embeddings/events ----------

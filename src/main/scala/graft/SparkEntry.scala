@@ -25,6 +25,7 @@ object SparkEntry {
     "q_labels_accum"         -> (Queries.labelsAccum _),
     "q_multikey_merge"       -> (Queries.multikeyMerge _),
     "q_nodeset_merge_append" -> (Queries.nodesetMergeAppend _),
+    "q_merge_override"       -> (Queries.mergeOverride _),
     "q_relset_resolve"       -> (Queries.relsetResolve _),
     "q_relset_merge_idem"    -> (Queries.relsetMergeIdem _),
     "q_relset_arraykey"      -> (Queries.relsetArrayContains _),
@@ -34,6 +35,10 @@ object SparkEntry {
     "q_traverse_reverse"     -> (Queries.traverseReverse _),
     "q_traverse_2hop"        -> (Queries.traverse2hop _),
     "q_detach_delete"        -> (Queries.detachDelete _),
+    "q_raw_query"            -> (Queries.rawQueryGate _),
+    "q_edge_delete"          -> (Queries.edgeDelete _),
+    "q_resume"               -> (Queries.resume _),
+    "q_temporal_filter"      -> (Queries.temporalFilter _),
     // training-data ops: dedup family
     "q_dedup_exact"          -> (Queries.dedupExact _),
     "q_ngram_jaccard"        -> (Queries.ngramJaccard _),
@@ -70,7 +75,51 @@ object SparkEntry {
         |GROUP BY status ORDER BY status""".stripMargin,
 
     "q_prop_key_union" ->
-      """SELECT DISTINCT unnest(json_keys(props)) AS key FROM events ORDER BY key""".stripMargin,
+      """WITH o AS (SELECT o_custkey AS uuid, count(*) AS o_cnt
+        |           FROM orders WHERE o_orderstatus='O' GROUP BY 1),
+        |     f AS (SELECT o_custkey AS uuid, count(*) AS f_price
+        |           FROM orders WHERE o_orderstatus='F' GROUP BY 1),
+        |     m AS (SELECT o.o_cnt, f.f_price
+        |           FROM o FULL OUTER JOIN f ON o.uuid = f.uuid)
+        |SELECT 'f_price' AS key, CAST(count(f_price) AS BIGINT) AS n_nonnull FROM m
+        |UNION ALL
+        |SELECT 'o_cnt', CAST(count(o_cnt) AS BIGINT) FROM m
+        |ORDER BY key""".stripMargin,
+
+    "q_merge_override" ->
+      """WITH o AS (SELECT o_custkey AS uuid, count(*) AS cnt, 'O' AS first_status
+        |           FROM orders WHERE o_orderstatus='O' GROUP BY 1),
+        |     f AS (SELECT o_custkey AS uuid, count(*) AS cnt, 'F' AS first_status
+        |           FROM orders WHERE o_orderstatus='F' GROUP BY 1)
+        |SELECT COALESCE(f.uuid, o.uuid) AS uuid,
+        |       COALESCE(f.cnt, o.cnt) AS cnt,
+        |       COALESCE(o.first_status, f.first_status) AS first_status
+        |FROM o FULL OUTER JOIN f ON o.uuid = f.uuid""".stripMargin,
+
+    "q_raw_query" ->
+      """SELECT c_mktsegment AS seg, count(*) AS n FROM customer
+        |WHERE c_mktsegment <> 'BUILDING'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_edge_delete" ->
+      """WITH placed AS (SELECT o_orderstatus AS st, c_mktsegment AS seg
+        |                FROM orders JOIN customer ON o_custkey = c_custkey)
+        |SELECT 'LOCATED' AS rel_type, (SELECT count(*) FROM customer) AS n
+        |UNION ALL
+        |SELECT 'PLACED', (SELECT count(*) FROM placed
+        |                  WHERE NOT (seg = 'BUILDING' AND st = 'F'))
+        |ORDER BY rel_type""".stripMargin,
+
+    "q_resume" ->
+      """SELECT event_type, count(*) AS n, min(ts) AS first_ts, max(ts) AS last_ts
+        |FROM events WHERE event_type <> 'error'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_temporal_filter" ->
+      """SELECT event_id, ts FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+        |  AND ts <  TIMESTAMP '2024-01-20 00:00:00'
+        |  AND event_type = 'click'""".stripMargin,
 
     "q_nodeset_create" ->
       """SELECT c_custkey AS uuid, c_name AS key FROM customer

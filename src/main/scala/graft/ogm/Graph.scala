@@ -107,16 +107,61 @@ final case class Graph(nodes: DataFrame, edges: DataFrame) {
   /** B9 — raw SQL escape hatch: the caller registers views and runs
     * arbitrary SQL; result must be node-shaped (we enforce the merge-key
     * columns exist, the analogue of "must bind n").
+    *
+    * `args` are bound as NAMED PARAMETERS (`:name` placeholders) through
+    * Spark's parameterized-query API — values stay literals, never spliced
+    * into the SQL text, mirroring `CypherQuery(query, params)`
+    * (model.py:16-22) and its injection-safety contract
+    * (test_error_handling.py:233-264).
     */
-  def rawQuery(sql: String, requiredCols: Seq[String]): DataFrame = {
+  def rawQuery(sql: String, requiredCols: Seq[String],
+               args: Map[String, Any] = Map.empty): DataFrame = {
     val spark = nodes.sparkSession
     nodes.createOrReplaceTempView("nodes")
     edges.createOrReplaceTempView("edges")
-    val out = spark.sql(sql)
+    val out = if (args.isEmpty) spark.sql(sql) else spark.sql(sql, args)
     val missing = requiredCols.filterNot(out.columns.contains)
     require(missing.isEmpty,
       s"raw query must return node-shaped rows; missing: ${missing.mkString(",")}")
     out
+  }
+
+  /** Typed read path — the `Dataset[T]` form of the reference's rehydration
+    * of query rows into validated model instances (model.py:450-451,531-532).
+    * The encoder maps the node table's columns onto T's fields (extra node
+    * columns are projected away; a missing field fails fast here, like a
+    * missing model attribute).
+    *
+    * `constraints` are validation-on-read (Pydantic's field validators,
+    * model.py:641-664): every returned row must satisfy them, and a
+    * violating row RAISES at materialization — distributed, inside the scan,
+    * not a driver-side post-check. Filters merely select; constraints assert.
+    */
+  def matchNodesAs[T](labels: Seq[String],
+                      filters: Seq[FieldFilter] = Nil,
+                      constraints: Seq[FieldFilter] = Nil)
+                     (implicit enc: org.apache.spark.sql.Encoder[T]): org.apache.spark.sql.Dataset[T] = {
+    val df = matchNodes(labels, filters: _*)
+    val fields = enc.schema.fieldNames.toSeq
+    val missing = fields.filterNot(df.columns.contains)
+    require(missing.isEmpty,
+      s"node table lacks model fields: ${missing.mkString(",")} (model rehydration)")
+    val badConstraints = constraints.map(_.field).filterNot(fields.contains)
+    require(badConstraints.isEmpty,
+      s"constraints on non-model fields: ${badConstraints.mkString(",")}")
+    val projected = df.select(fields.map(col): _*)
+    val checked = constraints.foldLeft(projected) { (acc, c) =>
+      // when(violation, raise_error) folds the check into the projection so
+      // Catalyst cannot prune it; the NullType error branch coerces to the
+      // field's own type
+      acc.withColumn(c.field,
+        when(!c.toColumn || col(c.field).isNull,
+          raise_error(concat(
+            lit(s"validation failed: ${c.field} ${c.op} ${c.value}, got "),
+            coalesce(col(c.field).cast("string"), lit("null")))))
+          .otherwise(col(c.field)))
+    }
+    checked.as[T]
   }
 
   /** B10 — point delete with DETACH semantics: remove matching nodes AND

@@ -72,14 +72,21 @@ object FilterOp {
 final case class FieldFilter(field: String, op: FilterOp, value: Any) {
   import org.apache.spark.sql.Column
   import org.apache.spark.sql.functions.{col, lit}
+  // value may be a scalar (incl. java.sql.Timestamp/Date for temporal
+  // predicates, test_model.py:1259-1430) or a pre-built Column (e.g.
+  // to_timestamp(...) when the caller wants session-timezone parsing)
+  private def v: Column = value match {
+    case c: Column => c
+    case x         => lit(x)
+  }
   def toColumn: Column = toColumnOn(col(field))
   def toColumnOn(c: Column): Column = op match {
-    case FilterOp.Eq         => c === lit(value)
-    case FilterOp.Ne         => c =!= lit(value)
-    case FilterOp.Gt         => c > lit(value)
-    case FilterOp.Lt         => c < lit(value)
-    case FilterOp.Ge         => c >= lit(value)
-    case FilterOp.Le         => c <= lit(value)
+    case FilterOp.Eq         => c === v
+    case FilterOp.Ne         => c =!= v
+    case FilterOp.Gt         => c > v
+    case FilterOp.Lt         => c < v
+    case FilterOp.Ge         => c >= v
+    case FilterOp.Le         => c <= v
     case FilterOp.StartsWith => c.startsWith(value.toString)
     case FilterOp.EndsWith   => c.endsWith(value.toString)
     case FilterOp.Contains   => c.contains(value.toString)

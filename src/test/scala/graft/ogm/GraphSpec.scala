@@ -5,6 +5,10 @@ import graft.bulk.RelSetOps
 import graft.schema._
 import org.apache.spark.sql.functions._
 
+// top-level: Spark encoders cannot instantiate inner classes
+final case class PersonRow(name: String, age: Int, city: String)
+final case class WrongRow(name: String, salary: Double)
+
 /** OGM read-path contracts (reference: test/ogm/test_model.py). */
 class GraphSpec extends SparkSpec {
   import spark.implicits._
@@ -115,6 +119,49 @@ class GraphSpec extends SparkSpec {
     assert(out.select("name").as[String].collect().toSeq == Seq("bob", "dave"))
     intercept[IllegalArgumentException] {
       g.rawQuery("SELECT age FROM nodes", Seq("name"))
+    }
+  }
+
+  test("parameterized raw query binds named args (model.py:16-22)") {
+    val g = graph
+    val out = g.rawQuery(
+      "SELECT name, age FROM nodes WHERE city = :city AND age >= :minAge ORDER BY name",
+      Seq("name"), Map("city" -> "ny", "minAge" -> 30))
+    assert(out.select("name").as[String].collect().toSeq == Seq("alice"))
+  }
+
+  test("parameterized raw query is injection-safe (test_error_handling.py:233-264)") {
+    val g = graph
+    // the value stays a literal — it must match nothing, not break out of
+    // the predicate and return every row
+    val hostile = "' OR '1'='1"
+    val out = g.rawQuery("SELECT name FROM nodes WHERE city = :city",
+      Seq("name"), Map("city" -> hostile))
+    assert(out.count() == 0)
+  }
+
+  test("typed read path rehydrates Dataset[T] (model.py:450-451,531-532)") {
+    val g = graph
+    val ds = g.matchNodesAs[PersonRow](Seq("Person"),
+      filters = Seq(FieldFilter("city", FilterOp.Eq, "ny")))
+    val got = ds.collect().sortBy(_.name)
+    assert(got.toSeq == Seq(PersonRow("alice", 30, "ny"), PersonRow("carol", 25, "ny")))
+  }
+
+  test("typed read: constraint violation raises at materialization (model.py:641-664)") {
+    val g = graph
+    // all rows satisfy age >= 18 → fine
+    val ok = g.matchNodesAs[PersonRow](Seq("Person"),
+      constraints = Seq(FieldFilter("age", FilterOp.Ge, 18)))
+    assert(ok.count() == 4)
+    // carol (25) violates age >= 28 → the read itself fails
+    val bad = g.matchNodesAs[PersonRow](Seq("Person"),
+      constraints = Seq(FieldFilter("age", FilterOp.Ge, 28)))
+    val ex = intercept[Exception] { bad.collect() }
+    assert(ex.getMessage != null)
+    // missing model field fails fast at plan time
+    intercept[IllegalArgumentException] {
+      g.matchNodesAs[WrongRow](Seq("Person"))
     }
   }
 }
