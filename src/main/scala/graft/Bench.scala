@@ -55,6 +55,9 @@ object Bench {
     require(entryRows > 0, "entry produced no rows")
     // warm-up: JIT + parquet footer caches, then measured run
     runAll(spark, sfDir)
+    // drop warm-up persists: operators that pin their (small) results would
+    // otherwise be cache-HIT by the measured run's identical logical plans
+    spark.sharedState.cacheManager.clearCache()
     val (qTimes, kgSec) = runAll(spark, sfDir)
     val total = qTimes.values.sum + kgSec
     val kgThroughput = KgTurns / kgSec

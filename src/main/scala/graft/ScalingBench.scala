@@ -20,12 +20,22 @@ object ScalingBench {
 
     val phase = if (args.length > 2) args(2) else "full"
 
+    def deleteRec(p: java.nio.file.Path): Unit = {
+      import scala.jdk.CollectionConverters._
+      if (java.nio.file.Files.exists(p)) {
+        java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.deleteIfExists(_))
+      }
+    }
+
     def job(spark: org.apache.spark.sql.SparkSession, n: Long, cpus: Int): Unit = {
       val turnsDf = kg.TranscriptGen.turns(spark, n, cpus * 2).toDF()
+      var tmpPin: Option[java.nio.file.Path] = None
       val out = phase match {
         case "gen"       => turnsDf
         case "extract"   => kg.Extract.triplesRaw(turnsDf)
         case "nopersist" => kg.Pipeline.triplesInMemory(turnsDf, persistRaw = false)
+        case "mempin"    => kg.Pipeline.triplesInMemory(turnsDf) // columnar memory cache
         case "ckpt" =>
           // variant: raw pinned via localCheckpoint (no columnar compression)
           val raw = kg.Extract.triplesRaw(turnsDf).localCheckpoint(false)
@@ -42,9 +52,19 @@ object ScalingBench {
           raw
             .join(cm.withColumnRenamed("surface", "subj_surface").withColumnRenamed("canonical", "subj"), Seq("subj_surface"))
             .join(cm.withColumnRenamed("surface", "obj_surface").withColumnRenamed("canonical", "obj"), Seq("obj_surface"))
-        case _           => kg.Pipeline.triplesInMemory(turnsDf)
+        case _ =>
+          // default "full" = the staged-pipeline layout: raw triples pinned
+          // as ONE parquet snapshot (dictionary-encoded strings; the
+          // surface-mining scan column-prunes to the two surface columns).
+          // Measured best of the four pinning strategies at 24M/48M turns —
+          // see BENCH/BASELINE.md §3.
+          val dir = java.nio.file.Files.createTempDirectory("graft-scaling-pq")
+          tmpPin = Some(dir)
+          kg.Pipeline.triplesInMemory(turnsDf, persistRaw = false,
+            parquetPin = Some(dir.toString))
       }
-      out.write.format("noop").mode("overwrite").save()
+      try out.write.format("noop").mode("overwrite").save()
+      finally tmpPin.foreach(deleteRec)
     }
 
     def measure(cpus: Int): Double = {

@@ -101,16 +101,29 @@ object Pipeline {
     * benchmarks where snapshot/resume isn't the point.
     */
   def triplesInMemory(turns: DataFrame, persistRaw: Boolean = true,
-                      smallThreshold: Long = Canonicalize.DefaultSmallThreshold): DataFrame = {
-    // triplesRaw fans out to two scans (surface mining, final join) — persist
-    // it or the full extraction runs per consumer. This mirrors what
-    // Pipeline.run gets from its stage materialization. persistRaw=false
-    // trades the (memory-bandwidth-bound) cache scan for a second
-    // (compute-bound, better-scaling) extraction pass.
+                      smallThreshold: Long = Canonicalize.DefaultSmallThreshold,
+                      parquetPin: Option[String] = None): DataFrame = {
+    // triplesRaw fans out to two scans (surface mining, final join) — pin it
+    // or the full extraction runs per consumer. Three pinning strategies:
+    //   - parquetPin=Some(dir): write one parquet snapshot and read both
+    //     consumers from it (the staged-pipeline layout) — dictionary-encoded
+    //     strings, and the surface-mining scan COLUMN-PRUNES to the two
+    //     surface columns instead of decompressing all five;
+    //   - persistRaw=true: columnar memory cache (no disk write, but the
+    //     mining scan decompresses every cached column);
+    //   - persistRaw=false: recompute extraction per consumer — 2× compute,
+    //     zero pinned state; the compute scales at the CPU ceiling, so this
+    //     trades absolute speed for scaling headroom.
     val raw0 = Extract.triplesRaw(turns)
-    val triplesRaw =
-      if (persistRaw) raw0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      else raw0
+    val triplesRaw = parquetPin match {
+      case Some(dir) =>
+        val spark = turns.sparkSession
+        raw0.write.mode("overwrite").parquet(dir)
+        spark.read.parquet(dir)
+      case None if persistRaw =>
+        raw0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      case None => raw0
+    }
     // surfaces is tiny (distinct mention strings); pinning it means the two
     // downstream consumers (LSH blocking, canonical-map build) do NOT each
     // re-scan the full triple set

@@ -54,16 +54,43 @@ object Multimodal {
         lit("synthetic").as("codec")).as("meta"))
   }
 
-  /** Size-aware repartition before the decode stage: spread by payload
-    * bytes so a partition holds ~targetBytes of media, not ~equal row
-    * counts — the thing that matters when one video is 10,000× one image.
+  /** Size-aware repartition before the decode stage: ASSIGN rows to
+    * partitions by cumulative payload bytes, so a partition holds
+    * ~targetBytes of media regardless of row-size skew — the thing that
+    * matters when one video is 10,000× one image.
+    *
+    * Shape: (1) per-input-partition byte subtotals — one tiny row per
+    * partition, collected to the driver for the prefix offsets (the same
+    * O(numPartitions) driver state every range partitioner keeps);
+    * (2) per-row running byte sum via a window partitioned by the INPUT
+    * partition id (never a global window) plus the prefix offset;
+    * (3) bucket = floor(start_offset / targetBytes), range-partitioned so
+    * each output partition is one contiguous byte bucket. Max partition
+    * bytes <= targetBytes + the largest single payload.
     */
   def repartitionBySize(media: DataFrame, targetBytesPerPartition: Long): DataFrame = {
     val spark = media.sparkSession
-    val totalBytes = media.agg(sum(length(col("payload")))).head().getLong(0)
-    val parts = math.max(1, (totalBytes / targetBytesPerPartition).toInt)
-    // salt by id so same-size rows spread; hash partitioning on a uniform key
-    media.repartition(parts, col("media_id"))
+    import spark.implicits._
+    require(targetBytesPerPartition > 0, "targetBytesPerPartition must be positive")
+    val withPid = media
+      .withColumn("_pid", spark_partition_id())
+      .withColumn("_ord", monotonically_increasing_id())
+      .withColumn("_bytes", coalesce(length(col("payload")).cast("long"), lit(0L)))
+    val subtotals = withPid.groupBy("_pid").agg(sum(col("_bytes")).as("_psum"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    val offsets = subtotals.scanLeft((0, 0L)) { case ((_, acc), (pid, b)) => (pid, acc + b) }
+    val offsetDf = subtotals.map(_._1).zip(offsets.map(_._2)).toSeq
+      .toDF("_pid", "_offset")
+    val totalBytes = subtotals.map(_._2).sum
+    val nBuckets = math.max(1, math.ceil(totalBytes.toDouble / targetBytesPerPartition).toInt)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("_pid").orderBy("_ord")
+    withPid.join(broadcast(offsetDf), Seq("_pid"))
+      // cumulative bytes BEFORE this row = running sum minus own bytes
+      .withColumn("_cum", sum(col("_bytes")).over(w) + col("_offset") - col("_bytes"))
+      .withColumn("_bucket", floor(col("_cum") / targetBytesPerPartition))
+      .repartitionByRange(nBuckets, col("_bucket"), col("_ord"))
+      .drop("_pid", "_ord", "_bytes", "_offset", "_cum", "_bucket")
   }
 
   /** ===== STUBBED KERNEL =====
