@@ -20,7 +20,8 @@ object PlanCheck {
       "q_nodeset_merge",   // full-outer merge shape
       "q_dedup_exact",     // window over hash
       "q_kg_triples",      // agg pushdown/pruning
-      "q_ann_topk"         // broadcast NL join + window
+      "q_ann_topk",        // broadcast NL join + window
+      "q_ann_ivf"          // centroid pick MUST be TakeOrderedAndProject
     )
     for (name <- interesting) {
       println(s"\n================ $name ================")
@@ -32,8 +33,13 @@ object PlanCheck {
       val schemas = "ReadSchema: [^\n]*".r.findAllIn(plan).toList
       val joins = plan.linesIterator.filter(l =>
         l.contains("Join") && l.contains("(")).map(_.trim.takeWhile(_ != '(')).toList
+      // a SinglePartition exchange funnels the stage through ONE task — only
+      // acceptable when its input is already bounded (e.g. TakeOrdered's
+      // driver merge); flag every occurrence for eyeballing
+      val singleExchanges = "Exchange SinglePartition".r.findAllIn(plan).size
       println(s"[plancheck] $name pushedFilters=${pushed.size} " +
-        s"joins=${joins.mkString(",")} readSchemas=${schemas.size}")
+        s"joins=${joins.mkString(",")} readSchemas=${schemas.size} " +
+        s"singlePartitionExchanges=$singleExchanges")
       schemas.foreach(s => println(s"[plancheck]   $s"))
     }
     spark.stop()

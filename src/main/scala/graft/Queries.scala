@@ -304,6 +304,23 @@ object Queries {
     Seq((n, e)).toDF("n_customers", "n_edges")
   }
 
+  /** A5 — exact sequential batch boundaries (utils.py:20-32, BATCHSIZE
+    * chunking; exactness tests test_nodeset.py:394-483). Batch ids assigned
+    * by a TOTAL ingest order (the 6-column composite is unique in this
+    * data); per-batch count + orderkey range checks the boundary placement,
+    * not just the row count.
+    */
+  def batching(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val ord = struct(col("l_orderkey"), col("l_partkey"), col("l_linenumber"),
+      col("l_suppkey"), col("l_quantity"), col("l_extendedprice"))
+    graft.io.Batching.withBatchId(li, ord, 1000)
+      .groupBy(col("_graft_batch").as("batch"))
+      .agg(count(lit(1)).as("n"),
+        min(col("l_orderkey")).as("min_ok"), max(col("l_orderkey")).as("max_ok"))
+      .orderBy("batch")
+  }
+
   /** B9 — parameterized raw SQL over the graph's views: named args bind as
     * literals (spark.sql(sql, args)), never spliced.
     */

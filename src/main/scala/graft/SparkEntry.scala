@@ -18,6 +18,7 @@ object SparkEntry {
     // graphio bulk semantics (SURVEY §2 A1-A6, B1-B4)
     "q_ingest_defaults"      -> (Queries.ingestDefaults _),
     "q_unique_edges"         -> (Queries.uniqueEdges _),
+    "q_batching"             -> (Queries.batching _),
     "q_prop_key_union"       -> (Queries.propKeyUnion _),
     "q_nodeset_create"       -> (Queries.nodesetCreate _),
     "q_nodeset_dedup"        -> (Queries.nodesetDedup _),
@@ -85,6 +86,17 @@ object SparkEntry {
         |UNION ALL
         |SELECT 'o_cnt', CAST(count(o_cnt) AS BIGINT) FROM m
         |ORDER BY key""".stripMargin,
+
+    "q_batching" ->
+      """WITH r AS (
+        |  SELECT l_orderkey,
+        |         row_number() OVER (ORDER BY l_orderkey, l_partkey,
+        |           l_linenumber, l_suppkey, l_quantity, l_extendedprice) AS rn
+        |  FROM lineitem)
+        |SELECT CAST(floor((rn - 1) / 1000) AS BIGINT) AS batch,
+        |       count(*) AS n,
+        |       min(l_orderkey) AS min_ok, max(l_orderkey) AS max_ok
+        |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_merge_override" ->
       """WITH o AS (SELECT o_custkey AS uuid, count(*) AS cnt, 'O' AS first_status

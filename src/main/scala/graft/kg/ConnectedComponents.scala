@@ -77,8 +77,41 @@ object ConnectedComponents {
     (r.getLong(0), if (r.isNullAt(1)) BigDecimal(0) else BigDecimal(r.getDecimal(1)))
   }
 
+  /** Edge graphs at or below this size are solved with a driver-local
+    * union-find instead of iterated distributed rounds — the same adaptive
+    * move Spark makes when it collects a small join side to broadcast. Each
+    * large-star/small-star round costs 2 shuffles + 1 action of driver-serial
+    * latency; a 10^5-edge graph pays seconds of round-trips for work a local
+    * union-find does in milliseconds. Both paths produce the identical
+    * (id, min-id component) assignment (asserted in ConnectedComponentsSpec).
+    */
+  val DefaultLocalThreshold = 100000L
+
+  /** Driver-local union-find (path halving, min-id roots). */
+  private def localAssign(pairs: Array[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.LongMap.empty[Long]
+    def find(x0: Long): Long = {
+      var x = x0
+      var p = parent.getOrElse(x, x)
+      while (p != x) {
+        val gp = parent.getOrElse(p, p)
+        parent.update(x, gp)
+        x = gp
+        p = parent.getOrElse(x, x)
+      }
+      x
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) { if (ra < rb) parent.update(rb, ra) else parent.update(ra, rb) }
+    }
+    val ids = pairs.iterator.flatMap(p => Iterator(p._1, p._2)).toSet
+    ids.iterator.map(id => id -> find(id)).toMap
+  }
+
   /** Returns (id, component) for every node id appearing in `edges`. */
-  def run(edges: DataFrame, maxIter: Int = 25): DataFrame = {
+  def run(edges: DataFrame, maxIter: Int = 25,
+          localThreshold: Long = DefaultLocalThreshold): DataFrame = {
     val spark = edges.sparkSession
     val e0 = edges
       .select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
@@ -90,6 +123,17 @@ object ConnectedComponents {
       .distinct()
       .localCheckpoint(false)
     var fp = fingerprint(e)
+
+    if (fp._1 > 0 && fp._1 <= localThreshold) {
+      // small graph: e is already materialized by the fingerprint action —
+      // collect it and solve exactly in the driver
+      import spark.implicits._
+      val pairs = e.as[(Long, Long)].collect()
+      val assign = spark.createDataset(localAssign(pairs).toSeq)
+        .toDF("id", "component")
+      return allNodes.join(assign, Seq("id"), "left_outer")
+        .select(col("id"), coalesce(col("component"), col("id")).as("component"))
+    }
 
     var converged = fp._1 == 0
     var i = 0

@@ -24,10 +24,19 @@ class ConnectedComponentsSpec extends SparkSpec {
     byRoot.flatMap { case (_, ns) => val m = ns.min; ns.map(_ -> m) }.toMap
   }
 
+  /** Both paths — the driver-local union-find (small-graph gate) and the
+    * distributed large-star/small-star rounds (localThreshold=0 forces it) —
+    * must produce the identical min-id assignment.
+    */
   def check(edges: Seq[(Long, Long)]): Unit = {
-    val got = ConnectedComponents.run(edges.toDF("src", "dst"))
+    val want = ufComponents(edges)
+    val local = ConnectedComponents.run(edges.toDF("src", "dst"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(got == ufComponents(edges))
+    assert(local == want)
+    val distributed = ConnectedComponents.run(edges.toDF("src", "dst"),
+        localThreshold = 0)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(distributed == want)
   }
 
   test("two simple components") {
