@@ -417,6 +417,14 @@ object Queries {
     Dedup.minhashLshPairs(t(s, dir, "documents"), 0.9)
       .withColumn("jaccard", round(col("jaccard"), 6))
 
+  /** MinHash-LSH dedup: drop whole near-dup components (CC over the pair
+    * graph), keep min doc_id. Oracle = recursive-CTE components over the
+    * exact-Jaccard pair set (valid at θ=0.9: LSH miss prob ≈ 3e-12).
+    */
+  def minhashDedup(s: SparkSession, dir: String): DataFrame =
+    Dedup.minhashLshDedup(t(s, dir, "documents"), 0.9)
+      .select("doc_id", "n_chars")
+
   /** SimHash near-dup pairs, hamming <= 3. */
   def simhashPairs(s: SparkSession, dir: String): DataFrame =
     Dedup.simhashPairs(t(s, dir, "documents"), 3)

@@ -44,6 +44,7 @@ object SparkEntry {
     "q_dedup_exact"          -> (Queries.dedupExact _),
     "q_ngram_jaccard"        -> (Queries.ngramJaccard _),
     "q_minhash_pairs"        -> (Queries.minhashPairs _),
+    "q_minhash_dedup"        -> (Queries.minhashDedup _),
     "q_simhash_pairs"        -> (Queries.simhashPairs _),
     // similarity search
     "q_ann_topk"             -> (Queries.annBruteForce _),
@@ -325,6 +326,31 @@ object SparkEntry {
         |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
         |WHERE len(list_intersect(a.s, b.s)) * 1.0 /
         |      (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.9""".stripMargin,
+
+    // components over the exact-Jaccard >= 0.9 pair graph; drop non-min ids
+    "q_minhash_dedup" ->
+      """WITH RECURSIVE t AS (
+        |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS w
+        |  FROM documents),
+        |sh AS (SELECT doc_id,
+        |  CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+        |       ELSE list_distinct(list_transform(range(1, len(w) - 1),
+        |              i -> array_to_string(w[i:i+2], ' ')))
+        |  END AS s FROM t),
+        |pairs AS (
+        |  SELECT a.doc_id AS a, b.doc_id AS b
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE len(list_intersect(a.s, b.s)) * 1.0 /
+        |        (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.9),
+        |und AS (SELECT a, b FROM pairs UNION SELECT b, a FROM pairs),
+        |reach(n, m) AS (
+        |  SELECT a, a FROM und
+        |  UNION
+        |  SELECT r.n, u.b FROM reach r JOIN und u ON r.m = u.a),
+        |losers AS (
+        |  SELECT n AS id FROM reach GROUP BY n HAVING n <> min(m))
+        |SELECT doc_id, n_chars FROM documents
+        |WHERE doc_id NOT IN (SELECT id FROM losers)""".stripMargin,
 
     "q_kg_triples" ->
       """SELECT 'user:' || user_id AS subj, event_type AS pred,
