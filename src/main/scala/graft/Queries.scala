@@ -539,6 +539,33 @@ object Queries {
       .agg(count(lit(1)).as("n"))
       .select(col("window.start").as("win_start"), col("event_type"), col("n"))
 
+  /** Stateful sessionization (flatMapGroupsWithState) in its BATCH face:
+    * events reshaped as transcript turns (user = conversation, ordinal =
+    * turn_idx), one cumulative snapshot row per conversation. The streaming
+    * face (micro-batch accumulation + event-time-timeout close) is spec-
+    * tested in SessionTrackerSpec; batch/SQL parity is what the oracle can
+    * check.
+    */
+  def sessionize(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val turns = t(s, dir, "events").select(
+        col("user_id").cast("string").as("conv_id"),
+        (row_number().over(w) - 1).as("turn_idx"),
+        col("event_type").as("role"),
+        lit("").as("text"),
+        lit(null).cast("string").as("tool"),
+        col("ts"))
+      .as[graft.schema.TranscriptTurn]
+    graft.streaming.SessionTracker.sessionize(turns, gapMs = 0L).toDF()
+      // the source ts is timestamp_ntz; the encoder round-trip produced
+      // (session-tz) timestamp — cast back so the parquet dump carries the
+      // same int64-µs NTZ type the oracle compares against (UTC session ⇒
+      // wall clock preserved)
+      .withColumn("first_ts", col("first_ts").cast("timestamp_ntz"))
+      .withColumn("last_ts", col("last_ts").cast("timestamp_ntz"))
+  }
+
   /** Multimodal plumbing (stubbed decode kernel) — rows-only smoke. */
   def multimodal(s: SparkSession, dir: String): DataFrame = {
     import graft.ops.Multimodal

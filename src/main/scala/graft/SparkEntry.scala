@@ -62,6 +62,7 @@ object SparkEntry {
     "q_cc_events"            -> (Queries.ccEvents _),
     "q_conv_stats"           -> (Queries.convStats _),
     "q_window_agg"           -> (Queries.windowAgg _),
+    "q_sessionize"           -> (Queries.sessionize _),
     // multimodal plumbing (stub kernel)
     "q_multimodal"           -> (Queries.multimodal _)
   )
@@ -382,6 +383,21 @@ object SparkEntry {
       """SELECT time_bucket(INTERVAL '5 minutes', ts) AS win_start,
         |       event_type, count(*) AS n
         |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "q_sessionize" ->
+      """WITH r AS (
+        |  SELECT user_id, event_type, ts,
+        |         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        |  FROM events),
+        |agg AS (
+        |  SELECT user_id, count(*) AS n_turns, min(ts) AS first_ts,
+        |         max(ts) AS last_ts, max(rn) AS maxrn
+        |  FROM r GROUP BY 1)
+        |SELECT CAST(a.user_id AS VARCHAR) AS conv_id,
+        |       CAST(a.n_turns AS BIGINT) AS n_turns,
+        |       a.first_ts, a.last_ts,
+        |       r.event_type AS last_role, false AS closed
+        |FROM agg a JOIN r ON r.user_id = a.user_id AND r.rn = a.maxrn""".stripMargin,
 
     "q_conv_stats" ->
       """SELECT user_id, count(*) AS n_events,

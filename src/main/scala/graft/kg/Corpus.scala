@@ -59,9 +59,15 @@ object Corpus {
 
   /** Capitalized name, optionally with a corporate suffix; longest
     * alternative first so backtracking isn't needed for the final capture.
+    * Possessive quantifiers (`++`/`*+`): the name tokens can never give
+    * characters back to the rest of the pattern here (the next element is
+    * always a space), so possessive matching is semantics-preserving and
+    * lets failed attempts at non-triple capitalized words (sentence starts,
+    * lone names) fail immediately instead of backtracking through the
+    * token. This regex runs once per text in the dominant extraction stage.
     */
   val EntPattern: String =
-    "(?:[A-Z][a-z]+[a-zA-Z]*(?: (?:Corporation|Corp|Inc))?|" + tools.mkString("|") + ")"
+    "(?:[A-Z][a-z]++[a-zA-Z]*+(?: (?:Corporation|Corp|Inc))?|" + tools.mkString("|") + ")"
 
   val PredPattern: String =
     "(?:" + predicates.map(_._1).sortBy(-_.length).mkString("|") + ")"
