@@ -73,6 +73,17 @@ class ErrorHandlingSpec extends SparkSpec {
     assert(out.count() == 0)
   }
 
+  test("invalid SQL syntax in rawQuery surfaces the parse error (test_error_handling.py:195-209)") {
+    val g = graft.ogm.Graph(
+      Seq((1L, "x")).toDF("key", "v").withColumn("labels", array(lit("N"))),
+      spark.emptyDataFrame)
+    val e = intercept[Exception] {
+      g.rawQuery("SELEKT key FROM nodes", Seq("key")).collect()
+    }
+    assert(e.getClass.getName.toLowerCase.contains("parse") ||
+      e.getMessage.toLowerCase.contains("syntax"), e.toString)
+  }
+
   test("malformed raw-query result is rejected with the missing columns named") {
     val g = graft.ogm.Graph(
       Seq((1L, Seq("A"))).toDF("k", "labels"),
