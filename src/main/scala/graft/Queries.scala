@@ -190,6 +190,31 @@ object Queries {
       .orderBy("key")
   }
 
+  /** A10 — cluster-by-merge-keys (the columnar stand-in for per-label
+    * merge-key indexes, utils.py:35-63): after clustering, every key lives
+    * in EXACTLY one partition (n_pairs == n_keys) and partitions are sorted
+    * by key (zero adjacent inversions). Both invariants are what make
+    * downstream merges co-partitioned and scans prunable.
+    */
+  def clusterBy(s: SparkSession, dir: String): DataFrame = {
+    val spec = NodeSpec(Seq("Customer"), Seq("uuid"))
+    val rows = t(s, dir, "customer").select(col("c_custkey").as("uuid"),
+        col("c_mktsegment").as("seg"))
+      .withColumn("labels", array(lit("Customer")))
+    val cl = NodeSetOps.clusterByMergeKeys(rows, spec, 8)
+      .select(spark_partition_id().as("p"), col("uuid"),
+        monotonically_increasing_id().as("ord"))
+    val inversions = cl
+      .withColumn("prev", lag(col("uuid"), 1).over(
+        Window.partitionBy("p").orderBy("ord")))
+      .filter(col("prev").isNotNull && col("prev") > col("uuid"))
+      .count()
+    cl.agg(
+        countDistinct(col("uuid")).as("n_keys"),
+        countDistinct(col("p"), col("uuid")).as("n_pairs"))
+      .withColumn("n_unsorted", lit(inversions))
+  }
+
   /** B2-override — per-call `preserve` kwarg beats the spec for one merge
     * call only (nodeset.py:186-196): cnt updates, first_status is kept.
     */

@@ -19,6 +19,7 @@ object SparkEntry {
     "q_ingest_defaults"      -> (Queries.ingestDefaults _),
     "q_unique_edges"         -> (Queries.uniqueEdges _),
     "q_batching"             -> (Queries.batching _),
+    "q_cluster_by"           -> (Queries.clusterBy _),
     "q_prop_key_union"       -> (Queries.propKeyUnion _),
     "q_nodeset_create"       -> (Queries.nodesetCreate _),
     "q_nodeset_dedup"        -> (Queries.nodesetDedup _),
@@ -99,6 +100,14 @@ object SparkEntry {
         |       count(*) AS n,
         |       min(l_orderkey) AS min_ok, max(l_orderkey) AS max_ok
         |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // clustering invariant: each key in exactly one partition, partitions
+    // sorted => pairs == keys and zero inversions
+    "q_cluster_by" ->
+      """SELECT count(DISTINCT c_custkey) AS n_keys,
+        |       count(DISTINCT c_custkey) AS n_pairs,
+        |       CAST(0 AS BIGINT) AS n_unsorted
+        |FROM customer""".stripMargin,
 
     "q_merge_override" ->
       """WITH o AS (SELECT o_custkey AS uuid, count(*) AS cnt, 'O' AS first_status
