@@ -83,11 +83,13 @@ object Canonicalize {
                    smallThreshold: Long = DefaultSmallThreshold): DataFrame = {
     val spark = distinctNorms.sparkSession
     import spark.implicits._
-    val cnt = distinctNorms.count()
+    // ONE probe job instead of count-then-collect: pull up to threshold+1
+    // rows — if we got <= threshold, that set IS the complete distinct set
+    val probeN = (math.min(smallThreshold, Int.MaxValue - 1L) + 1L).toInt
+    val head = distinctNorms.limit(probeN).as[String].collect()
     val mapped =
-      if (cnt <= smallThreshold) {
-        val norms = distinctNorms.as[String].collect()
-        spark.createDataset(localMap(norms, jaccardThreshold)).toDF("norm", "canonical")
+      if (head.length <= smallThreshold) {
+        spark.createDataset(localMap(head, jaccardThreshold)).toDF("norm", "canonical")
       } else {
         distributedMap(distinctNorms, jaccardThreshold)
       }

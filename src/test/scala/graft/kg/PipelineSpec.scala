@@ -60,6 +60,20 @@ class PipelineSpec extends SparkSpec {
     assert(prL.precision >= 0.95 && prL.recall >= 0.95)
   }
 
+  test("all three raw-pinning strategies produce the identical triple multiset") {
+    val turns = TranscriptGen.turns(spark, 1200L, 8).toDF()
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("subj", "pred", "obj", "conv_id", "turn_idx")
+      .collect().map(_.toSeq).groupBy(identity).view.mapValues(_.length).toMap
+    val mem = rows(Pipeline.triplesInMemory(turns))
+    val recompute = rows(Pipeline.triplesInMemory(turns, persistRaw = false))
+    val pqDir = tmpDir("graft-pin-parity")
+    val parquet = rows(Pipeline.triplesInMemory(turns, persistRaw = false,
+      parquetPin = Some(pqDir)))
+    assert(mem == recompute)
+    assert(mem == parquet)
+  }
+
   test("entity-link scores match the oracle formula (trigram jaccard product)") {
     val n = 800L
     val got = Pipeline.triplesInMemory(TranscriptGen.turns(spark, n, 4).toDF())
