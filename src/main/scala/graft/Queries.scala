@@ -495,6 +495,19 @@ object Queries {
     Similarity.ivfTopK(embs, queries, 5, nCells = 16, nProbe = 4)
   }
 
+  /** Int8 symmetric quantization of the embedding table: per vector the
+    * scale (rounded) and exact integer aggregates of the quantized values —
+    * the engine-portable floor(x/scale + 0.5) rule makes the ints
+    * bit-identical across engines.
+    */
+  def quantize(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Quantize.table(t(s, dir, "embeddings"))
+      .select(col("vec_id"),
+        round(col("scale"), 6).as("scale"),
+        aggregate(col("q"), lit(0L), (a, x) => a + x).as("q_sum"),
+        array_min(col("q")).as("q_min"),
+        array_max(col("q")).as("q_max"))
+
   /** Embedding near-dup pairs, exact within label blocks (oracle-checkable). */
   def embedNearDup(s: SparkSession, dir: String): DataFrame = {
     val embs = t(s, dir, "embeddings").select(col("vec_id"), col("label"),

@@ -51,6 +51,7 @@ object SparkEntry {
     "q_ann_topk"             -> (Queries.annBruteForce _),
     "q_ann_ivf"              -> (Queries.annIvf _),
     "q_embed_neardup"        -> (Queries.embedNearDup _),
+    "q_quantize"             -> (Queries.quantize _),
     "q_embed_neardup_lsh"    -> (Queries.embedNearDupLsh _),
     // text analysis
     "q_token_counts"         -> (Queries.tokenCounts _),
@@ -318,6 +319,24 @@ object SparkEntry {
         |         FROM flat GROUP BY 1, 2)
         |SELECT a, b, round(dp / (sqrt(na) * sqrt(nb)), 6) AS cos
         |FROM dots WHERE round(dp / (sqrt(na) * sqrt(nb)), 6) >= 0.3""".stripMargin,
+
+    "q_quantize" ->
+      """WITH s AS (
+        |  SELECT vec_id,
+        |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e,
+        |         list_max(list_transform(embedding,
+        |           x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS scale
+        |  FROM embeddings),
+        |q AS (
+        |  SELECT vec_id, scale,
+        |         list_transform(e, x -> CASE WHEN scale = 0 THEN 0
+        |           ELSE CAST(floor(x / scale + 0.5) AS BIGINT) END) AS qs
+        |  FROM s)
+        |SELECT vec_id, round(scale, 6) AS scale,
+        |       CAST(list_sum(qs) AS BIGINT) AS q_sum,
+        |       CAST(list_min(qs) AS INTEGER) AS q_min,
+        |       CAST(list_max(qs) AS INTEGER) AS q_max
+        |FROM q""".stripMargin,
 
     // MinHash-LSH is approximate, but at jaccard >= 0.9 with 16 bands x 2
     // rows the miss probability is ~3e-12, so the exact-Jaccard SQL is a
