@@ -32,16 +32,22 @@ object ConnectedComponents {
 
   /** large-star: connect every strictly-larger neighbor of u to
     * m = min(N(u) ∪ {u}).
+    *
+    * Hub-proof formulation: an aggregate for min(v) per u, then a join back
+    * to the edge list — two exchanges on the SAME key (the join reuses the
+    * aggregation's hash partitioning). The collect_set alternative
+    * materializes each neighborhood as one array: a 10^8-degree hub in a
+    * 10^12-edge graph becomes a single multi-GB row on a single task. Here
+    * a hub is just many (u, v) rows, which AQE's skew-join splitting
+    * already knows how to spread.
     */
   private def largeStar(e: DataFrame): DataFrame = {
     val both = e.select(col("src").as("u"), col("dst").as("v"))
       .unionAll(e.select(col("dst").as("u"), col("src").as("v")))
-    val withMin = both
-      .groupBy("u")
-      .agg(min(col("v")).as("mn"), collect_set(col("v")).as("nbrs"))
-      .withColumn("m", least(col("u"), col("mn")))
-    withMin
-      .select(col("u"), col("m"), explode(col("nbrs")).as("v"))
+    val mins = both.groupBy("u")
+      .agg(min(col("v")).as("mn"))
+      .select(col("u"), least(col("u"), col("mn")).as("m"))
+    both.join(mins, "u")
       .filter(col("v") > col("u"))
       .select(col("v").as("src"), col("m").as("dst"))
       .filter(col("src") =!= col("dst"))
@@ -49,21 +55,21 @@ object ConnectedComponents {
   }
 
   /** small-star: orient edges toward the larger endpoint; connect every
-    * smaller-or-equal neighbor (and u itself) to the min.
+    * smaller neighbor (and u itself) to the min. Same hub-proof
+    * aggregate-then-join shape as [[largeStar]].
     */
   private def smallStar(e: DataFrame): DataFrame = {
     val directed = e.select(
       greatest(col("src"), col("dst")).as("u"),
       least(col("src"), col("dst")).as("v"))
-    val grouped = directed
-      .groupBy("u")
-      .agg(min(col("v")).as("m"), collect_set(col("v")).as("nbrs"))
-    grouped
-      .select(col("u"), col("m"),
-        explode(array_union(col("nbrs"), array(col("u")))).as("v"))
+    val mins = directed.groupBy("u").agg(min(col("v")).as("m"))
+    val nbrEdges = directed.join(mins, "u")
       .filter(col("v") =!= col("m"))
       .select(col("v").as("src"), col("m").as("dst"))
-      .distinct()
+    val selfEdges = mins
+      .filter(col("u") =!= col("m"))
+      .select(col("u").as("src"), col("m").as("dst"))
+    nbrEdges.unionAll(selfEdges).distinct()
   }
 
   /** Edge-set fingerprint (count + order-independent hash sum) — one job,

@@ -17,13 +17,21 @@ import graft.kg.Lsh
 object Dedup {
 
   /** Exact dedup on a normalized text key: keep the lowest id per group.
-    * One shuffle on the 64-char sha2 of the text (not the text itself —
-    * at 100 TB you shuffle 64-byte keys, not document bodies).
+    *
+    * Two-phase so DOCUMENT BODIES NEVER SHUFFLE: (1) project (id, sha2) and
+    * group — the shuffle moves 8-byte ids + 64-byte hashes with map-side
+    * partial min; (2) left-semi join the keeper ids back against the full
+    * table — ids only on the build side, broadcast when small. (A window
+    * partitioned by sha2(text) gives the same rows but drags every document
+    * body through the hash shuffle — at 100 TB that is the whole corpus
+    * through the wire for a projection's worth of information.)
     */
   def exact(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val w = Window.partitionBy(sha2(col(textCol), 256)).orderBy(col(idCol))
-    docs.withColumn("_rn", row_number().over(w))
-      .filter(col("_rn") === 1).drop("_rn")
+    val keepers = docs
+      .select(col(idCol).as("_kid"), sha2(col(textCol), 256).as("_h"))
+      .groupBy("_h").agg(min(col("_kid")).as("_kid"))
+      .select("_kid")
+    docs.join(keepers, col(idCol) === col("_kid"), "left_semi")
   }
 
   /** Pairs of exact duplicates (a < b) — the audit view of `exact`. */
