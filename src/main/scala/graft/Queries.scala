@@ -233,31 +233,34 @@ object Queries {
 
   // ---------- OGM read path over a customer/orders graph ----------
 
+  /** The OGM fixture graph, loaded through the B12 cascade API: three node
+    * sets then two relationship sets, one call (GraphLoader orders the
+    * stages). Key offsets keep the oracle arithmetic stable; label-scoped
+    * merge would disambiguate shared key values anyway.
+    */
   private def custOrderGraph(s: SparkSession, dir: String): Graph = {
+    import graft.bulk.GraphLoader.{EdgeBatch, NodeBatch}
     val cust = t(s, dir, "customer").select(
-      col("c_custkey").as("key"), col("c_mktsegment").as("seg"),
-      lit(null).cast("double").as("price"), lit(null).cast("string").as("status"))
-      .withColumn("labels", array(lit("Customer")))
+      col("c_custkey").as("key"), col("c_mktsegment").as("seg"))
     val ords = t(s, dir, "orders").select(
-      (col("o_orderkey") + lit(10000000L)).as("key"), lit(null).cast("string").as("seg"),
+      (col("o_orderkey") + lit(10000000L)).as("key"),
       col("o_totalprice").as("price"), col("o_orderstatus").as("status"))
-      .withColumn("labels", array(lit("Order")))
     val nats = t(s, dir, "nation").select(
-      (col("n_nationkey") + lit(20000000L)).as("key"), col("n_name").as("seg"),
-      lit(null).cast("double").as("price"), lit(null).cast("string").as("status"))
-      .withColumn("labels", array(lit("Nation")))
-    val nodes = cust.unionByName(ords).unionByName(nats)
-    val placedSpec = RelSpec("PLACED", Seq("Customer"), Seq("Order"),
-      Seq(EqKey("key")), Seq(EqKey("key")))
+      (col("n_nationkey") + lit(20000000L)).as("key"), col("n_name").as("seg"))
     val placed = t(s, dir, "orders").select(
       col("o_custkey").as("start_key"), (col("o_orderkey") + lit(10000000L)).as("end_key"))
-    val locatedSpec = RelSpec("LOCATED", Seq("Customer"), Seq("Nation"),
-      Seq(EqKey("key")), Seq(EqKey("key")))
     val located = t(s, dir, "customer").select(
       col("c_custkey").as("start_key"), (col("c_nationkey") + lit(20000000L)).as("end_key"))
-    val edges = RelSetOps.merge(None, placed, nodes, placedSpec)
-      .unionByName(RelSetOps.merge(None, located, nodes, locatedSpec))
-    Graph(nodes, edges)
+    graft.bulk.GraphLoader.merge(
+      nodes = Seq(
+        NodeBatch(NodeSpec(Seq("Customer"), Seq("key")), cust),
+        NodeBatch(NodeSpec(Seq("Order"), Seq("key")), ords),
+        NodeBatch(NodeSpec(Seq("Nation"), Seq("key")), nats)),
+      edges = Seq(
+        EdgeBatch(RelSpec("PLACED", Seq("Customer"), Seq("Order"),
+          Seq(EqKey("key")), Seq(EqKey("key"))), placed),
+        EdgeBatch(RelSpec("LOCATED", Seq("Customer"), Seq("Nation"),
+          Seq(EqKey("key")), Seq(EqKey("key"))), located)))
   }
 
   /** Multi-hop traversal (extension): nation ←LOCATED– customers –PLACED→

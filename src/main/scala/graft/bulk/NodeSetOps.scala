@@ -188,7 +188,12 @@ object NodeSetOps {
         val keys = spec.mergeKeys
         val tt = tAligned.withColumn("_t_exists", lit(true)).alias("t")
         val uu = uAligned.withColumn("_u_exists", lit(true)).alias("u")
-        val cond = keys.map(k => col(s"t.$k") <=> col(s"u.$k")).reduce(_ && _)
+        // label-scoped like Cypher MERGE (n:Label {keys}): only rows whose
+        // PRIMARY label matches the spec's can match — two node sets with
+        // different primary labels never collide on a shared key value
+        // (nodeset.py:269: the MERGE pattern carries the label)
+        val labelCond = element_at(col(s"t.$LabelsCol"), 1) <=> lit(spec.allLabels.head)
+        val cond = keys.map(k => col(s"t.$k") <=> col(s"u.$k")).reduce(_ && _) && labelCond
         val joined = tt.join(uu, cond, "full_outer")
 
         val tEx = coalesce(col("t._t_exists"), lit(false))
