@@ -320,6 +320,21 @@ object SparkEntry {
         |SELECT a, b, round(dp / (sqrt(na) * sqrt(nb)), 6) AS cos
         |FROM dots WHERE round(dp / (sqrt(na) * sqrt(nb)), 6) >= 0.3""".stripMargin,
 
+    // portable polynomial fingerprint: both engines fold the identical
+    // code-point arithmetic (init 7 / base 131 per token; base 31 per doc)
+    "q_fingerprint" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ts
+        |  FROM documents)
+        |SELECT doc_id,
+        |  list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(ts,
+        |    t -> list_reduce(list_prepend(CAST(7 AS BIGINT),
+        |           list_transform(string_split(t, ''),
+        |             c -> CAST(unicode(c) AS BIGINT))),
+        |         (a, c) -> (a * 131 + c) % 1000000007))),
+        |  (acc, h) -> (acc * 31 + h) % 1000000007) AS fingerprint
+        |FROM toks""".stripMargin,
+
     "q_quantize" ->
       """WITH s AS (
         |  SELECT vec_id,
@@ -432,8 +447,8 @@ object SparkEntry {
         |       array_to_string(list_sort(list(DISTINCT event_type)), ',') AS event_types,
         |       min(ts) AS first_ts, max(ts) AS last_ts
         |FROM events GROUP BY 1""".stripMargin
-    // q_minhash_pairs / q_simhash_pairs / q_ann_ivf / q_embed_neardup_lsh /
-    // q_fingerprint / q_multimodal: engine-specific hashing or approximate
-    // results → rows-only check (no portable SQL oracle).
+    // q_simhash_pairs (xxhash-derived signatures) / q_ann_ivf +
+    // q_embed_neardup_lsh (approximate by nature) / q_multimodal (stub
+    // codec): rows-only check — no portable SQL oracle exists for these.
   )
 }

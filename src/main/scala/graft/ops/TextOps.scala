@@ -68,17 +68,29 @@ object TextOps {
     round((lenScore * 0.3 + alphaRatio * 0.35 + distinctRatio * 0.35), 6)
   }
 
-  /** Deterministic document fingerprint: polynomial rolling hash over
-    * whitespace tokens (base 31, 63-bit), computed with the `aggregate`
-    * higher-order function — order-sensitive, shuffle-free, and
-    * reproducible across engines that share the token split.
+  private val FpMod = 1000000007L
+
+  /** Portable per-token hash: polynomial over the token's code points
+    * (init 7, base 131, mod 1e9+7). Pure arithmetic on code points — any
+    * engine folding the same characters left-to-right gets the same value,
+    * which is what lets the driver gate value-check fingerprints against a
+    * different engine (an xxhash-based variant is engine-specific).
+    */
+  private def tokenHash(t: Column): Column =
+    aggregate(split(t, ""), lit(7L),
+      // acc < 1e9+7, codepoint < 2^21 ⇒ acc*131 + c < 2^38: ANSI-safe
+      (acc, c) => pmod(acc * lit(131L) + ascii(c), lit(FpMod)))
+
+  /** Deterministic document fingerprint: polynomial rolling hash over the
+    * whitespace tokens' code-point hashes (base 31, mod 1e9+7), computed
+    * with the `aggregate` higher-order function — order-sensitive,
+    * shuffle-free, and engine-portable (value-checked vs DuckDB).
     */
   def fingerprint(text: Column): Column =
     aggregate(
       split(trim(text), "\\s+"),
       lit(0L),
-      // acc stays < 1e9 so acc*31 + h never overflows (ANSI mode safe)
-      (acc, t) => pmod(acc * lit(31L) + pmod(xxhash64(t), lit(1000000007L)), lit(1000000007L))
+      (acc, t) => pmod(acc * lit(31L) + tokenHash(t), lit(FpMod))
     )
 
   /** Convenience: annotate a documents frame with all text metrics. */
