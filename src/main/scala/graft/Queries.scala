@@ -456,6 +456,17 @@ object Queries {
     Dedup.minhashLshDedup(t(s, dir, "documents"), 0.9)
       .select("doc_id", "n_chars")
 
+  /** Keep-best near-dup dedup: within each near-dup component survive the
+    * highest-quality doc (rounded quality, doc_id tiebreak). Oracle-exact
+    * because the quality formula itself is engine-portable (q_quality).
+    */
+  def minhashDedupBest(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+      .withColumn("_q6", TextOps.qualityScore(col("text")))
+    Dedup.minhashLshDedupKeepBest(docs, 0.9, "_q6")
+      .select("doc_id", "n_chars")
+  }
+
   /** SimHash near-dup pairs, hamming <= 3. */
   def simhashPairs(s: SparkSession, dir: String): DataFrame =
     Dedup.simhashPairs(t(s, dir, "documents"), 3)

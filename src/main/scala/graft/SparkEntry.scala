@@ -46,6 +46,7 @@ object SparkEntry {
     "q_ngram_jaccard"        -> (Queries.ngramJaccard _),
     "q_minhash_pairs"        -> (Queries.minhashPairs _),
     "q_minhash_dedup"        -> (Queries.minhashDedup _),
+    "q_minhash_dedup_best"   -> (Queries.minhashDedupBest _),
     "q_simhash_pairs"        -> (Queries.simhashPairs _),
     // similarity search
     "q_ann_topk"             -> (Queries.annBruteForce _),
@@ -393,6 +394,51 @@ object SparkEntry {
         |  SELECT r.n, u.b FROM reach r JOIN und u ON r.m = u.a),
         |losers AS (
         |  SELECT n AS id FROM reach GROUP BY n HAVING n <> min(m))
+        |SELECT doc_id, n_chars FROM documents
+        |WHERE doc_id NOT IN (SELECT id FROM losers)""".stripMargin,
+
+    // keep-best variant: survivor = argmax(rounded quality, min id) per
+    // component; the quality formula is the portable one from q_quality
+    "q_minhash_dedup_best" ->
+      """WITH RECURSIVE t AS (
+        |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS w
+        |  FROM documents),
+        |sh AS (SELECT doc_id,
+        |  CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+        |       ELSE list_distinct(list_transform(range(1, len(w) - 1),
+        |              i -> array_to_string(w[i:i+2], ' ')))
+        |  END AS s FROM t),
+        |pairs AS (
+        |  SELECT a.doc_id AS a, b.doc_id AS b
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE len(list_intersect(a.s, b.s)) * 1.0 /
+        |        (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.9),
+        |und AS (SELECT a, b FROM pairs UNION SELECT b, a FROM pairs),
+        |reach(n, m) AS (
+        |  SELECT a, a FROM und
+        |  UNION
+        |  SELECT r.n, u.b FROM reach r JOIN und u ON r.m = u.a),
+        |comp AS (SELECT n AS id, min(m) AS root FROM reach GROUP BY n),
+        |base AS (
+        |  SELECT doc_id,
+        |    greatest(len(regexp_split_to_array(lower(trim(text)), '\s+')), 1) AS n,
+        |    len(list_distinct(regexp_split_to_array(lower(trim(text)), '\s+'))) AS nd,
+        |    length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS na,
+        |    greatest(length(text), 1) AS lt
+        |  FROM documents),
+        |q AS (
+        |  SELECT doc_id,
+        |    round(least(n * 1.0 / 64.0, 1.0) * 0.3 +
+        |          (na * 1.0 / lt) * 0.35 +
+        |          (nd * 1.0 / n) * 0.35, 6) AS q6
+        |  FROM base),
+        |losers AS (
+        |  SELECT id FROM (
+        |    SELECT c.id,
+        |           row_number() OVER (PARTITION BY c.root
+        |             ORDER BY q.q6 DESC, c.id) AS rk
+        |    FROM comp c JOIN q ON q.doc_id = c.id)
+        |  WHERE rk > 1)
         |SELECT doc_id, n_chars FROM documents
         |WHERE doc_id NOT IN (SELECT id FROM losers)""".stripMargin,
 

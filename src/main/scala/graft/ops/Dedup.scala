@@ -124,6 +124,31 @@ object Dedup {
     docs.join(losers, docs(idCol) === losers("id"), "left_anti")
   }
 
+  /** Near-dup dedup keeping the BEST document per component instead of the
+    * min id — the usual training-data policy (drop the lower-quality copy
+    * of a near-dup cluster). `scoreCol` ranks; ties break on min id so
+    * reruns are stable. Docs outside any near-dup component always survive.
+    *
+    * Shape: the pair graph and components are tiny next to the corpus, so
+    * the only corpus-scale operations are the (slim) LSH pass and one
+    * left-semi join of keeper ids at the end — doc bodies never shuffle.
+    */
+  def minhashLshDedupKeepBest(docs: DataFrame, threshold: Double, scoreCol: String,
+                              idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val pairs = minhashLshPairs(docs, threshold, idCol, textCol)
+    val cc = graft.kg.ConnectedComponents.run(
+      pairs.select(col("a").as("src"), col("b").as("dst")))
+    val members = cc.select(col("id"), col("component"))
+      .join(docs.select(col(idCol).as("id"), col(scoreCol).as("_score")), Seq("id"))
+    val w = Window.partitionBy("component")
+      .orderBy(col("_score").desc, col("id"))
+    val losers = members
+      .withColumn("_rk", row_number().over(w))
+      .filter(col("_rk") > 1)
+      .select("id")
+    docs.join(losers, docs(idCol) === losers("id"), "left_anti")
+  }
+
   /** 64-bit SimHash over word shingles: per-bit weighted vote of shingle
     * hashes. Built as: explode HASHED shingles → one 64-column bit-count
     * hash aggregation per doc. The groupBy does map-side partial

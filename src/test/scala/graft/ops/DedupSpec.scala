@@ -36,6 +36,20 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 5L || p._2 == 5L))
   }
 
+  test("keep-best dedup survives the highest-scoring member, not the min id") {
+    // component {1,2,3,6}: give doc 3 the best score — it must be the keeper
+    val scored = docs.withColumn("score",
+      when(col("doc_id") === 3L, 10.0).otherwise(col("doc_id").cast("double")))
+    val kept = Dedup.minhashLshDedupKeepBest(scored, 0.5, "score")
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept.toSeq == Seq(3L, 4L, 5L))
+    // tie on score falls back to min id (deterministic reruns)
+    val tied = docs.withColumn("score", lit(1.0))
+    val keptTied = Dedup.minhashLshDedupKeepBest(tied, 0.5, "score")
+      .select("doc_id").as[Long].collect().sorted
+    assert(keptTied.toSeq == Seq(1L, 4L, 5L))
+  }
+
   test("minhash dedup drops the whole duplicate component, keeps min id") {
     val kept = Dedup.minhashLshDedup(docs, 0.5).select("doc_id").as[Long].collect().sorted
     assert(kept.contains(1L) && kept.contains(4L) && kept.contains(5L))
