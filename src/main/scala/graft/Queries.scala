@@ -492,6 +492,59 @@ object Queries {
     t(s, dir, "documents").select(col("doc_id"),
       TextOps.fingerprint(col("text")).as("fingerprint"))
 
+  /** Deterministic stratified sampling — the data-mix op: downweight the
+    * overrepresented language (en → 30%), keep 80% of everything else.
+    * Portable multiplicative-hash buckets, zero shuffles, value-exact.
+    */
+  def sampleStratified(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Sampling.sampleStratified(
+        t(s, dir, "documents"), "lang", Map("en" -> 0.3), defaultRate = 0.8, salt = 7L)
+      .select("doc_id", "lang")
+
+  /** Deterministic train/val/test split assignment (80/10/10) — every row
+    * lands in exactly one split on every rerun and every engine.
+    */
+  def splitAssign(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Sampling.splitAssign(
+        t(s, dir, "documents"), Seq("train", "val", "test"), Seq(0.8, 0.1, 0.1), salt = 3L)
+      .select("doc_id", "split")
+
+  /** Per-language quality quota: the 10 best documents per language by the
+    * portable quality score (ties → lowest doc_id).
+    */
+  def quotaTopk(s: SparkSession, dir: String): DataFrame = {
+    val scored = t(s, dir, "documents").select(col("doc_id"), col("lang"),
+      TextOps.qualityScore(col("text")).as("quality"))
+    graft.ops.Sampling.quotaPerGroup(scored, "lang", 10,
+      Seq(col("quality").desc, col("doc_id")))
+  }
+
+  /** Gopher-style repetition metrics: duplicate-bigram fraction, top-token
+    * fraction, and the combined repetition gate.
+    */
+  def repetition(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(col("doc_id"),
+      round(TextOps.dupNgramFraction(col("text"), 2), 6).as("dup_bigram"),
+      round(TextOps.topTokenFraction(col("text")), 6).as("top_token"),
+      TextOps.repetitionOk(col("text")).as("rep_ok"))
+
+  /** PII/noise scrub: synthetic URL/email/IP/account-number strings derived
+    * deterministically from doc_id are appended to each document, then
+    * scrubbed to typed placeholders. Both engines build the same input and
+    * must produce byte-identical scrubbed text.
+    */
+  def scrub(s: SparkSession, dir: String): DataFrame = {
+    val id = col("doc_id").cast("string")
+    val withPii = t(s, dir, "documents").select(col("doc_id"),
+      concat_ws(" ", col("text"),
+        lit("contact"), concat(lit("user"), id, lit("@example.com")),
+        lit("at"), concat(lit("http://site"), id, lit(".com/path?q=1")),
+        lit("ip"), concat(lit("10.0."), pmod(col("doc_id"), lit(256)).cast("string"), lit(".7")),
+        lit("acct"), concat(lit("9"), lpad(pmod(col("doc_id"), lit(100000)).cast("string"), 7, "0"))
+      ).as("text"))
+    withPii.select(col("doc_id"), TextOps.scrubPii(col("text")).as("scrubbed"))
+  }
+
   /** Brute-force cosine ANN: top-5 neighbors for query vectors vec_id < 8. */
   def annBruteForce(s: SparkSession, dir: String): DataFrame = {
     val embs = t(s, dir, "embeddings")
@@ -507,6 +560,16 @@ object Queries {
       .select(col("vec_id"), expr("transform(embedding, x -> cast(x as double))").as("embedding"))
     val queries = embs.filter(col("vec_id") < 8)
     Similarity.ivfTopK(embs, queries, 5, nCells = 16, nProbe = 4)
+  }
+
+  /** IVF with k-means-trained centroids (2 Lloyd iterations) — tighter
+    * cells, higher recall at the same nProbe (approx → rows-only check).
+    */
+  def annIvfTrained(s: SparkSession, dir: String): DataFrame = {
+    val embs = t(s, dir, "embeddings")
+      .select(col("vec_id"), expr("transform(embedding, x -> cast(x as double))").as("embedding"))
+    val queries = embs.filter(col("vec_id") < 8)
+    Similarity.ivfTopK(embs, queries, 5, nCells = 16, nProbe = 4, trainIters = 2)
   }
 
   /** Int8 symmetric quantization of the embedding table: per vector the

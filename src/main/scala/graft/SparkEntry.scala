@@ -51,6 +51,7 @@ object SparkEntry {
     // similarity search
     "q_ann_topk"             -> (Queries.annBruteForce _),
     "q_ann_ivf"              -> (Queries.annIvf _),
+    "q_ann_ivf_trained"      -> (Queries.annIvfTrained _),
     "q_embed_neardup"        -> (Queries.embedNearDup _),
     "q_quantize"             -> (Queries.quantize _),
     "q_embed_neardup_lsh"    -> (Queries.embedNearDupLsh _),
@@ -59,6 +60,11 @@ object SparkEntry {
     "q_lang_id"              -> (Queries.langId _),
     "q_quality"              -> (Queries.quality _),
     "q_fingerprint"          -> (Queries.fingerprint _),
+    "q_sample_stratified"    -> (Queries.sampleStratified _),
+    "q_split"                -> (Queries.splitAssign _),
+    "q_quota_topk"           -> (Queries.quotaTopk _),
+    "q_repetition"           -> (Queries.repetition _),
+    "q_scrub"                -> (Queries.scrub _),
     // KG pipeline shapes + skew-aware agg + CC
     "q_kg_triples"           -> (Queries.kgTriples _),
     "q_kg_entities"          -> (Queries.kgEntities _),
@@ -335,6 +341,80 @@ object SparkEntry {
         |         (a, c) -> (a * 131 + c) % 1000000007))),
         |  (acc, h) -> (acc * 31 + h) % 1000000007) AS fingerprint
         |FROM toks""".stripMargin,
+
+    // portable multiplicative-hash bucket: (((id+salt) % 1000003) *
+    // 2654435761 + salt) % 1000000 — identical arithmetic on both engines
+    "q_sample_stratified" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE ((((doc_id + 7) % 1000003) * 2654435761 + 7) % 1000000) <
+        |      (CASE WHEN lang = 'en' THEN 300000 ELSE 800000 END)""".stripMargin,
+
+    "q_split" ->
+      """SELECT doc_id,
+        |  CASE WHEN b < 800000 THEN 'train'
+        |       WHEN b < 900000 THEN 'val'
+        |       WHEN b < 1000000 THEN 'test' END AS split
+        |FROM (SELECT doc_id,
+        |        (((doc_id + 3) % 1000003) * 2654435761 + 3) % 1000000 AS b
+        |      FROM documents)""".stripMargin,
+
+    "q_quota_topk" ->
+      """WITH base AS (
+        |  SELECT doc_id, lang,
+        |    greatest(len(regexp_split_to_array(lower(trim(text)), '\s+')), 1) AS n,
+        |    len(list_distinct(regexp_split_to_array(lower(trim(text)), '\s+'))) AS nd,
+        |    length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS na,
+        |    greatest(length(text), 1) AS lt
+        |  FROM documents),
+        |scored AS (
+        |  SELECT doc_id, lang,
+        |    round(least(n * 1.0 / 64.0, 1.0) * 0.3 +
+        |          (na * 1.0 / lt) * 0.35 +
+        |          (nd * 1.0 / n) * 0.35, 6) AS quality
+        |  FROM base)
+        |SELECT doc_id, lang, quality FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY lang
+        |            ORDER BY quality DESC, doc_id) AS rk FROM scored)
+        |WHERE rk <= 10""".stripMargin,
+
+    "q_repetition" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS w
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, w,
+        |    CASE WHEN len(w) < 2 THEN CAST([] AS VARCHAR[])
+        |         ELSE list_transform(range(1, len(w)),
+        |                i -> array_to_string(w[i:i+1], ' ')) END AS bg
+        |  FROM t),
+        |m AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(bg) <= 0 THEN 0.0
+        |         ELSE 1.0 - len(list_distinct(bg)) * 1.0 / len(bg) END AS dup_raw,
+        |    list_max(list_transform(list_distinct(w),
+        |      d -> len(list_filter(w, x -> x = d)))) * 1.0
+        |      / greatest(len(w), 1) AS top_raw
+        |  FROM g)
+        |SELECT doc_id, round(dup_raw, 6) AS dup_bigram,
+        |       round(top_raw, 6) AS top_token,
+        |       (dup_raw <= 0.2 AND top_raw <= 0.3) AS rep_ok
+        |FROM m""".stripMargin,
+
+    // same ordered rewrites (URL, EMAIL, IP, NUM) over the same synthetic
+    // input; regexes stay in the Java-regex ∩ RE2 common dialect
+    "q_scrub" ->
+      """SELECT doc_id,
+        |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        |    concat_ws(' ', text,
+        |      'contact', 'user' || CAST(doc_id AS VARCHAR) || '@example.com',
+        |      'at', 'http://site' || CAST(doc_id AS VARCHAR) || '.com/path?q=1',
+        |      'ip', '10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7',
+        |      'acct', '9' || lpad(CAST(doc_id % 100000 AS VARCHAR), 7, '0')),
+        |    'https?://\S+', '<URL>', 'g'),
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+        |    '\b\d{7,}\b', '<NUM>', 'g') AS scrubbed
+        |FROM documents""".stripMargin,
 
     "q_quantize" ->
       """WITH s AS (

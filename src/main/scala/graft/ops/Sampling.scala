@@ -1,0 +1,108 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling / data-mix operators for training-data pipelines:
+  * rate sampling, per-stratum (language / source / domain) rate sampling,
+  * and train/val/test split assignment.
+  *
+  * Everything is keyed on a PORTABLE multiplicative hash of the row id —
+  * no RNG state, no `rand()` — so (a) reruns and resumed jobs select the
+  * same rows (the property a 10^12-row pipeline needs for reproducible
+  * mixes and for incremental top-ups that don't resample history), and
+  * (b) a different engine evaluating the same arithmetic selects the same
+  * rows, which is what lets the driver gate value-check the sample against
+  * DuckDB.
+  *
+  * Scale shape: every op is a zero-shuffle codegen'd projection + filter —
+  * at 100 TB the scan is the whole cost, and column pruning keeps it to the
+  * id + strata columns plus whatever the caller projects.
+  */
+object Sampling {
+
+  /** Hash domain: buckets are uniform in [0, 1e6); a rate r keeps rows with
+    * bucket < r * 1e6, so nested rates are monotone (the 10% sample is a
+    * subset of the 20% sample at the same salt — handy for scaling studies).
+    */
+  val Buckets = 1000000L
+  private val FoldPrime = 1000003L    // prime just above the bucket count
+  private val Mult = 2654435761L      // Knuth multiplicative constant (2^32/φ)
+
+  /** Portable deterministic bucket in [0, Buckets) for a long id.
+    * Folding mod a prime FIRST keeps the product under 2^52, so the
+    * arithmetic never overflows int64 in any ANSI engine; composing two
+    * coprime moduli (1000003 then 1000000) breaks the affine structure a
+    * single-modulus multiplicative hash would leak into bucket strides.
+    */
+  def bucket(id: Column, salt: Long): Column =
+    pmod(pmod(id + lit(salt), lit(FoldPrime)) * lit(Mult) + lit(salt), lit(Buckets))
+
+  /** Keep a deterministic `rate` fraction of rows (0 <= rate <= 1). */
+  def sampleByRate(df: DataFrame, rate: Double, idCol: String = "doc_id",
+                   salt: Long = 0L): DataFrame = {
+    require(rate >= 0 && rate <= 1, s"rate must be in [0,1], got $rate")
+    df.filter(bucket(col(idCol), salt) < lit((rate * Buckets).toLong))
+  }
+
+  /** Per-stratum rate sampling — the data-mix op: up/down-weight languages,
+    * sources, or domains by keeping a different deterministic fraction of
+    * each. The rate table is inlined as a literal map (strata counts are
+    * human-scale), so the whole mix is one codegen'd filter with ZERO
+    * shuffles and no join — at 10^12 rows the alternative broadcast join
+    * would be correct but strictly worse.
+    */
+  def sampleStratified(df: DataFrame, strataCol: String, rates: Map[String, Double],
+                       defaultRate: Double = 0.0, idCol: String = "doc_id",
+                       salt: Long = 0L): DataFrame = {
+    require((rates.values ++ Seq(defaultRate)).forall(r => r >= 0 && r <= 1),
+      "all rates must be in [0,1]")
+    val entries = rates.toSeq.sortBy(_._1).flatMap { case (k, r) =>
+      Seq(lit(k), lit((r * Buckets).toLong)) }
+    val threshold = coalesce(
+      element_at(map(entries: _*), col(strataCol)),
+      lit((defaultRate * Buckets).toLong))
+    df.filter(bucket(col(idCol), salt) < threshold)
+  }
+
+  /** Deterministic split assignment (train/val/test …): returns the frame
+    * with a `split` column holding `names(i)` where the row's bucket falls
+    * in the i-th cumulative weight range. Weights must sum to <= 1; rows
+    * past the total (when it is < 1) get null (excluded from every split).
+    */
+  def splitAssign(df: DataFrame, names: Seq[String], weights: Seq[Double],
+                  idCol: String = "doc_id", salt: Long = 0L,
+                  splitCol: String = "split"): DataFrame = {
+    require(names.length == weights.length, "names and weights must align")
+    require(weights.forall(_ >= 0) && weights.sum <= 1.0 + 1e-9,
+      "weights must be non-negative and sum to <= 1")
+    val cuts = weights.scanLeft(0.0)(_ + _).map(c => (c * Buckets).toLong)
+    val b = bucket(col(idCol), salt)
+    val assign = names.indices.foldRight(lit(null).cast("string")) { (i, rest) =>
+      when(b >= lit(cuts(i)) && b < lit(cuts(i + 1)), lit(names(i))).otherwise(rest)
+    }
+    df.withColumn(splitCol, assign)
+  }
+
+  /** Exact top-`n` rows per group by an explicit ordering — the per-domain
+    * quality quota: "keep the N best documents per language/source". The
+    * ordering must be made total by the caller (tiebreak on the id) so
+    * reruns are stable.
+    *
+    * Scale shape: ONE hash shuffle on the group key, then a per-group
+    * external sort inside the window — Spark's sort-based window streams
+    * and spills, so a hot group larger than executor memory still
+    * completes. When n is small relative to group sizes, filter the
+    * obviously-unqualified rows first (e.g. a quality floor) to cut the
+    * sort input; the exact quota itself cannot be computed without
+    * grouping every member somewhere.
+    */
+  def quotaPerGroup(df: DataFrame, groupCol: String, n: Int,
+                    orderBy: Seq[Column]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(groupCol)).orderBy(orderBy: _*)
+    df.withColumn("_qrk", row_number().over(w))
+      .filter(col("_qrk") <= n)
+      .drop("_qrk")
+  }
+}

@@ -113,28 +113,91 @@ object Similarity {
     out
   }
 
-  /** IVF index: deterministic coarse centroids = the vectors whose ids hash
-    * lowest (a seeded sample — stable), then one assignment pass. Returns
-    * (centroid table, vec table with cell column).
+  /** Nearest-centroid cell for a vector column, from a driver-side centroid
+    * set inlined as literals: a SINGLE codegen'd projection — no ×nCells
+    * join explode, no per-id window, ZERO shuffle. Ties break on the lowest
+    * cell id. The literal inlining is the MLlib move (KMeans broadcasts its
+    * k·dim centers every iteration); it is the right trade up to a few
+    * thousand cells × dims — beyond that, switch to a broadcast join +
+    * `max_by` aggregation.
+    */
+  def nearestCell(vec: Column, cents: Seq[(Long, Seq[Double])]): Column = {
+    val scored = array(cents.map { case (cell, cv) =>
+      struct(
+        cosine(vec, array(cv.map(lit): _*)).as("cos"),
+        lit(-cell).as("negCell"))
+    }: _*)
+    -array_max(scored).getField("negCell")
+  }
+
+  /** Deterministic coarse-centroid pick: the nCells vectors whose ids hash
+    * lowest — a seeded sample, collected to the driver (nCells·dim values,
+    * the same scale as any broadcast side). Plans as TakeOrderedAndProject:
+    * parallel per-partition top-nCells + a driver merge of nCells rows, NOT
+    * a global sort, so a 10^9-vector corpus never funnels through one task.
+    */
+  def seedCentroidsDF(embs: DataFrame, nCells: Int,
+                      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    embs.orderBy(xxhash64(col(idCol)))
+      .limit(nCells)
+      .select(col(idCol).cast("long").as("cell"), col(vecCol).cast("array<double>").as("cv"))
+
+  def seedCentroids(embs: DataFrame, nCells: Int,
+                    idCol: String = "vec_id", vecCol: String = "embedding"): Seq[(Long, Seq[Double])] =
+    seedCentroidsDF(embs, nCells, idCol, vecCol)
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1)))
+      .toSeq
+
+  /** Lloyd's k-means refinement of the seed centroids: `iters` rounds of
+    * (zero-shuffle nearest-cell assign) → (per-cell elementwise mean).
+    * Cells keep their seed ids; a cell that goes empty keeps its previous
+    * centroid. Deterministic up to floating-point summation order.
     *
-    * Centroid pick is orderBy+limit, which Spark plans as
-    * TakeOrderedAndProject: a parallel per-partition top-nCells followed by a
-    * driver merge of nCells rows — NOT a global sort, so a 10^9-vector corpus
-    * never funnels through one task. The centroid's own id doubles as the
-    * cell key, so no post-limit re-ranking window is needed either.
+    * Scale shape per iteration: the corpus NEVER shuffles — the mean is a
+    * groupBy(cell) over `dim` fixed-width sum columns (`element_at`, no
+    * explode), so map-side partial aggregation reduces the shuffle to
+    * (#map-partitions × k) rows of k·dim doubles; the k-row result is
+    * collected and re-inlined, exactly like MLlib KMeans' per-iteration
+    * center broadcast.
+    */
+  def kmeansCentroids(embs: DataFrame, nCells: Int, iters: Int,
+                      idCol: String = "vec_id", vecCol: String = "embedding"): Seq[(Long, Seq[Double])] = {
+    var cents = seedCentroids(embs, nCells, idCol, vecCol)
+    if (cents.isEmpty) return cents
+    val dim = cents.head._2.length
+    val sumCols = (0 until dim).map(i =>
+      sum(element_at(col(vecCol).cast("array<double>"), i + 1)).as(s"s$i"))
+    for (_ <- 1 to iters) {
+      val means = embs
+        .withColumn("cell", nearestCell(col(vecCol), cents))
+        .groupBy("cell")
+        .agg(count(lit(1)).as("n"), sumCols: _*)
+        .collect()
+        .map { r =>
+          val n = r.getLong(1).toDouble
+          (r.getLong(0), (0 until dim).map(i => r.getDouble(i + 2) / n))
+        }.toMap
+      cents = cents.map { case (cell, old) => (cell, means.getOrElse(cell, old)) }
+    }
+    cents
+  }
+
+  /** IVF index: coarse centroids (seeded pick, optionally k-means-trained),
+    * then one zero-shuffle assignment projection. Returns (centroid table,
+    * vec table with cell column).
     */
   def ivfAssign(embs: DataFrame, nCells: Int,
-                idCol: String = "vec_id", vecCol: String = "embedding"): (DataFrame, DataFrame) = {
-    val centroids = embs
-      .orderBy(xxhash64(col(idCol)))
-      .limit(nCells)
-      .select(col(idCol).cast("long").as("cell"), col(vecCol).as("cv"))
-    val assigned = embs.join(broadcast(centroids))
-      .withColumn("cos", cosine(col(vecCol), col("cv")))
-      .withColumn("rk", row_number().over(
-        Window.partitionBy(col(idCol)).orderBy(col("cos").desc, col("cell"))))
-      .filter(col("rk") === 1)
-      .select(embs.columns.map(col) :+ col("cell"): _*)
+                idCol: String = "vec_id", vecCol: String = "embedding",
+                trainIters: Int = 0): (DataFrame, DataFrame) = {
+    val cents =
+      if (trainIters > 0) kmeansCentroids(embs, nCells, trainIters, idCol, vecCol)
+      else seedCentroids(embs, nCells, idCol, vecCol)
+    val spark = embs.sparkSession
+    import spark.implicits._
+    val centroids = cents.map { case (c, v) => (c, v) }
+      .toDF("cell", "cv")
+    val assigned = embs.withColumn("cell", nearestCell(col(vecCol), cents))
     (centroids, assigned)
   }
 
@@ -142,8 +205,9 @@ object Similarity {
     * nProbe best cells per query, then search only vectors in those cells.
     */
   def ivfTopK(embs: DataFrame, queries: DataFrame, k: Int, nCells: Int, nProbe: Int,
-              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val (centroids, assigned) = ivfAssign(embs, nCells, idCol, vecCol)
+              idCol: String = "vec_id", vecCol: String = "embedding",
+              trainIters: Int = 0): DataFrame = {
+    val (centroids, assigned) = ivfAssign(embs, nCells, idCol, vecCol, trainIters)
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("_qv"))
     val probe = q.join(broadcast(centroids))
       .withColumn("ccos", cosine(col("_qv"), col("cv")))

@@ -68,6 +68,76 @@ object TextOps {
     round((lenScore * 0.3 + alphaRatio * 0.35 + distinctRatio * 0.35), 6)
   }
 
+  /** Word n-grams WITH multiplicity (no dedup) — repetition analysis needs
+    * to see every occurrence. Documents with < n tokens yield an empty list.
+    */
+  def wordNgramsAll(text: Column, n: Int): Column = {
+    val toks = split(lower(trim(text)), "\\s+")
+    when(size(toks) < n, array().cast("array<string>"))
+      .otherwise(transform(
+        sequence(lit(0), size(toks) - n),
+        i => array_join(slice(toks, i + 1, lit(n)), " ")))
+  }
+
+  /** Fraction of word n-grams that are repeats of an earlier occurrence:
+    * 1 - distinct/total (0.0 for docs shorter than n tokens). The
+    * Gopher-style "duplicate n-gram fraction" boilerplate signal, as a
+    * single codegen'd projection — no explode, no shuffle.
+    */
+  def dupNgramFraction(text: Column, n: Int = 2): Column = {
+    val grams = wordNgramsAll(text, n)
+    when(size(grams) <= 0, lit(0.0d))
+      .otherwise(lit(1.0d) -
+        size(array_distinct(grams)).cast("double") / size(grams))
+  }
+
+  /** Fraction of tokens taken by the single most frequent token — the
+    * "top word" repetition signal. O(tokens × distinct) per document via
+    * nested higher-order functions: fine at document granularity (hundreds
+    * of tokens) and it keeps the op shuffle-free; a corpus-level explode +
+    * groupBy would shuffle every token to answer a per-document question.
+    */
+  def topTokenFraction(text: Column): Column = {
+    val toks = split(lower(trim(text)), "\\s+")
+    val maxCount = array_max(transform(array_distinct(toks),
+      d => size(filter(toks, t => t === d))))
+    maxCount.cast("double") / greatest(size(toks), lit(1))
+  }
+
+  /** Repetition-based quality gate: true for documents under both the
+    * duplicate-bigram and top-token thresholds (Gopher-style defaults).
+    */
+  def repetitionOk(text: Column, maxDupBigram: Double = 0.2,
+                   maxTopToken: Double = 0.3): Column =
+    (dupNgramFraction(text, 2) <= maxDupBigram) &&
+      (topTokenFraction(text) <= maxTopToken)
+
+  // ---------- PII / boilerplate scrubbing ----------
+
+  /** Scrub patterns, applied IN THIS ORDER (URL first so addresses inside
+    * URLs are consumed by the URL rule, exactly once). The regexes stay in
+    * the common Java-regex ∩ RE2 dialect (character classes, `\b`, `\d`,
+    * `\S`, bounded repeats — no lookahead/backrefs), so any engine applying
+    * the same ordered rewrites produces the same text; that portability is
+    * what the driver gate value-checks.
+    */
+  val ScrubRules: Seq[(String, String)] = Seq(
+    "https?://\\S+" -> "<URL>",
+    "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}" -> "<EMAIL>",
+    "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b" -> "<IP>",
+    "\\b\\d{7,}\\b" -> "<NUM>"
+  )
+
+  /** Replace URLs, emails, IPv4 addresses, and long digit runs with typed
+    * placeholder tokens — the standard pre-training PII/noise scrub. Chained
+    * native `regexp_replace` (global by construction): one codegen'd
+    * projection, zero shuffles, scan reads only the text column.
+    */
+  def scrubPii(text: Column): Column =
+    ScrubRules.foldLeft(text) { case (c, (re, token)) =>
+      regexp_replace(c, re, token)
+    }
+
   private val FpMod = 1000000007L
 
   /** Portable per-token hash: polynomial over the token's code points

@@ -1,0 +1,88 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class SamplingSpec extends SparkSpec {
+  import spark.implicits._
+
+  val docs = (0L until 1000L).map(i =>
+    (i, if (i % 5 == 0) "es" else "en")).toDF("doc_id", "lang")
+
+  test("rate sampling is deterministic and close to the requested rate") {
+    val a = Sampling.sampleByRate(docs, 0.3, salt = 1L).collect().map(_.getLong(0)).toSet
+    val b = Sampling.sampleByRate(docs, 0.3, salt = 1L).collect().map(_.getLong(0)).toSet
+    assert(a == b)
+    assert(math.abs(a.size - 300) < 60, s"got ${a.size} of ~300")
+  }
+
+  test("nested rates are monotone: the 10% sample is a subset of the 30%") {
+    val small = Sampling.sampleByRate(docs, 0.1, salt = 1L).collect().map(_.getLong(0)).toSet
+    val big = Sampling.sampleByRate(docs, 0.3, salt = 1L).collect().map(_.getLong(0)).toSet
+    assert(small.subsetOf(big))
+  }
+
+  test("different salts select different rows") {
+    val a = Sampling.sampleByRate(docs, 0.3, salt = 1L).collect().map(_.getLong(0)).toSet
+    val b = Sampling.sampleByRate(docs, 0.3, salt = 2L).collect().map(_.getLong(0)).toSet
+    assert(a != b)
+  }
+
+  test("stratified sampling applies per-stratum rates (mix rebalancing)") {
+    val out = Sampling.sampleStratified(docs, "lang",
+      Map("en" -> 0.1, "es" -> 0.9), idCol = "doc_id", salt = 5L)
+    val byLang = out.groupBy("lang").count().collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    // en: ~80 of 800; es: ~180 of 200
+    assert(byLang("en") < 160, s"en kept ${byLang("en")}")
+    assert(byLang("es") > 140, s"es kept ${byLang("es")}")
+  }
+
+  test("stratified default rate applies to unlisted strata") {
+    val out = Sampling.sampleStratified(docs, "lang", Map("es" -> 1.0),
+      defaultRate = 0.0, idCol = "doc_id")
+    assert(out.select("lang").distinct().collect().map(_.getString(0)).toSeq == Seq("es"))
+    assert(out.count() == 200)
+  }
+
+  test("split assignment partitions every row into exactly one split") {
+    val out = Sampling.splitAssign(docs, Seq("train", "val", "test"),
+      Seq(0.8, 0.1, 0.1), salt = 3L)
+    assert(out.count() == 1000)
+    assert(out.filter(col("split").isNull).count() == 0)
+    val sizes = out.groupBy("split").count().collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(sizes.keySet == Set("train", "val", "test"))
+    assert(sizes.values.sum == 1000)
+    assert(sizes("train") > 700 && sizes("train") < 900, sizes.toString)
+    // rerun identical
+    val again = Sampling.splitAssign(docs, Seq("train", "val", "test"),
+      Seq(0.8, 0.1, 0.1), salt = 3L)
+    assert(out.exceptAll(again).count() == 0)
+  }
+
+  test("split weights summing under 1 leave the remainder unassigned") {
+    val out = Sampling.splitAssign(docs, Seq("a"), Seq(0.5), salt = 9L)
+    val kept = out.filter(col("split").isNotNull).count()
+    assert(math.abs(kept - 500) < 70, s"kept $kept of ~500")
+  }
+
+  test("sampling ops are zero-shuffle projections (no Exchange in the plan)") {
+    val plan = Sampling.sampleStratified(docs, "lang", Map("en" -> 0.5),
+      defaultRate = 0.2, idCol = "doc_id")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+    assert(!plan.contains("Join"), plan)
+  }
+
+  test("quota per group keeps exactly the top-n by the given total order") {
+    val scored = Seq(
+      (1L, "en", 0.9), (2L, "en", 0.8), (3L, "en", 0.8), (4L, "en", 0.1),
+      (5L, "es", 0.5), (6L, "es", 0.4)
+    ).toDF("doc_id", "lang", "q")
+    val out = Sampling.quotaPerGroup(scored, "lang", 3,
+      Seq(col("q").desc, col("doc_id")))
+      .collect().map(_.getLong(0)).toSet
+    assert(out == Set(1L, 2L, 3L, 5L, 6L)) // en: 1,2,3 (tie 2<3 both in); 4 out
+  }
+}

@@ -79,9 +79,55 @@ class SimilaritySpec extends SparkSpec {
 
   test("IVF centroid pick plans as TakeOrderedAndProject, no global-sort window") {
     val corpus = clusteredCorpus(100)
-    val (cents, _) = Similarity.ivfAssign(corpus, 8)
+    val cents = Similarity.seedCentroidsDF(corpus, 8)
     val plan = cents.queryExecution.executedPlan.toString
     assert(plan.contains("TakeOrderedAndProject"), plan)
     assert(!plan.contains("Window"), plan)
+  }
+
+  test("IVF cell assignment is a zero-shuffle projection (no Exchange, no Window)") {
+    val corpus = clusteredCorpus(100)
+    val (_, assigned) = Similarity.ivfAssign(corpus, 8)
+    val plan = assigned.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+    assert(!plan.contains("Window"), plan)
+    assert(!plan.contains("Join"), plan)
+  }
+
+  test("k-means centroids converge toward the true cluster axes and lift recall") {
+    val corpus = clusteredCorpus(240)
+    val queries = corpus.filter($"vec_id" < 10)
+    def topSets(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1)))
+        .groupBy(_._1).map { case (q, xs) => q -> xs.map(_._2).toSet }
+    val exact = topSets(Similarity.bruteForceTopK(corpus, queries, 5))
+    def recallOf(trainIters: Int): Double = {
+      val approx = topSets(Similarity.ivfTopK(corpus, queries, 5,
+        nCells = 8, nProbe = 2, trainIters = trainIters))
+      exact.map { case (q, want) => (approx.getOrElse(q, Set.empty) & want).size }.sum
+        .toDouble / (exact.size * 5)
+    }
+    val seeded = recallOf(0)
+    val trained = recallOf(3)
+    assert(trained >= seeded, s"trained recall $trained < seeded $seeded")
+    assert(trained >= 0.9, s"trained IVF recall@5 = $trained")
+    // trained centroids sit near the 8 one-hot cluster axes: every centroid's
+    // max component dominates (mean vectors of a tight cluster)
+    val cents = Similarity.kmeansCentroids(corpus, 8, 3)
+    assert(cents.size == 8)
+    cents.foreach { case (_, cv) =>
+      assert(cv.max > 0.5, s"centroid not axis-aligned: $cv")
+    }
+  }
+
+  test("k-means keeps a previous centroid when its cell goes empty") {
+    // 3 vectors, 3 cells: after one iteration each centroid is its own mean;
+    // ask for more cells than distinct clusters to exercise the guard
+    val tiny = Seq(
+      (0L, Seq(1.0, 0.0)), (1L, Seq(1.0, 0.01)), (2L, Seq(0.0, 1.0))
+    ).toDF("vec_id", "embedding")
+    val cents = Similarity.kmeansCentroids(tiny, 3, 2)
+    assert(cents.size == 3)
+    assert(cents.forall(_._2.length == 2))
   }
 }

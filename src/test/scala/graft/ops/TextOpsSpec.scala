@@ -53,4 +53,60 @@ class TextOpsSpec extends SparkSpec {
     assert(Set("n_tokens_ws", "n_tokens_bpe", "lang_pred", "quality", "fingerprint")
       .subsetOf(out.columns.toSet))
   }
+
+  test("duplicate-bigram fraction counts repeated n-grams with multiplicity") {
+    val df = Seq(
+      (1L, "a b a b a b"),      // bigrams: ab ba ab ba ab → 5 total, 2 distinct
+      (2L, "all words differ here now"), // 4 distinct of 4
+      (3L, "single")            // < n tokens → 0.0
+    ).toDF("id", "text")
+    val d = df.select(col("id"), TextOps.dupNgramFraction(col("text"), 2).as("d"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(math.abs(d(1L) - 0.6) < 1e-9, d.toString)
+    assert(d(2L) == 0.0)
+    assert(d(3L) == 0.0)
+  }
+
+  test("top-token fraction finds the dominant token share") {
+    val df = Seq((1L, "spam spam spam eggs"), (2L, "a b c d")).toDF("id", "text")
+    val f = df.select(col("id"), TextOps.topTokenFraction(col("text")).as("f"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(math.abs(f(1L) - 0.75) < 1e-9)
+    assert(math.abs(f(2L) - 0.25) < 1e-9)
+  }
+
+  test("repetition gate rejects boilerplate, passes varied prose") {
+    val df = Seq(
+      (1L, "click here click here click here click here"),
+      (2L, "the quick brown fox jumps over a lazy dog today")
+    ).toDF("id", "text")
+    val ok = df.select(col("id"), TextOps.repetitionOk(col("text")).as("ok"))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(!ok(1L))
+    assert(ok(2L))
+  }
+
+  test("PII scrub replaces urls, emails, ips, and long digit runs — in order") {
+    val df = Seq(
+      (1L, "mail me at bob.smith+x@corp.example.org please"),
+      (2L, "see https://a.example.com/p?q=1#frag for details"),
+      (3L, "server 192.168.1.250 answered"),
+      (4L, "card 12345678901 expired, pin 1234 stays"),
+      (5L, "login at http://h.io/u?user=a@b.co then mail a@b.co") // email inside URL → URL rule wins
+    ).toDF("id", "text")
+    val out = df.select(col("id"), TextOps.scrubPii(col("text")).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "mail me at <EMAIL> please")
+    assert(out(2L) == "see <URL> for details")
+    assert(out(3L) == "server <IP> answered")
+    assert(out(4L) == "card <NUM> expired, pin 1234 stays")
+    assert(out(5L) == "login at <URL> then mail <EMAIL>")
+  }
+
+  test("scrub is a zero-shuffle codegen projection") {
+    val df = Seq((1L, "x")).toDF("id", "text")
+    val plan = df.select(TextOps.scrubPii(col("text")))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
 }
