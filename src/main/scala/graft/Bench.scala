@@ -39,6 +39,12 @@ object Bench {
       .appName("graft-bench")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
+      // AQE coalescing sizes partitions by BYTES; merge/window stages here
+      // are CPU-dense per byte (small synthetic rows), and the default floor
+      // let AQE collapse them to 1-2 partitions (3 s chain → 32 s, measured).
+      // A 64k floor keeps parallelism-first sizing in charge; at production
+      // byte volumes partitions sit far above any floor, so this is inert.
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

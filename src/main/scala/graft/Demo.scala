@@ -16,6 +16,8 @@ object Demo {
       .appName("graft-demo")
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.adaptive.enabled", "true")
+      // see Bench.session: keep AQE from byte-coalescing CPU-dense stages
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -64,6 +66,7 @@ object Demo {
       .master("local[8]")
       .appName("graft-streaming-demo")
       .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

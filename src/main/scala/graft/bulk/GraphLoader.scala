@@ -28,11 +28,36 @@ object GraphLoader {
   /** `staged` carries the flattened `start_&lt;k&gt;` / `end_&lt;k&gt;` match columns (A7). */
   final case class EdgeBatch(spec: RelSpec, staged: DataFrame)
 
+  /** NodeSetOps.merge is label-scoped (a batch can only match target rows
+    * whose PRIMARY label equals the spec's — the Cypher
+    * `MERGE (n:Label {keys})` pattern), so an INITIAL load's k-node-set
+    * cascade does NOT need k chained full-outer joins over the growing
+    * uber-table: batches of different labels can never interact. Chain
+    * merges only WITHIN a label and union across labels — the load becomes
+    * one pass with zero cross-label joins (the chained form re-shuffles the
+    * whole table once per node set; a sliced-rewrite form was tried and
+    * re-evaluates the input 2^k times via filter diamonds). Incremental
+    * loads (`into` an existing graph) keep the plain cascade — its cost is
+    * the honest cost of merging into unknown prior state.
+    */
   private def loadNodes(target: Option[DataFrame], batches: Seq[NodeBatch],
                         create: Boolean): Option[DataFrame] =
-    batches.foldLeft(target) { (acc, b) =>
-      Some(if (create) NodeSetOps.create(acc, b.rows, b.spec)
-           else NodeSetOps.merge(acc, b.rows, b.spec))
+    (create, target) match {
+      case (true, _) | (false, Some(_)) =>
+        batches.foldLeft(target) { (acc, b) =>
+          Some(if (create) NodeSetOps.create(acc, b.rows, b.spec)
+               else NodeSetOps.merge(acc, b.rows, b.spec))
+        }
+      case (false, None) if batches.isEmpty => target
+      case (false, None) =>
+        val labelOrder = batches.map(_.spec.allLabels.head).distinct
+        val byLabel = batches.groupBy(_.spec.allLabels.head)
+        val chains = labelOrder.map { lbl =>
+          byLabel(lbl).foldLeft(Option.empty[DataFrame]) { (acc, b) =>
+            Some(NodeSetOps.merge(acc, b.rows, b.spec))
+          }.get
+        }
+        Some(chains.reduce(_.unionByName(_, allowMissingColumns = true)))
     }
 
   private def loadEdges(target: Option[DataFrame], nodes: DataFrame,
@@ -45,9 +70,9 @@ object GraphLoader {
   /** Cascade CREATE: blind-append node sets, then resolve + append edges. */
   def create(nodes: Seq[NodeBatch], edges: Seq[EdgeBatch],
              into: Option[Graph] = None): Graph = {
-    val nodeTable = loadNodes(into.map(_.nodes), nodes, create = true).get
+    val nodeTable = pin(loadNodes(into.map(_.nodes), nodes, create = true).get)
     val edgeTable = loadEdges(into.map(_.edges), nodeTable, edges, create = true)
-    Graph(nodeTable, edgeTable.getOrElse(emptyEdges(nodeTable)))
+    Graph(nodeTable, pin(edgeTable.getOrElse(emptyEdges(nodeTable))))
   }
 
   /** Cascade MERGE: keyed-upsert node sets, then resolve + upsert edges on
@@ -55,9 +80,25 @@ object GraphLoader {
     */
   def merge(nodes: Seq[NodeBatch], edges: Seq[EdgeBatch],
             into: Option[Graph] = None): Graph = {
-    val nodeTable = loadNodes(into.map(_.nodes), nodes, create = false).get
+    val nodeTable = pin(loadNodes(into.map(_.nodes), nodes, create = false).get)
     val edgeTable = loadEdges(into.map(_.edges), nodeTable, edges, create = false)
-    Graph(nodeTable, edgeTable.getOrElse(emptyEdges(nodeTable)))
+    Graph(nodeTable, pin(edgeTable.getOrElse(emptyEdges(nodeTable))))
+  }
+
+  /** The loaded graph is a materialized artifact (on a cluster: an Iceberg
+    * table write; here: a pinned DataFrame, EAGERLY computed). Without the
+    * pin, every query over the returned Graph re-evaluates the whole load
+    * cascade once per plan reference — a 3-node-set + 2-edge-set load
+    * referenced from a 3-way traversal join re-ran ~4×, turning a 4 s
+    * traversal into 35 s. The pin must also be EAGER: a lazy persist
+    * referenced twice in the first job races its own cache population and
+    * still computes the cascade more than once. Release with
+    * Graph.release() when done.
+    */
+  private def pin(df: DataFrame): DataFrame = {
+    val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    p.count()
+    p
   }
 
   private def emptyEdges(nodes: DataFrame): DataFrame = {

@@ -13,6 +13,17 @@ import graft.schema.{FieldFilter, NodeSpec, RelSpec}
   */
 final case class Graph(nodes: DataFrame, edges: DataFrame) {
 
+  /** Release the cached node/edge tables a loader pinned (no-op when
+    * nothing is cached). A loaded graph is a materialized artifact — the
+    * in-memory analogue of the reference's committed Neo4j state — so
+    * GraphLoader persists both tables; callers done with the graph free
+    * the blocks here instead of leaking them across pipeline invocations.
+    */
+  def release(): Unit = {
+    nodes.unpersist()
+    edges.unpersist()
+  }
+
   private def labelCond(labels: Seq[String]): Column =
     if (labels.isEmpty) lit(true)
     else labels.map(l => array_contains(col(NodeSetOps.LabelsCol), l)).reduce(_ && _)
