@@ -528,6 +528,28 @@ object Queries {
       round(TextOps.topTokenFraction(col("text")), 6).as("top_token"),
       TextOps.repetitionOk(col("text")).as("rep_ok"))
 
+  /** Corpus vocabulary: top 50 tokens by frequency (ties → lexicographic). */
+  def vocabTopk(s: SparkSession, dir: String): DataFrame =
+    graft.ops.CorpusOps.topTokens(t(s, dir, "documents"), 50)
+
+  /** Benchmark decontamination: documents sharing any word 5-gram with the
+    * synthetic benchmark slice (doc_id % 97 == 0) are dropped — including
+    * the benchmark documents themselves, which share all of their grams.
+    */
+  def decontaminate(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val bench = docs.filter(col("doc_id") % 97 === 0)
+    graft.ops.CorpusOps.decontaminate(docs, bench, n = 5)
+      .select("doc_id", "lang")
+  }
+
+  /** Sequence packing: documents assigned to 200-token packs within 4
+    * deterministic shards (pack = shard * 2^32 + floor(offset/budget)).
+    */
+  def packBySize(s: SparkSession, dir: String): DataFrame =
+    graft.ops.CorpusOps.packBySize(t(s, dir, "documents"), 200L, 4)
+      .select("doc_id", "pack_id")
+
   /** PII/noise scrub: synthetic URL/email/IP/account-number strings derived
     * deterministically from doc_id are appended to each document, then
     * scrubbed to typed placeholders. Both engines build the same input and

@@ -65,6 +65,9 @@ object SparkEntry {
     "q_quota_topk"           -> (Queries.quotaTopk _),
     "q_repetition"           -> (Queries.repetition _),
     "q_scrub"                -> (Queries.scrub _),
+    "q_vocab_topk"           -> (Queries.vocabTopk _),
+    "q_decontam"             -> (Queries.decontaminate _),
+    "q_pack"                 -> (Queries.packBySize _),
     // KG pipeline shapes + skew-aware agg + CC
     "q_kg_triples"           -> (Queries.kgTriples _),
     "q_kg_entities"          -> (Queries.kgEntities _),
@@ -399,6 +402,46 @@ object SparkEntry {
         |       round(top_raw, 6) AS top_token,
         |       (dup_raw <= 0.2 AND top_raw <= 0.3) AS rep_ok
         |FROM m""".stripMargin,
+
+    "q_vocab_topk" ->
+      """SELECT token, count(*) AS n
+        |FROM (SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS token
+        |      FROM documents)
+        |GROUP BY token ORDER BY n DESC, token LIMIT 50""".stripMargin,
+
+    // overlap computed on string grams here, on xxhash64(gram) in Spark —
+    // identical row sets modulo 64-bit hash collisions (~1e-12 at this scale)
+    "q_decontam" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS w
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(w) < 5 THEN CAST([] AS VARCHAR[])
+        |         ELSE list_transform(range(1, len(w) - 3),
+        |                i -> array_to_string(w[i:i+4], ' ')) END AS gs
+        |  FROM t),
+        |bench AS (
+        |  SELECT DISTINCT unnest(gs) AS gr FROM g WHERE doc_id % 97 = 0),
+        |hits AS (
+        |  SELECT DISTINCT doc_id
+        |  FROM (SELECT doc_id, unnest(gs) AS gr FROM g) x
+        |  JOIN bench USING (gr))
+        |SELECT d.doc_id, d.lang FROM documents d
+        |WHERE d.doc_id NOT IN (SELECT doc_id FROM hits)""".stripMargin,
+
+    "q_pack" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |    ((((doc_id + 11) % 1000003) * 2654435761 + 11) % 1000000) % 4 AS shard,
+        |    len(regexp_split_to_array(trim(text), '\s+')) AS toks
+        |  FROM documents)
+        |SELECT doc_id,
+        |  shard * 4294967296 +
+        |  CAST(floor((sum(toks) OVER (PARTITION BY shard ORDER BY doc_id
+        |                              ROWS UNBOUNDED PRECEDING) - toks)
+        |             / 200.0) AS BIGINT) AS pack_id
+        |FROM base""".stripMargin,
 
     // same ordered rewrites (URL, EMAIL, IP, NUM) over the same synthetic
     // input; regexes stay in the Java-regex ∩ RE2 common dialect

@@ -1,0 +1,84 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Corpus-level operators for training-data pipelines: vocabulary
+  * statistics, benchmark decontamination, and sequence packing.
+  */
+object CorpusOps {
+
+  /** Top-k corpus vocabulary by token frequency (ties → lexicographic).
+    * One explode + one hash aggregation with map-side partial counts —
+    * the shuffle carries (token, partial count) per map partition, not the
+    * token stream — then a parallel TakeOrdered for the top-k.
+    */
+  def topTokens(docs: DataFrame, k: Int, textCol: String = "text"): DataFrame =
+    docs.select(explode(split(lower(trim(col(textCol))), "\\s+")).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token"))
+      .limit(k)
+
+  /** Word n-grams of a text column, hashed to longs (multiplicity kept —
+    * overlap only needs membership, and fixed-width longs shrink the
+    * explode ~3×). Engine-portability does not matter here: both sides of
+    * the overlap hash the same way inside the same engine.
+    */
+  private def gramHashes(text: Column, n: Int): Column =
+    transform(TextOps.wordNgramsAll(text, n), g => xxhash64(g))
+
+  /** Benchmark decontamination — drop every document sharing at least one
+    * word n-gram with a benchmark/eval set (the standard pre-training
+    * hygiene step; n=8 is the common contamination window, lower for short
+    * documents).
+    *
+    * Scale shape: the benchmark side (small by construction) explodes to a
+    * distinct hashed-gram table that broadcast-joins against the exploded
+    * corpus grams; the only shuffle is the distinct over HIT doc ids
+    * (bounded by the contaminated subset), and the final keep-filter is a
+    * left-anti join of ids. Corpus text never shuffles, and the corpus-side
+    * explode never materializes — it streams through the broadcast probe
+    * inside one codegen stage.
+    */
+  def decontaminate(docs: DataFrame, benchmark: DataFrame, n: Int = 8,
+                    idCol: String = "doc_id", textCol: String = "text",
+                    benchTextCol: String = "text"): DataFrame = {
+    val benchGrams = benchmark
+      .select(explode(gramHashes(col(benchTextCol), n)).as("g"))
+      .distinct()
+    val contaminated = docs
+      .select(col(idCol).as("_cid"), explode(gramHashes(col(textCol), n)).as("g"))
+      .join(broadcast(benchGrams), "g")
+      .select("_cid").distinct()
+    docs.join(contaminated, docs(idCol) === contaminated("_cid"), "left_anti")
+  }
+
+  /** Sequence packing — assign documents to fixed-token-budget packs, the
+    * metadata pass of "concatenate and split at budget boundaries": a doc
+    * belongs to the pack where its first token lands, i.e.
+    * floor(running-offset / budget) over a deterministic order.
+    *
+    * Scale shape: a single global order would funnel the corpus through one
+    * window partition, so packing is SHARDED — pack ids are (shard, index
+    * within shard) flattened as shard * 2^32 + index, shard = a portable
+    * hash of the id. Each shard packs independently in parallel; shard
+    * count bounds per-task state. Deterministic and engine-portable (the
+    * gate value-checks pack assignments against DuckDB).
+    */
+  def packBySize(docs: DataFrame, budgetTokens: Long, nShards: Int,
+                 idCol: String = "doc_id", textCol: String = "text",
+                 packCol: String = "pack_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val shard = Sampling.bucket(col(idCol), salt = 11L) % nShards
+    val toks = TextOps.tokenCountWs(col(textCol)).cast("long")
+    val w = Window.partitionBy(col("_shard")).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs
+      .withColumn("_shard", shard)
+      .withColumn("_toks", toks)
+      .withColumn("_offset", sum(col("_toks")).over(w) - col("_toks"))
+      .withColumn(packCol,
+        col("_shard") * lit(4294967296L) + floor(col("_offset") / budgetTokens))
+      .drop("_shard", "_toks", "_offset")
+  }
+}

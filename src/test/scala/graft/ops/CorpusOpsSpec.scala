@@ -1,0 +1,66 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class CorpusOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("top tokens counts corpus-wide frequency with deterministic ties") {
+    val docs = Seq(
+      (1L, "a b a"), (2L, "b c b"), (3L, "c a b")
+    ).toDF("doc_id", "text")
+    val out = CorpusOps.topTokens(docs, 2).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    // a:3 b:4 c:3 → b first, then a (tie a/c broken lexicographically)
+    assert(out.toSeq == Seq(("b", 4L), ("a", 3L)))
+  }
+
+  test("decontamination drops docs sharing an n-gram with the benchmark") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "totally unrelated words appear in this line"),
+      (3L, "we saw the quick brown fox jumps again today"),
+      (4L, "short doc")
+    ).toDF("doc_id", "text")
+    val bench = Seq((100L, "said the quick brown fox jumps high")).toDF("doc_id", "text")
+    val kept = CorpusOps.decontaminate(docs, bench, n = 5)
+      .collect().map(_.getLong(0)).toSet
+    // docs 1 and 3 share the 5-gram "the quick brown fox jumps"
+    assert(kept == Set(2L, 4L))
+  }
+
+  test("decontamination with an empty benchmark keeps everything") {
+    val docs = Seq((1L, "a b c d e f")).toDF("doc_id", "text")
+    val bench = docs.filter(col("doc_id") < 0)
+    assert(CorpusOps.decontaminate(docs, bench, n = 3).count() == 1)
+  }
+
+  test("packing respects the token budget at pack boundaries") {
+    // one shard (nShards=1) so the sequence is the doc_id order
+    val docs = (1L to 10L).map(i => (i, Seq.fill(30)("w").mkString(" ")))
+      .toDF("doc_id", "text")
+    val out = CorpusOps.packBySize(docs, budgetTokens = 100L, nShards = 1)
+      .select("doc_id", "pack_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    // 30 tokens each: offsets 0,30,60,90,120,... → packs 0,0,0,0,1,1,1,2,2,2
+    assert(out(1L) == 0L && out(4L) == 0L)
+    assert(out(5L) == 1L && out(7L) == 1L)
+    assert(out(8L) == 2L && out(10L) == 2L)
+  }
+
+  test("packing is sharded: pack ids encode the shard and packs stay within shards") {
+    val docs = (1L to 200L).map(i => (i, "one two three four five"))
+      .toDF("doc_id", "text")
+    val out = CorpusOps.packBySize(docs, budgetTokens = 25L, nShards = 4)
+    val shards = out.select((col("pack_id") / lit(4294967296L)).cast("long").as("s"))
+      .distinct().collect().map(_.getLong(0)).toSet
+    assert(shards.subsetOf(Set(0L, 1L, 2L, 3L)) && shards.size > 1)
+    // every pack holds at most ceil(budget/docTokens)=5 docs
+    val maxPer = out.groupBy("pack_id").count().agg(max("count")).head().getLong(0)
+    assert(maxPer <= 5, s"pack overflow: $maxPer docs in one 25-token pack of 5-token docs")
+    // rerun identical
+    val again = CorpusOps.packBySize(docs, budgetTokens = 25L, nShards = 4)
+    assert(out.select("doc_id", "pack_id").exceptAll(again.select("doc_id", "pack_id")).count() == 0)
+  }
+}
