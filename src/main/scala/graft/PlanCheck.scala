@@ -21,7 +21,11 @@ object PlanCheck {
       "q_dedup_exact",     // window over hash
       "q_kg_triples",      // agg pushdown/pruning
       "q_ann_topk",        // broadcast NL join + window
-      "q_ann_ivf"          // centroid pick MUST be TakeOrderedAndProject
+      "q_ann_ivf",         // centroid pick MUST be TakeOrderedAndProject
+      "q_sample_stratified", // zero-shuffle codegen filter, pruned scan
+      "q_decontam",        // broadcast gram probe + anti-join of ids
+      "q_pack",            // sharded window — partitionBy present, no global sort
+      "q_quota_topk"       // per-group window over ONE group-key shuffle
     )
     for (name <- interesting) {
       println(s"\n================ $name ================")
