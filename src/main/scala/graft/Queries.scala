@@ -576,6 +576,18 @@ object Queries {
       .select(col("query_id"), col("item_id"), col("rank"), round(col("cos"), 6).as("cos"))
   }
 
+  /** Quantized ANN: int8 scan + exact-float rescore. Deterministic, and the
+    * 4× overscan absorbs the <1% quantization drift, so the result is the
+    * exact brute-force top-k — value-checked against the same oracle.
+    */
+  def annQuantized(s: SparkSession, dir: String): DataFrame = {
+    val embs = t(s, dir, "embeddings")
+      .select(col("vec_id"), expr("transform(embedding, x -> cast(x as double))").as("embedding"))
+    val queries = embs.filter(col("vec_id") < 8)
+    Similarity.quantizedTopK(embs, queries, 5)
+      .select(col("query_id"), col("item_id"), col("rank"), round(col("cos"), 6).as("cos"))
+  }
+
   /** IVF approximate ANN (scale path; approx → rows-only check). */
   def annIvf(s: SparkSession, dir: String): DataFrame = {
     val embs = t(s, dir, "embeddings")

@@ -50,6 +50,7 @@ object SparkEntry {
     "q_simhash_pairs"        -> (Queries.simhashPairs _),
     // similarity search
     "q_ann_topk"             -> (Queries.annBruteForce _),
+    "q_ann_quantized"        -> (Queries.annQuantized _),
     "q_ann_ivf"              -> (Queries.annIvf _),
     "q_ann_ivf_trained"      -> (Queries.annIvfTrained _),
     "q_embed_neardup"        -> (Queries.embedNearDup _),
@@ -300,6 +301,28 @@ object SparkEntry {
         |FROM base""".stripMargin,
 
     "q_ann_topk" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 8),
+        |c AS (SELECT vec_id AS item_id, embedding AS ce FROM embeddings),
+        |flat AS (
+        |  SELECT query_id, item_id,
+        |         CAST(unnest(qe) AS DOUBLE) AS qx, CAST(unnest(ce) AS DOUBLE) AS cx
+        |  FROM q JOIN c ON item_id <> query_id),
+        |dots AS (
+        |  SELECT query_id, item_id, sum(qx * cx) AS dp,
+        |         sum(qx * qx) AS nq, sum(cx * cx) AS nc
+        |  FROM flat GROUP BY 1, 2),
+        |scored AS (
+        |  SELECT query_id, item_id, round(dp / (sqrt(nq) * sqrt(nc)), 6) AS cos
+        |  FROM dots)
+        |SELECT query_id, item_id, rank, cos FROM (
+        |  SELECT query_id, item_id, cos,
+        |         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, item_id) AS rank
+        |  FROM scored) WHERE rank <= 5""".stripMargin,
+
+    // the int8-scan + float-rescore path returns the exact brute-force
+    // top-k (the 4x overscan absorbs the <1% quantization drift), so it is
+    // value-checked against the SAME exact oracle as q_ann_topk
+    "q_ann_quantized" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 8),
         |c AS (SELECT vec_id AS item_id, embedding AS ce FROM embeddings),
         |flat AS (

@@ -120,6 +120,16 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("quantized top-k recovers the exact brute-force result via overscan + rescore") {
+    val corpus = clusteredCorpus(200)
+    val queries = corpus.filter($"vec_id" < 10)
+    val exact = Similarity.bruteForceTopK(corpus, queries, 5)
+      .select("query_id", "item_id", "rank")
+    val quant = Similarity.quantizedTopK(corpus, queries, 5)
+      .select("query_id", "item_id", "rank")
+    assert(exact.exceptAll(quant).count() == 0 && quant.exceptAll(exact).count() == 0)
+  }
+
   test("k-means keeps a previous centroid when its cell goes empty") {
     // 3 vectors, 3 cells: after one iteration each centroid is its own mean;
     // ask for more cells than distinct clusters to exercise the guard
