@@ -722,4 +722,17 @@ object Queries {
     Multimodal.extractFeatures(media).toDF()
       .groupBy("kind").agg(count(lit(1)).as("n"), sum(col("n_bytes")).as("bytes"))
   }
+
+  /** Multimodal header round-trip: encode real PNG/WAV headers from
+    * id-derived parameters, parse them back byte-level, and emit the parsed
+    * fields — the oracle computes the same parameters directly from the id,
+    * so any encode/parse asymmetry breaks the value match.
+    */
+  def mediaMeta(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Multimodal
+    val media = Multimodal.syntheticEncodedMedia(s, 300)
+    Multimodal.parseHeaders(media).toDF()
+      .select(col("media_id"), col("format"), col("width"), col("height"),
+        col("sample_rate"), col("channels"))
+  }
 }

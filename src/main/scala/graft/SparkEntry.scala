@@ -77,7 +77,8 @@ object SparkEntry {
     "q_window_agg"           -> (Queries.windowAgg _),
     "q_sessionize"           -> (Queries.sessionize _),
     // multimodal plumbing (stub kernel)
-    "q_multimodal"           -> (Queries.multimodal _)
+    "q_multimodal"           -> (Queries.multimodal _),
+    "q_media_meta"           -> (Queries.mediaMeta _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -452,6 +453,18 @@ object SparkEntry {
         |  JOIN bench USING (gr))
         |SELECT d.doc_id, d.lang FROM documents d
         |WHERE d.doc_id NOT IN (SELECT doc_id FROM hits)""".stripMargin,
+
+    // round-trip check: Spark ENCODES real PNG/WAV headers from id-derived
+    // parameters and PARSES them back; the oracle computes the parameters
+    // directly — any encode/parse asymmetry breaks the value match
+    "q_media_meta" ->
+      """SELECT id AS media_id,
+        |  CASE WHEN id % 2 = 0 THEN 'png' ELSE 'wav' END AS format,
+        |  CASE WHEN id % 2 = 0 THEN CAST(16 + id % 64 AS INTEGER) END AS width,
+        |  CASE WHEN id % 2 = 0 THEN CAST(16 + id % 48 AS INTEGER) END AS height,
+        |  CASE WHEN id % 2 = 1 THEN CAST(8000 + (id % 4) * 8000 AS INTEGER) END AS sample_rate,
+        |  CASE WHEN id % 2 = 1 THEN CAST(1 + (id // 2) % 2 AS INTEGER) END AS channels
+        |FROM range(300) t(id)""".stripMargin,
 
     "q_pack" ->
       """WITH base AS (

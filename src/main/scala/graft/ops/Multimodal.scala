@@ -127,4 +127,90 @@ object Multimodal {
     media.filter(col("kind") === "video")
       .select(col("media_id"),
         explode(sequence(lit(0L), col("meta.duration_ms"), lit(everyMs))).as("frame_ms"))
+
+  // ===== REAL HEADER CODEC (pure JVM, no codec libraries) =====
+  // Container-format headers are plain bytes; constructing and parsing them
+  // needs no native libs, so THIS kernel is not a stub: it builds valid PNG
+  // signatures + IHDR chunks and WAV RIFF/fmt chunks, and parses either
+  // back by magic-byte sniffing. Pixel/sample DECODING stays stubbed above.
+
+  private def be32(v: Int): Array[Byte] =
+    Array(((v >>> 24) & 0xFF).toByte, ((v >>> 16) & 0xFF).toByte,
+      ((v >>> 8) & 0xFF).toByte, (v & 0xFF).toByte)
+  private def le32(v: Int): Array[Byte] = be32(v).reverse
+  private def le16(v: Int): Array[Byte] =
+    Array((v & 0xFF).toByte, ((v >>> 8) & 0xFF).toByte)
+
+  private val PngSig = Array(0x89, 'P', 'N', 'G', '\r', '\n', 0x1A, '\n').map(_.toByte)
+
+  /** A valid PNG signature + IHDR chunk (CRC zeroed — parsers that verify
+    * CRCs would reject it; header READING does not need the CRC).
+    */
+  def pngHeaderBytes(width: Int, height: Int): Array[Byte] =
+    PngSig ++ be32(13) ++ "IHDR".getBytes("US-ASCII") ++
+      be32(width) ++ be32(height) ++
+      Array[Byte](8, 6, 0, 0, 0) ++ be32(0)
+
+  /** A valid WAV RIFF header + fmt chunk (PCM16) + empty data chunk. */
+  def wavHeaderBytes(sampleRate: Int, channels: Int): Array[Byte] = {
+    val byteRate = sampleRate * channels * 2
+    "RIFF".getBytes("US-ASCII") ++ le32(36) ++ "WAVE".getBytes("US-ASCII") ++
+      "fmt ".getBytes("US-ASCII") ++ le32(16) ++ le16(1) ++ le16(channels) ++
+      le32(sampleRate) ++ le32(byteRate) ++ le16(channels * 2) ++ le16(16) ++
+      "data".getBytes("US-ASCII") ++ le32(0)
+  }
+
+  final case class ParsedMedia(media_id: Long, format: String,
+                               width: Option[Int], height: Option[Int],
+                               sample_rate: Option[Int], channels: Option[Int])
+
+  private def readBe32(b: Array[Byte], o: Int): Int =
+    ((b(o) & 0xFF) << 24) | ((b(o + 1) & 0xFF) << 16) |
+      ((b(o + 2) & 0xFF) << 8) | (b(o + 3) & 0xFF)
+  private def readLe32(b: Array[Byte], o: Int): Int =
+    (b(o) & 0xFF) | ((b(o + 1) & 0xFF) << 8) |
+      ((b(o + 2) & 0xFF) << 16) | ((b(o + 3) & 0xFF) << 24)
+  private def readLe16(b: Array[Byte], o: Int): Int =
+    (b(o) & 0xFF) | ((b(o + 1) & 0xFF) << 8)
+
+  /** Sniff + parse one payload. Unknown/truncated bytes → format "unknown",
+    * all fields None — malformed media must degrade, not kill the job.
+    */
+  def parseHeader(id: Long, payload: Array[Byte]): ParsedMedia = {
+    val b = if (payload == null) Array.empty[Byte] else payload
+    if (b.length >= 24 && b.take(8).sameElements(PngSig) &&
+        new String(b.slice(12, 16), "US-ASCII") == "IHDR")
+      ParsedMedia(id, "png", Some(readBe32(b, 16)), Some(readBe32(b, 20)), None, None)
+    else if (b.length >= 36 && new String(b.take(4), "US-ASCII") == "RIFF" &&
+        new String(b.slice(8, 12), "US-ASCII") == "WAVE" &&
+        new String(b.slice(12, 16), "US-ASCII") == "fmt ")
+      ParsedMedia(id, "wav", None, None,
+        Some(readLe32(b, 24)), Some(readLe16(b, 22)))
+    else ParsedMedia(id, "unknown", None, None, None, None)
+  }
+
+  /** Deterministic synthetic media with REAL encoded headers: even ids are
+    * PNGs (dims derived from the id), odd ids are WAVs. Stands in for
+    * `spark.read.format("binaryFile")` in production.
+    */
+  def syntheticEncodedMedia(spark: SparkSession, n: Long): DataFrame = {
+    import spark.implicits._
+    spark.range(n).map { id =>
+      val payload =
+        if (id % 2 == 0) pngHeaderBytes(16 + (id % 64).toInt, 16 + (id % 48).toInt)
+        else wavHeaderBytes(8000 + (id % 4).toInt * 8000, 1 + ((id / 2) % 2).toInt)
+      (id, payload)
+    }.toDF("media_id", "payload")
+  }
+
+  /** Parse the header of every payload — the same mapPartitions batch shape
+    * as [[extractFeatures]], but with the real codec above.
+    */
+  def parseHeaders(media: DataFrame): Dataset[ParsedMedia] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) => parseHeader(id, bytes) })
+  }
 }

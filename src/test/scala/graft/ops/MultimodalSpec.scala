@@ -61,4 +61,39 @@ class MultimodalSpec extends SparkSpec {
     assert(ids == videos)
     assert(plan.filter(col("frame_ms") % 1000 =!= 0).count() == 0)
   }
+
+  test("PNG/WAV header codec round-trips: parse(encode(params)) == params") {
+    val png = Multimodal.parseHeader(1L, Multimodal.pngHeaderBytes(640, 480))
+    assert(png.format == "png" && png.width.contains(640) && png.height.contains(480))
+    assert(png.sample_rate.isEmpty && png.channels.isEmpty)
+    val wav = Multimodal.parseHeader(2L, Multimodal.wavHeaderBytes(44100, 2))
+    assert(wav.format == "wav" && wav.sample_rate.contains(44100) && wav.channels.contains(2))
+    assert(wav.width.isEmpty && wav.height.isEmpty)
+  }
+
+  test("header parsing degrades gracefully on malformed payloads") {
+    assert(Multimodal.parseHeader(1L, null).format == "unknown")
+    assert(Multimodal.parseHeader(2L, Array.empty[Byte]).format == "unknown")
+    assert(Multimodal.parseHeader(3L, "not a media file at all".getBytes).format == "unknown")
+    // truncated PNG: signature only, no IHDR
+    assert(Multimodal.parseHeader(4L,
+      Multimodal.pngHeaderBytes(1, 1).take(10)).format == "unknown")
+  }
+
+  test("distributed header parse recovers every generated parameter") {
+    val media = Multimodal.syntheticEncodedMedia(spark, 100)
+    val parsed = Multimodal.parseHeaders(media).collect()
+    assert(parsed.length == 100)
+    parsed.foreach { p =>
+      if (p.media_id % 2 == 0) {
+        assert(p.format == "png")
+        assert(p.width.contains(16 + (p.media_id % 64).toInt), p.toString)
+        assert(p.height.contains(16 + (p.media_id % 48).toInt), p.toString)
+      } else {
+        assert(p.format == "wav")
+        assert(p.sample_rate.contains(8000 + (p.media_id % 4).toInt * 8000), p.toString)
+        assert(p.channels.contains(1 + ((p.media_id / 2) % 2).toInt), p.toString)
+      }
+    }
+  }
 }
