@@ -528,6 +528,20 @@ object Queries {
       round(TextOps.topTokenFraction(col("text")), 6).as("top_token"),
       TextOps.repetitionOk(col("text")).as("rep_ok"))
 
+  /** Corpus reporting stats per language: doc count, mean token length,
+    * exact p50/p90 token percentiles (Spark `percentile` and DuckDB
+    * `percentile_cont` share the linear-interpolation definition).
+    * One hash aggregation; the exact percentile buffers per-group values —
+    * at corpus scale swap in approx_percentile (t-digest, mergeable) and
+    * drop the oracle to tolerance.
+    */
+  def corpusStats(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").groupBy("lang").agg(
+      count(lit(1)).as("n_docs"),
+      round(avg(size(split(trim(col("text")), "\\s+"))), 6).as("mean_tokens"),
+      round(expr("percentile(size(split(trim(text), '\\\\s+')), 0.5)"), 6).as("p50_tokens"),
+      round(expr("percentile(size(split(trim(text), '\\\\s+')), 0.9)"), 6).as("p90_tokens"))
+
   /** Corpus vocabulary: top 50 tokens by frequency (ties → lexicographic). */
   def vocabTopk(s: SparkSession, dir: String): DataFrame =
     graft.ops.CorpusOps.topTokens(t(s, dir, "documents"), 50)

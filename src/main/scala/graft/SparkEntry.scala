@@ -67,6 +67,7 @@ object SparkEntry {
     "q_repetition"           -> (Queries.repetition _),
     "q_scrub"                -> (Queries.scrub _),
     "q_vocab_topk"           -> (Queries.vocabTopk _),
+    "q_corpus_stats"         -> (Queries.corpusStats _),
     "q_decontam"             -> (Queries.decontaminate _),
     "q_pack"                 -> (Queries.packBySize _),
     // KG pipeline shapes + skew-aware agg + CC
@@ -426,6 +427,15 @@ object SparkEntry {
         |       round(top_raw, 6) AS top_token,
         |       (dup_raw <= 0.2 AND top_raw <= 0.3) AS rep_ok
         |FROM m""".stripMargin,
+
+    "q_corpus_stats" ->
+      """SELECT lang, count(*) AS n_docs,
+        |  round(avg(len(regexp_split_to_array(trim(text), '\s+'))), 6) AS mean_tokens,
+        |  round(percentile_cont(0.5) WITHIN GROUP
+        |    (ORDER BY len(regexp_split_to_array(trim(text), '\s+'))), 6) AS p50_tokens,
+        |  round(percentile_cont(0.9) WITHIN GROUP
+        |    (ORDER BY len(regexp_split_to_array(trim(text), '\s+'))), 6) AS p90_tokens
+        |FROM documents GROUP BY lang""".stripMargin,
 
     "q_vocab_topk" ->
       """SELECT token, count(*) AS n
