@@ -103,6 +103,58 @@ object IncrementalPipeline {
       .start()
   }
 
+  /** Periodic batch re-canonicalization — the batch half of the lambda
+    * split this file's header promises: the stream merges SURFACE-NORMALIZED
+    * entities (cheap, per micro-batch); this pass re-clusters the
+    * accumulated entity names with the SAME size-adaptive LSH+CC
+    * canonicalizer the batch pipeline uses, collapses nodes onto canonical
+    * names (mention counts SUM), recovers edge endpoint names from the
+    * stable node ids, remaps them, and re-aggregates edge support per
+    * (canonical src, canonical dst, type).
+    *
+    * Result: the incremental graph CONVERGES to what the batch pipeline
+    * builds from the same turns — node (name, mention_count) and edge
+    * (src_id, dst_id, rel_type, support) sets match exactly
+    * (IncrementalPipelineSpec). Self-edges produced by collapsing a
+    * triple's two endpoints onto one canonical entity are kept, matching
+    * the batch pipeline's behavior.
+    *
+    * Scale shape: the canonical map is distinct-entity-sized (tiny next to
+    * the edge table) and broadcasts; the only corpus-scale shuffles are the
+    * two re-aggregations on the new keys — the same cost as the original
+    * build, paid once per compaction cycle, not per micro-batch.
+    */
+  def recanonicalize(nodes: DataFrame, edges: DataFrame,
+                     jaccardThreshold: Double = graft.kg.Pipeline.JaccardThreshold): (DataFrame, DataFrame) = {
+    val clustered = graft.kg.Canonicalize.canonicalMap(
+        nodes.select(col("name").as("norm")).distinct(), jaccardThreshold)
+      .withColumnRenamed("norm", "cname")
+    val cmap = broadcast(
+      nodes.select("name").distinct()
+        .join(clustered, col("name") === col("cname"), "left_outer")
+        .select(col("name"), coalesce(col("canonical"), col("name")).as("canonical")))
+    val nodeRows = nodes.join(cmap, "name")
+      .groupBy(col("canonical").as("name"))
+      .agg(sum("mention_count").as("mention_count"))
+    val newNodes = NodeSetOps.merge(None, nodeRows, entitySpec)
+
+    val idName = RelSetOps.withNodeId(nodes, entitySpec.mergeKeys)
+      .select(col("_node_id"), col("name"))
+    val relRows = edges
+      .join(idName.select(col("_node_id").as(RelSetOps.SrcId), col("name").as("_sn")),
+        RelSetOps.SrcId)
+      .join(idName.select(col("_node_id").as(RelSetOps.DstId), col("name").as("_dn")),
+        RelSetOps.DstId)
+      .join(cmap.select(col("name").as("_sn"), col("canonical").as("start_name")), "_sn")
+      .join(cmap.select(col("name").as("_dn"), col("canonical").as("end_name")), "_dn")
+      .groupBy("start_name", "end_name", RelSetOps.RelType)
+      .agg(sum("support").as("support"))
+      .withColumnRenamed(RelSetOps.RelType, "pred")
+    val newEdges = RelSetOps.merge(None, relRows, newNodes, relSpec,
+      relTypeCol = Some("pred"))
+    (newNodes, newEdges)
+  }
+
   /** Windowed turn-rate monitoring — the watermark/window face of the
     * stream (5-minute tumbling counts per role, 10-minute watermark).
     */

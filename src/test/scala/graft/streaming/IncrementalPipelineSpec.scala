@@ -60,6 +60,44 @@ class IncrementalPipelineSpec extends SparkSpec {
     assert(gotSupport == wantSupport)
   }
 
+  test("periodic re-canonicalization converges the incremental graph to the batch pipeline") {
+    val n = 900L
+    val inDir = tmpDir("graft-recanon-in")
+    val ckDir = tmpDir("graft-recanon-ck")
+    val workDir = tmpDir("graft-recanon-batch")
+
+    // stream the turns in 3 micro-batches (surface-normalized entities only)
+    Seq((0L, 300L), (300L, 600L), (600L, 900L)).foreach { case (lo, hi) =>
+      spark.range(lo, hi).map(id => Corpus.turnAt(id, n)).toDF()
+        .coalesce(1).write.mode("append").parquet(inDir)
+    }
+    val state = new IncrementalPipeline.GraphState(spark)
+    IncrementalPipeline.start(spark, inDir, ckDir, state, maxFilesPerTrigger = Some(1))
+      .awaitTermination(120000)
+
+    // the compaction pass
+    val (cNodes, cEdges) = IncrementalPipeline.recanonicalize(
+      state.nodes.get, state.edges.get)
+
+    // batch truth: the full canonicalizing pipeline over the same turns
+    val all = graft.kg.TranscriptGen.turns(spark, n, 4).toDF()
+    val batch = graft.kg.Pipeline.run(all, workDir)
+
+    val gotNodes = cNodes.select("name", "mention_count")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val wantNodes = batch.nodes.select("name", "mention_count")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(gotNodes == wantNodes,
+      s"node diff: extra=${gotNodes.toSet -- wantNodes.toSet} missing=${wantNodes.toSet -- gotNodes.toSet}")
+
+    val gotEdges = cEdges.select("src_id", "dst_id", "rel_type", "support")
+      .collect().map(r => ((r.getLong(0), r.getLong(1), r.getString(2)), r.getLong(3))).toMap
+    val wantEdges = batch.edges.select("src_id", "dst_id", "rel_type", "support")
+      .collect().map(r => ((r.getLong(0), r.getLong(1), r.getString(2)), r.getLong(3))).toMap
+    assert(gotEdges == wantEdges,
+      s"edge diff: extra=${gotEdges.toSet -- wantEdges.toSet} missing=${wantEdges.toSet -- gotEdges.toSet}")
+  }
+
   test("windowed turn-rate aggregation (watermark + tumbling window)") {
     val turns = TranscriptGen.turns(spark, 300L, 4).toDF()
     val rates = IncrementalPipeline.turnRates(turns) // batch-mode window agg
