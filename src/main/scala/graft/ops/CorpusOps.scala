@@ -43,6 +43,7 @@ object CorpusOps {
   def decontaminate(docs: DataFrame, benchmark: DataFrame, n: Int = 8,
                     idCol: String = "doc_id", textCol: String = "text",
                     benchTextCol: String = "text"): DataFrame = {
+    require(n > 0, s"n-gram size must be positive, got $n")
     val benchGrams = benchmark
       .select(explode(gramHashes(col(benchTextCol), n)).as("g"))
       .distinct()
@@ -68,6 +69,8 @@ object CorpusOps {
   def packBySize(docs: DataFrame, budgetTokens: Long, nShards: Int,
                  idCol: String = "doc_id", textCol: String = "text",
                  packCol: String = "pack_id"): DataFrame = {
+    require(budgetTokens > 0, s"budgetTokens must be positive, got $budgetTokens")
+    require(nShards > 0, s"nShards must be positive, got $nShards")
     import org.apache.spark.sql.expressions.Window
     val shard = Sampling.bucket(col(idCol), salt = 11L) % nShards
     val toks = TextOps.tokenCountWs(col(textCol)).cast("long")

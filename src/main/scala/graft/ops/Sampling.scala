@@ -99,6 +99,8 @@ object Sampling {
     */
   def quotaPerGroup(df: DataFrame, groupCol: String, n: Int,
                     orderBy: Seq[Column]): DataFrame = {
+    require(n > 0, s"quota must be positive, got $n")
+    require(orderBy.nonEmpty, "quotaPerGroup needs an explicit total order")
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col(groupCol)).orderBy(orderBy: _*)
     df.withColumn("_qrk", row_number().over(w))

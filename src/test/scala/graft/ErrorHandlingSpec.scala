@@ -92,4 +92,31 @@ class ErrorHandlingSpec extends SparkSpec {
       g.rawQuery("SELECT labels FROM nodes", Seq("k")))
     assert(e.getMessage.contains("k"))
   }
+
+  test("training-data ops reject nonsensical arguments at construction") {
+    val docs = Seq((1L, "a b c")).toDF("doc_id", "text")
+    intercept[IllegalArgumentException](graft.ops.Sampling.sampleByRate(docs, 1.5))
+    intercept[IllegalArgumentException](graft.ops.Sampling.sampleStratified(
+      docs, "text", Map("x" -> -0.1)))
+    intercept[IllegalArgumentException](graft.ops.Sampling.splitAssign(
+      docs, Seq("a", "b"), Seq(0.9, 0.3))) // sums over 1
+    intercept[IllegalArgumentException](graft.ops.Sampling.splitAssign(
+      docs, Seq("a"), Seq(0.5, 0.5))) // names/weights mismatch
+    intercept[IllegalArgumentException](graft.ops.Sampling.quotaPerGroup(
+      docs, "text", 0, Seq(col("doc_id"))))
+    intercept[IllegalArgumentException](graft.ops.CorpusOps.packBySize(docs, 0L, 4))
+    intercept[IllegalArgumentException](graft.ops.CorpusOps.packBySize(docs, 100L, 0))
+    intercept[IllegalArgumentException](graft.ops.CorpusOps.decontaminate(docs, docs, 0))
+  }
+
+  test("empty corpus: sampling, packing, corpus stats all yield empty, shaped output") {
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(graft.ops.Sampling.sampleByRate(empty, 0.5).count() == 0)
+    assert(graft.ops.Sampling.splitAssign(empty, Seq("a"), Seq(1.0))
+      .columns.contains("split"))
+    assert(graft.ops.CorpusOps.packBySize(empty, 100L, 4).count() == 0)
+    assert(graft.ops.CorpusOps.topTokens(empty, 5).count() == 0)
+    assert(graft.ops.CorpusOps.decontaminate(empty, empty).count() == 0)
+    assert(graft.ops.TextOps.annotate(empty).count() == 0)
+  }
 }
