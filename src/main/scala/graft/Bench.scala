@@ -45,6 +45,7 @@ object Bench {
       // A 64k floor keeps parallelism-first sizing in charge; at production
       // byte volumes partitions sit far above any floor, so this is inert.
       .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -18,6 +18,7 @@ object Demo {
       .config("spark.sql.adaptive.enabled", "true")
       // see Bench.session: keep AQE from byte-coalescing CPU-dense stages
       .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -67,6 +68,7 @@ object Demo {
       .appName("graft-streaming-demo")
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

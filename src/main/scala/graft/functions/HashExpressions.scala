@@ -1,0 +1,187 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, UnaryExpression, UnsafeArrayData, XXH64}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.functions.{call_function, lit}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+
+/** Native Catalyst expressions for the two hash-dense hot paths — the
+  * sanctioned escalation when built-in functions can't hit the needed
+  * shape (custom `Expression` with `doGenCode` beats HOF chains beats
+  * UDFs):
+  *
+  *  - [[MinHashSig]]: the numHashes-seed min-hash signature in ONE pass
+  *    over the shingle array. The higher-order-function form
+  *    (`transform(sequence(0,31), j -> array_min(transform(sh, s ->
+  *    xxhash64(s, j))))`) materializes 32 intermediate arrays per row and
+  *    re-walks the shingles 32×; this loop keeps one long of state per
+  *    seed and walks the input once — and it is BIT-IDENTICAL to the HOF
+  *    form (same xxhash64 composition: hashLong(j, hashLong(s, 42))),
+  *    asserted in HashExpressionsSpec, so every gate result is unchanged.
+  *
+  *  - [[SimHash64]]: the 64-bit SimHash vote in one pass per ROW. The
+  *    aggregation form (explode shingles → groupBy(id) with 64 bit-count
+  *    sums) pays a corpus-wide SHUFFLE for what is a per-document
+  *    computation; this expression removes that shuffle entirely.
+  *
+  * Registration: `spark.sql.extensions=graft.functions.GraftExtensions`
+  * (set by every session builder in this repo) injects both as SQL
+  * functions; [[functions.minhashSig]]/[[functions.simhash64]] are the
+  * Column faces via `call_function`.
+  */
+case class MinHashSig(child: Expression, numHashes: Int) extends UnaryExpression {
+  require(numHashes > 0, s"numHashes must be positive, got $numHashes")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_minhash_sig"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_minhash_sig requires array<bigint>, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val sig = Array.fill(numHashes)(Long.MaxValue)
+    var i = 0
+    while (i < n) {
+      val e = XXH64.hashLong(arr.getLong(i), 42L)
+      var j = 0
+      while (j < numHashes) {
+        // the HOF form's seed index comes from sequence() as an INT, which
+        // XxHash64 hashes via hashInt — match it exactly for bit parity
+        val h = XXH64.hashInt(j, e)
+        if (h < sig(j)) sig(j) = h
+        j += 1
+      }
+      i += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(sig)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val xxh = classOf[XXH64].getName
+    val uad = classOf[UnsafeArrayData].getName
+    nullSafeCodeGen(ctx, ev, arr => {
+      val sig = ctx.freshName("sig")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val e = ctx.freshName("e")
+      val h = ctx.freshName("h")
+      s"""
+         |long[] $sig = new long[$numHashes];
+         |java.util.Arrays.fill($sig, Long.MAX_VALUE);
+         |for (int $i = 0; $i < $arr.numElements(); $i++) {
+         |  long $e = $xxh.hashLong($arr.getLong($i), 42L);
+         |  for (int $j = 0; $j < $numHashes; $j++) {
+         |    long $h = $xxh.hashInt($j, $e);
+         |    if ($h < $sig[$j]) $sig[$j] = $h;
+         |  }
+         |}
+         |${ev.value} = $uad.fromPrimitiveArray($sig);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSig =
+    copy(child = newChild)
+}
+
+/** 64-bit SimHash of a hashed-shingle array: bit j of the result is set iff
+  * more elements have bit j set than not — the per-bit ±1 vote, folded in
+  * one pass per row with no shuffle.
+  */
+case class SimHash64(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_simhash64"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_simhash64 requires array<bigint>, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val votes = new Array[Int](64)
+    var i = 0
+    while (i < n) {
+      val h = arr.getLong(i)
+      var j = 0
+      while (j < 64) {
+        if (((h >>> j) & 1L) == 1L) votes(j) += 1 else votes(j) -= 1
+        j += 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var j = 0
+    while (j < 64) { if (votes(j) > 0) out |= (1L << j); j += 1 }
+    out
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, arr => {
+      val votes = ctx.freshName("votes")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val h = ctx.freshName("h")
+      val out = ctx.freshName("out")
+      s"""
+         |int[] $votes = new int[64];
+         |for (int $i = 0; $i < $arr.numElements(); $i++) {
+         |  long $h = $arr.getLong($i);
+         |  for (int $j = 0; $j < 64; $j++) {
+         |    if ((($h >>> $j) & 1L) == 1L) $votes[$j]++; else $votes[$j]--;
+         |  }
+         |}
+         |long $out = 0L;
+         |for (int $j = 0; $j < 64; $j++) { if ($votes[$j] > 0) $out |= (1L << $j); }
+         |${ev.value} = $out;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+}
+
+/** Column faces (need the functions injected — every session builder in
+  * this repo sets `spark.sql.extensions=graft.functions.GraftExtensions`).
+  */
+object functions {
+  def minhashSig(c: Column, numHashes: Int): Column =
+    call_function("graft_minhash_sig", c, lit(numHashes))
+
+  def simhash64(c: Column): Column =
+    call_function("graft_simhash64", c)
+}
+
+/** `spark.sql.extensions=graft.functions.GraftExtensions` — the public
+  * SparkSessionExtensions hook that injects both native functions at
+  * session build.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((FunctionIdentifier("graft_minhash_sig"),
+      new ExpressionInfo(classOf[MinHashSig].getName, "graft_minhash_sig"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "graft_minhash_sig(arr, numHashes)")
+        MinHashSig(args.head, args(1).eval().asInstanceOf[Number].intValue())
+      }))
+    ext.injectFunction((FunctionIdentifier("graft_simhash64"),
+      new ExpressionInfo(classOf[SimHash64].getName, "graft_simhash64"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "graft_simhash64(arr)")
+        SimHash64(args.head)
+      }))
+  }
+}

@@ -80,9 +80,9 @@ object Dedup {
       .select(col(idCol).as("id"), wordShingleHashes(col(textCol)).as("_sh"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val banded = shingled
-      .withColumn("_sig", expr(
-        s"""transform(sequence(0, ${Lsh.NumHashes - 1}),
-           |  j -> array_min(transform(_sh, s -> xxhash64(s, j))))""".stripMargin))
+      // native one-pass signature (bit-identical to the HOF form — see
+      // graft.functions.MinHashSig; parity asserted in HashExpressionsSpec)
+      .withColumn("_sig", graft.functions.functions.minhashSig(col("_sh"), Lsh.NumHashes))
       .select(col("id"),
         posexplode(expr(
           s"transform(sequence(0, ${Lsh.NumBands - 1}), b -> hash(slice(_sig, b * ${Lsh.RowsPerBand} + 1, ${Lsh.RowsPerBand})))"))
@@ -150,41 +150,37 @@ object Dedup {
   }
 
   /** 64-bit SimHash over word shingles: per-bit weighted vote of shingle
-    * hashes. Built as: explode HASHED shingles → one 64-column bit-count
-    * hash aggregation per doc. The groupBy does map-side partial
-    * aggregation, so the shuffle moves one (id, 64 counters) row per doc
-    * per map partition — not the shingles. (A shuffle-free higher-order
-    * `aggregate` with a 64-slot array accumulator was measured 2× SLOWER:
-    * it allocates a fresh array per shingle, while this form stays in
-    * whole-stage codegen on primitive longs.)
+    * hashes, folded in ONE pass per row by the native
+    * [[graft.functions.SimHash64]] expression — a zero-shuffle codegen
+    * projection. (History: an explode → groupBy(id) with 64 bit-count sums
+    * paid a corpus-wide shuffle for this per-document computation; a
+    * higher-order `aggregate` with a 64-slot array accumulator was 2×
+    * slower than even that, allocating a fresh array per shingle. The
+    * native expression keeps the votes in a primitive int[64] inside
+    * whole-stage codegen.)
     */
-  def simhash(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val sh = docs.select(col(idCol).as("id"),
-      explode(wordShingleHashes(col(textCol))).as("h"))
-    // sum_{bit} sign contribution; bit j of result = 1 iff sum of (+1/-1) > 0
-    val bitCols = (0 until 64).map { j =>
-      sum(when(shiftright(col("h"), j).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$j")
-    }
-    val agg = sh.groupBy("id").agg(bitCols.head, bitCols.tail: _*)
-    val sig = (0 until 64).map(j =>
-      when(col(s"b$j") > 0, shiftleft(lit(1L), j)).otherwise(lit(0L)))
-      .reduce((a: Column, b: Column) => a.bitwiseOR(b))
-    agg.select(col("id"), sig.as("simhash"))
-  }
+  def simhash(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    docs.select(col(idCol).as("id"),
+      graft.functions.functions.simhash64(wordShingleHashes(col(textCol))).as("simhash"))
 
   /** SimHash near-dup pairs with hamming distance <= maxHamming, blocked on
     * 16-bit bands (guaranteed complete for maxHamming <= 3).
     */
   def simhashPairs(docs: DataFrame, maxHamming: Int = 3,
                    idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
     require(maxHamming <= 3, "4-band blocking is only complete for hamming <= 3")
     val sigs = simhash(docs, idCol, textCol)
+    // pinned so the (now shuffle-free) signature projection computes once,
+    // not once per self-join side — the retired aggregate form got this for
+    // free via exchange reuse; a projection has no exchange to reuse
     val banded = sigs.select(col("id"), col("simhash"),
       posexplode(array((0 until 4).map(b =>
         shiftrightunsigned(col("simhash"), b * 16).bitwiseAND(0xFFFFL)): _*))
         .as(Seq("band_idx", "band_key")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val l = banded.alias("l"); val r = banded.alias("r")
-    l.join(r,
+    val out = l.join(r,
         col("l.band_idx") === col("r.band_idx") &&
         col("l.band_key") === col("r.band_key") &&
         col("l.id") < col("r.id"))
@@ -194,6 +190,10 @@ object Dedup {
       .withColumn("hamming", bit_count(col("sa").bitwiseXOR(col("sb"))))
       .filter(col("hamming") <= maxHamming)
       .select("a", "b", "hamming")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    out.count() // materialize the (small) result, then free the working cache
+    banded.unpersist()
+    out
   }
 
   /** Exact n-gram Jaccard similarity for all pairs within a blocking key

@@ -13,6 +13,7 @@ object TestSpark {
       .config("spark.sql.adaptive.enabled", "true")
       // see Bench.session: keep AQE from byte-coalescing CPU-dense stages
       .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
