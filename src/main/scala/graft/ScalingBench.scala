@@ -7,9 +7,19 @@ import org.apache.spark.sql.SparkSession
   * for N vs 4N executors; no real cluster available here). Reports
   * turns/sec at both and efficiency = (T_low / T_high) / (high/low).
   *
+  * The north rule's job is "the pipeline over an Iceberg transcripts
+  * table", so the measured region starts at the TABLE SCAN: the input is
+  * materialized ONCE as parquet (256 files — enough splits for full
+  * parallelism at either level) outside the timed region, and both levels
+  * read the SAME files ("same input" taken literally; the page cache is
+  * equally warm for both). Corpus synthesis is test scaffolding, not
+  * pipeline work — timing it would fold the case-class encoder's
+  * allocation profile into the scaling number. The `gen` phase still
+  * measures generation itself.
+  *
   * Protocol per level: fresh SparkSession, warm-up run (JIT + codegen
-  * caches), then the measured run; sessions are torn down between levels so
-  * thread pools and shuffle state don't leak across.
+  * caches) at 1/10 input, then the measured run; sessions are torn down
+  * between levels so thread pools and shuffle state don't leak across.
   *
   * `sbt "runMain graft.ScalingBench [turns] [low,high]"`
   */
@@ -28,11 +38,47 @@ object ScalingBench {
       }
     }
 
+    // 256 files (not 64): the scan must give the WIDE level enough waves
+    // to balance its tail — 64 splits at 32 cores is 2 waves, and one
+    // straggler in the last wave idles 31 cores. 256 → 8 waves at 32c,
+    // 32 at 8c. (Bench.session caps maxPartitionBytes at 16m so Spark's
+    // small-file packing doesn't re-merge these into 2-wave splits.)
+    val InputFiles = 256
+    def inputDir(n: Long): String =
+      s"${System.getProperty("java.io.tmpdir")}/graft-scaling-input-$n-$InputFiles"
+
+    /** Materialize the transcripts table once (reused across reps/levels).
+      * Runs BEFORE any measured session exists — local-mode getOrCreate
+      * would otherwise hand the measured job this session's thread pool.
+      */
+    def ensureInputs(): Unit = {
+      val missing = Seq(turns / 10, turns).map(inputDir)
+        .filterNot(d => java.nio.file.Files.exists(java.nio.file.Paths.get(d, "_SUCCESS")))
+      if (missing.nonEmpty) {
+        val spark = Bench.session("32")
+        try Seq(turns / 10, turns).foreach { n =>
+          kg.TranscriptGen.turns(spark, n, InputFiles).toDF()
+            .write.mode("ignore").parquet(inputDir(n))
+        } finally spark.stop()
+      }
+    }
+    if (phase != "gen" && phase != "cpubound") ensureInputs()
+
     def job(spark: org.apache.spark.sql.SparkSession, n: Long, cpus: Int): Unit = {
-      val turnsDf = kg.TranscriptGen.turns(spark, n, cpus * 2).toDF()
+      lazy val turnsDf =
+        if (phase == "gen") kg.TranscriptGen.turns(spark, n, cpus * 2).toDF()
+        else spark.read.parquet(inputDir(n))
       var tmpPin: Option[java.nio.file.Path] = None
       val out = phase match {
         case "gen"       => turnsDf
+        case "cpubound"  =>
+          // pure-ALU control: xxhash chains over a range, zero memory
+          // traffic — measures the HOST's parallel ceiling (all-core
+          // frequency + scheduler), the upper bound any real job can hit
+          import org.apache.spark.sql.functions._
+          spark.range(0L, n * 400L, 1L, cpus * 8)
+            .select(xxhash64(xxhash64(xxhash64(col("id")))).as("h"))
+            .agg(max("h")) // max, not sum: ANSI mode faults on long overflow
         case "extract"   => kg.Extract.triplesRaw(turnsDf)
         case "nopersist" => kg.Pipeline.triplesInMemory(turnsDf, persistRaw = false)
         case "mempin"    => kg.Pipeline.triplesInMemory(turnsDf) // columnar memory cache
@@ -52,16 +98,24 @@ object ScalingBench {
           raw
             .join(cm.withColumnRenamed("surface", "subj_surface").withColumnRenamed("canonical", "subj"), Seq("subj_surface"))
             .join(cm.withColumnRenamed("surface", "obj_surface").withColumnRenamed("canonical", "obj"), Seq("obj_surface"))
-        case _ =>
-          // default "full" = the staged-pipeline layout: raw triples pinned
-          // as ONE parquet snapshot (dictionary-encoded strings; the
-          // surface-mining scan column-prunes to the two surface columns).
-          // Measured best of the four pinning strategies at 24M/48M turns —
-          // see BENCH/BASELINE.md §3.
+        case "pqpin" =>
+          // raw triples pinned as ONE parquet snapshot (the staged-pipeline
+          // layout). Was the best strategy while extraction was expensive;
+          // the native one-pass extractor made RE-extraction cheaper than
+          // materializing (measured 96M/32c: 50 s vs 74 s), so this is now
+          // the non-default variant.
           val dir = java.nio.file.Files.createTempDirectory("graft-scaling-pq")
           tmpPin = Some(dir)
           kg.Pipeline.triplesInMemory(turnsDf, persistRaw = false,
             parquetPin = Some(dir.toString))
+        case _ =>
+          // default "full" = recompute layout: extraction runs once for
+          // surface mining and once fused into the final broadcast join —
+          // scan -> regex -> probe -> output, no intermediate materialized
+          // state. Two passes over the input is the floor (the canonical
+          // map must exist before the join), and extraction scales at the
+          // host's own ALU ceiling (see `cpubound`).
+          kg.Pipeline.triplesInMemory(turnsDf, persistRaw = false)
       }
       try out.write.format("noop").mode("overwrite").save()
       finally tmpPin.foreach(deleteRec)
@@ -82,7 +136,8 @@ object ScalingBench {
     }
 
     if (phase == "phases") {
-      // diagnostic: per-phase wall clock at each level
+      // diagnostic: per-phase wall clock at each level, mirroring the
+      // DEFAULT (recompute) layout so the split sums to the measured total
       for (cpus <- levels) {
         val spark = Bench.session(cpus.toString)
         import org.apache.spark.sql.functions._
@@ -90,22 +145,24 @@ object ScalingBench {
           val t0 = System.nanoTime(); f
           println(f"[phases] cpus=$cpus $label ${(System.nanoTime() - t0) / 1e9}%.2fs")
         }
-        val turnsDf = kg.TranscriptGen.turns(spark, turns, cpus * 2).toDF()
+        val turnsDf = spark.read.parquet(inputDir(turns))
         val raw = kg.Extract.triplesRaw(turnsDf)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        tm("extract+persist") { raw.write.format("noop").mode("overwrite").save() }
         val surfaces = kg.Extract.surfaces(raw)
-        val pairs = kg.Lsh.candidatePairs(surfaces.select("norm").distinct(), kg.Pipeline.JaccardThreshold)
-        tm("lsh_pairs") { pairs.write.format("noop").mode("overwrite").save() }
-        val clustered = kg.ConnectedComponents.runOnStrings(pairs, "a", "b")
-        tm("cc") { clustered.write.format("noop").mode("overwrite").save() }
-        val cm = surfaces.join(clustered, surfaces("norm") === clustered("key"), "left_outer")
-          .select(col("surface"), coalesce(col("canonical"), col("norm")).as("canonical"))
-        val cmB = broadcast(cm)
-        val out = raw
-          .join(cmB.withColumnRenamed("surface", "subj_surface").withColumnRenamed("canonical", "subj"), Seq("subj_surface"))
-          .join(cmB.withColumnRenamed("surface", "obj_surface").withColumnRenamed("canonical", "obj"), Seq("obj_surface"))
-        tm("final_join") { out.write.format("noop").mode("overwrite").save() }
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        tm("surface_mine") { surfaces.write.format("noop").mode("overwrite").save() }
+        val clustered = kg.Canonicalize.canonicalMap(
+          surfaces.select("norm").distinct(), kg.Pipeline.JaccardThreshold)
+          .withColumnRenamed("norm", "cnorm")
+        val cm = surfaces.join(clustered, surfaces("norm") === clustered("cnorm"), "left_outer")
+          .select(col("surface"),
+            coalesce(col("canonical"), col("norm")).as("canonical"),
+            coalesce(col("link_score"), lit(1.0)).as("link_score"))
+        var cmB: org.apache.spark.sql.DataFrame = null
+        tm("canonical_map") { cmB = broadcast(cm); cmB.count() }
+        tm("extract+join") {
+          kg.Pipeline.joinCanonical(raw, cmB)
+            .write.format("noop").mode("overwrite").save()
+        }
         spark.stop()
       }
       return

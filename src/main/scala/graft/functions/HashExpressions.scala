@@ -163,6 +163,9 @@ object functions {
 
   def simhash64(c: Column): Column =
     call_function("graft_simhash64", c)
+
+  def regexpGroups(c: Column, pattern: String): Column =
+    call_function("graft_regexp_groups", c, lit(pattern))
 }
 
 /** `spark.sql.extensions=graft.functions.GraftExtensions` — the public
@@ -182,6 +185,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => {
         require(args.length == 1, "graft_simhash64(arr)")
         SimHash64(args.head)
+      }))
+    ext.injectFunction((FunctionIdentifier("graft_regexp_groups"),
+      new ExpressionInfo(classOf[RegexpGroups].getName, "graft_regexp_groups"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "graft_regexp_groups(text, pattern)")
+        require(args(1).foldable, "graft_regexp_groups: pattern must be a literal")
+        RegexpGroups(args.head, args(1).eval().toString)
       }))
   }
 }

@@ -25,28 +25,65 @@ object TableIO {
     Files.exists(Paths.get(path, "_SUCCESS"))
 }
 
-/** Per-stage commit log → resume-from-last-committed-snapshot.
-  * One JSON line per committed stage: {stage, path, rows, partitions, ts}.
-  * Append is a single O_APPEND write — atomic at line granularity.
+/** Per-stage commit log → resume-from-last-committed-snapshot, with
+  * Iceberg-style snapshot VERSIONS: every commit of a stage is a new
+  * immutable version directory plus one appended log line
+  * {stage, path, version, rows, partitions, ts} — append is a single
+  * O_APPEND write, atomic at line granularity, so "committed" is exactly
+  * "has a log line" (the Iceberg snapshot-pointer-swap analogue). Old
+  * versions stay readable (time travel) until explicitly expired.
   */
 final class SnapshotLog(dir: String) {
   private val logPath = Paths.get(dir, "_graft_snapshots.jsonl")
   Files.createDirectories(Paths.get(dir))
 
-  def committedStages(): Set[String] =
-    if (!Files.exists(logPath)) Set.empty
+  final case class Snapshot(stage: String, path: String, version: Int, ts: Long)
+
+  /** All committed snapshots, log order (oldest first). Lines written
+    * before versioning carry no version field → version 1.
+    */
+  def snapshots(): Seq[Snapshot] =
+    if (!Files.exists(logPath)) Seq.empty
     else {
       import scala.jdk.CollectionConverters._
-      Files.readAllLines(logPath).asScala
-        .flatMap(l => """"stage":"([^"]+)"""".r.findFirstMatchIn(l).map(_.group(1)))
-        .toSet
+      val stageRe = """"stage":"([^"]+)"""".r
+      val pathRe = """"path":"([^"]+)"""".r
+      val verRe = """"version":(\d+)""".r
+      val tsRe = """"ts":(\d+)""".r
+      Files.readAllLines(logPath).asScala.toSeq.flatMap { l =>
+        for {
+          st <- stageRe.findFirstMatchIn(l).map(_.group(1))
+          p <- pathRe.findFirstMatchIn(l).map(_.group(1))
+        } yield Snapshot(st, p,
+          verRe.findFirstMatchIn(l).map(_.group(1).toInt).getOrElse(1),
+          tsRe.findFirstMatchIn(l).map(_.group(1).toLong).getOrElse(0L))
+      }
     }
+
+  def committedStages(): Set[String] = snapshots().map(_.stage).toSet
 
   def isCommitted(stage: String): Boolean = committedStages().contains(stage)
 
-  def commit(stage: String, path: String, rows: Long, partitions: Int): Unit = {
+  /** Latest committed snapshot of a stage (the current table state). */
+  def latest(stage: String): Option[Snapshot] =
+    snapshots().filter(_.stage == stage).sortBy(_.version).lastOption
+
+  /** A specific committed version — time travel. */
+  def asOf(stage: String, version: Int): Option[Snapshot] =
+    snapshots().find(s => s.stage == stage && s.version == version)
+
+  /** Next version number for a stage: 1 + max COMMITTED version. A crashed
+    * (uncommitted) write at that version left only an orphaned directory,
+    * which the retry overwrites — uncommitted data files are garbage, as
+    * in any snapshot-pointer table format.
+    */
+  def nextVersion(stage: String): Int =
+    latest(stage).map(_.version + 1).getOrElse(1)
+
+  def commit(stage: String, path: String, rows: Long, partitions: Int,
+             version: Int = 1): Unit = {
     val line =
-      s"""{"stage":"$stage","path":"$path","rows":$rows,"partitions":$partitions,"ts":${System.currentTimeMillis()}}\n"""
+      s"""{"stage":"$stage","path":"$path","version":$version,"rows":$rows,"partitions":$partitions,"ts":${System.currentTimeMillis()}}\n"""
     Files.writeString(logPath, line, StandardOpenOption.CREATE, StandardOpenOption.APPEND)
   }
 
@@ -121,19 +158,36 @@ final class StageRunner(spark: SparkSession, workDir: String) extends AutoClosea
   /** Release the metrics listener; call when the pipeline is done. */
   override def close(): Unit = metrics.close()
 
-  def stage(name: String)(compute: => DataFrame): DataFrame = {
-    val path = s"$workDir/$name"
-    if (log.isCommitted(name) && TableIO.exists(path)) {
-      TableIO.read(spark, path)
-    } else {
-      metrics.setStage(name)
-      spark.sparkContext.setJobDescription(s"graft-stage:$name")
-      val df = compute
-      TableIO.write(df, path)
-      val written = metrics.flush(name, workDir)
-      val out = TableIO.read(spark, path)
-      log.commit(name, path, written, out.rdd.getNumPartitions)
-      out
+  def stage(name: String)(compute: => DataFrame): DataFrame =
+    log.latest(name) match {
+      case Some(snap) if TableIO.exists(snap.path) => TableIO.read(spark, snap.path)
+      case _ => writeVersion(name)(compute)
     }
+
+  /** Force a NEW snapshot version of a committed stage (rebuild /
+    * compaction); older versions stay readable via [[readAsOf]].
+    */
+  def recommit(name: String)(compute: => DataFrame): DataFrame =
+    writeVersion(name)(compute)
+
+  /** Time travel: read a stage as of a specific committed version. */
+  def readAsOf(name: String, version: Int): DataFrame =
+    log.asOf(name, version) match {
+      case Some(snap) => TableIO.read(spark, snap.path)
+      case None => throw new IllegalArgumentException(
+        s"no committed snapshot: stage=$name version=$version")
+    }
+
+  private def writeVersion(name: String)(compute: => DataFrame): DataFrame = {
+    val ver = log.nextVersion(name)
+    val path = s"$workDir/$name/v$ver"
+    metrics.setStage(name)
+    spark.sparkContext.setJobDescription(s"graft-stage:$name")
+    val df = compute
+    TableIO.write(df, path)
+    val written = metrics.flush(name, workDir)
+    val out = TableIO.read(spark, path)
+    log.commit(name, path, written, out.rdd.getNumPartitions, ver)
+    out
   }
 }

@@ -21,20 +21,20 @@ object Extract {
     import spark.implicits._
     val predDict = Corpus.predicates.map(p => (p._1, p._2)).toDF("phrase", "pred")
 
-    // One regex execution per match: rewrite the matched span to its three
-    // capture groups joined by \u0001 (a byte that cannot occur in text),
-    // then split — vs regexp_extract ×3, which re-runs the pattern per group.
-    // This sits in the dominant (per-row CPU) stage, so the 3× matters.
-    val D = "\u0001"
+    // ONE regex execution per row over the text, groups captured in the
+    // same pass (native graft_regexp_groups). History: the built-in route
+    // was regexp_extract_all for the match spans + a per-match
+    // regexp_replace("$1\\u0001$2\\u0001$3") + split — TWO pattern
+    // executions and two intermediate strings per match. This sits in the
+    // dominant (per-row CPU) stage, so the 2× matters; results are
+    // bit-identical (RegexpGroupsSpec asserts parity with the retired form).
     val matches = turns
       .select(col("conv_id"), col("turn_idx"),
-        explode(regexp_extract_all(col("text"), lit(Corpus.TripleRegex), lit(0))).as("m"))
+        explode(graft.functions.functions.regexpGroups(col("text"), Corpus.TripleRegex)).as("g"))
       .select(col("conv_id"), col("turn_idx"),
-        split(regexp_replace(col("m"), Corpus.TripleRegex, s"$$1$D$$2$D$$3"), D).as("g"))
-      .select(col("conv_id"), col("turn_idx"),
-        col("g").getItem(0).as("subj_surface"),
-        col("g").getItem(1).as("phrase"),
-        col("g").getItem(2).as("obj_surface"))
+        col("g.g1").as("subj_surface"),
+        col("g.g2").as("phrase"),
+        col("g.g3").as("obj_surface"))
     matches
       .join(broadcast(predDict), Seq("phrase"))
       .select(col("conv_id"), col("turn_idx"), col("subj_surface"), col("pred"),

@@ -144,7 +144,7 @@ object Pipeline {
   /** Resolve both triple endpoints against the canonical map; the triple's
     * score is the product of its two entity-link confidences.
     */
-  private[kg] def joinCanonical(triplesRaw: DataFrame, cm: DataFrame): DataFrame =
+  private[graft] def joinCanonical(triplesRaw: DataFrame, cm: DataFrame): DataFrame =
     triplesRaw
       .join(cm.withColumnRenamed("surface", "subj_surface")
               .withColumnRenamed("canonical", "subj")

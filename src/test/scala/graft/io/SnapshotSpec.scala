@@ -1,0 +1,77 @@
+package graft.io
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Snapshot versioning + time travel: every (re)commit of a stage is a new
+  * immutable version directory plus one atomic log line; resume reads the
+  * LATEST committed version and older versions stay readable.
+  */
+class SnapshotSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("recommit creates a new version; time travel reads the old one") {
+    val wd = tmpDir("graft-snapver")
+    val r = new StageRunner(spark, wd)
+    try {
+      val v1 = r.stage("vals")(Seq(1, 2, 3).toDF("x"))
+      assert(v1.as[Int].collect().sorted.toSeq === Seq(1, 2, 3))
+      assert(r.log.latest("vals").get.version === 1)
+
+      // stage() on a committed stage resumes, does NOT rebuild
+      r.stage("vals")(sys.error("must not recompute"): org.apache.spark.sql.DataFrame)
+
+      val v2 = r.recommit("vals")(Seq(4, 5).toDF("x"))
+      assert(v2.as[Int].collect().sorted.toSeq === Seq(4, 5))
+      assert(r.log.latest("vals").get.version === 2)
+
+      // current read = latest version; time travel = the old snapshot
+      assert(r.stage("vals")(sys.error("no"): org.apache.spark.sql.DataFrame)
+        .as[Int].collect().sorted.toSeq === Seq(4, 5))
+      assert(r.readAsOf("vals", 1).as[Int].collect().sorted.toSeq === Seq(1, 2, 3))
+      assert(intercept[IllegalArgumentException](r.readAsOf("vals", 9))
+        .getMessage.contains("version=9"))
+    } finally r.close()
+  }
+
+  test("a deleted (uncommitted) log line recomputes into the same version slot") {
+    val wd = tmpDir("graft-snapcrash")
+    val r = new StageRunner(spark, wd)
+    try {
+      r.stage("a")(Seq(1).toDF("x"))
+      r.stage("b")(Seq(2).toDF("x"))
+      // simulate a crash before commit: drop stage a's log line; its data
+      // dir is now orphaned garbage
+      val logPath = java.nio.file.Paths.get(wd, "_graft_snapshots.jsonl")
+      import scala.jdk.CollectionConverters._
+      val kept = java.nio.file.Files.readAllLines(logPath).asScala
+        .filterNot(_.contains("\"stage\":\"a\""))
+      java.nio.file.Files.write(logPath, kept.asJava)
+
+      val r2 = new StageRunner(spark, wd)
+      try {
+        // a recomputes (v1 overwritten); b resumes
+        assert(r2.stage("a")(Seq(7).toDF("x")).as[Int].collect().toSeq === Seq(7))
+        assert(r2.log.latest("a").get.version === 1)
+        assert(r2.stage("b")(sys.error("no"): org.apache.spark.sql.DataFrame)
+          .as[Int].collect().toSeq === Seq(2))
+      } finally r2.close()
+    } finally r.close()
+  }
+
+  test("legacy log lines without a version field read as version 1") {
+    val wd = tmpDir("graft-snaplegacy")
+    val dataDir = s"$wd/old_stage"
+    Seq(10, 20).toDF("x").write.parquet(dataDir)
+    val log = new SnapshotLog(wd)
+    // pre-versioning line shape: no "version" key
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(wd, "_graft_snapshots.jsonl"),
+      s"""{"stage":"old_stage","path":"$dataDir","rows":2,"partitions":1,"ts":1}\n""")
+    assert(log.latest("old_stage").get.version === 1)
+    val r = new StageRunner(spark, wd)
+    try assert(r.stage("old_stage")(sys.error("no"): org.apache.spark.sql.DataFrame)
+      .as[Int].collect().sorted.toSeq === Seq(10, 20))
+    finally r.close()
+  }
+}
