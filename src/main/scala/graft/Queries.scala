@@ -729,6 +729,50 @@ object Queries {
       .withColumn("last_ts", col("last_ts").cast("timestamp_ntz"))
   }
 
+  /** Co-mention edges: event types co-occurring in one user's stream,
+    * support = distinct users (GraphAlgos.coMentionEdges: within-group
+    * self-join, never corpus-wide all-pairs).
+    */
+  def comention(s: SparkSession, dir: String): DataFrame =
+    graft.kg.GraphAlgos.coMentionEdges(
+        t(s, dir, "events").select(col("user_id"), col("event_type")),
+        "user_id", "event_type")
+      .orderBy("a", "b")
+
+  /** k-hop BFS reachability with minimum hop counts over the undirected
+    * user ↔ event_type bipartite graph, from one source node. Oracle: a
+    * recursive CTE bounded at the same hop limit.
+    */
+  def khop(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val directed = ev.select(
+      concat(lit("u:"), col("user_id")).as("src"),
+      concat(lit("e:"), col("event_type")).as("dst"))
+    // undirected = both directions; the operator itself is directed
+    val edges = directed.unionAll(directed.select(col("dst").as("src"), col("src").as("dst")))
+    val sources = s.range(1).select(lit("u:1").as("node"))
+    graft.kg.GraphAlgos.bfsReachable(edges, sources, maxHops = 3)
+  }
+
+  /** Temporal-validity merge rules (minProps/maxProps): nodes merged in
+    * TWO batches (event_id parity split) accumulate first_seen/last_seen
+    * across merges — the interval must equal a single global min/max.
+    */
+  def temporalValidity(s: SparkSession, dir: String): DataFrame = {
+    val spec = NodeSpec(Seq("Actor"), Seq("uid"),
+      minProps = Seq("first_seen"), maxProps = Seq("last_seen"),
+      sumProps = Seq("n_events"))
+    val ev = t(s, dir, "events").select(
+      col("event_id"), col("user_id").as("uid"),
+      col("ts").as("first_seen"), col("ts").as("last_seen"),
+      lit(1L).as("n_events"))
+    val b1 = ev.filter(pmod(col("event_id"), lit(2)) === 0).drop("event_id")
+    val b2 = ev.filter(pmod(col("event_id"), lit(2)) === 1).drop("event_id")
+    val once = NodeSetOps.merge(None, b1, spec)
+    NodeSetOps.merge(Some(once), b2, spec)
+      .select("uid", "first_seen", "last_seen", "n_events")
+  }
+
   /** Multimodal plumbing (stubbed decode kernel) — rows-only smoke. */
   def multimodal(s: SparkSession, dir: String): DataFrame = {
     import graft.ops.Multimodal

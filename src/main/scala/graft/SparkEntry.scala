@@ -77,6 +77,9 @@ object SparkEntry {
     "q_conv_stats"           -> (Queries.convStats _),
     "q_window_agg"           -> (Queries.windowAgg _),
     "q_sessionize"           -> (Queries.sessionize _),
+    "q_comention"            -> (Queries.comention _),
+    "q_khop"                 -> (Queries.khop _),
+    "q_temporal_validity"    -> (Queries.temporalValidity _),
     // multimodal plumbing (stub kernel)
     "q_multimodal"           -> (Queries.multimodal _),
     "q_media_meta"           -> (Queries.mediaMeta _)
@@ -656,6 +659,28 @@ object SparkEntry {
         |       a.first_ts, a.last_ts,
         |       r.event_type AS last_role, false AS closed
         |FROM agg a JOIN r ON r.user_id = a.user_id AND r.rn = a.maxrn""".stripMargin,
+
+    "q_comention" ->
+      """WITH ge AS (SELECT DISTINCT user_id AS g, event_type AS e FROM events)
+        |SELECT l.e AS a, r.e AS b, count(DISTINCT l.g) AS n_groups
+        |FROM ge l JOIN ge r ON l.g = r.g AND l.e < r.e
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_khop" ->
+      """WITH RECURSIVE ed AS (
+        |  SELECT DISTINCT 'u:' || user_id AS src, 'e:' || event_type AS dst FROM events),
+        |und AS (SELECT src, dst FROM ed UNION SELECT dst, src FROM ed),
+        |reach(node, hops) AS (
+        |  SELECT 'u:1', 0
+        |  UNION ALL
+        |  SELECT u.dst, r.hops + 1 FROM reach r JOIN und u ON r.node = u.src
+        |  WHERE r.hops < 3)
+        |SELECT node, CAST(min(hops) AS INTEGER) AS hops FROM reach GROUP BY node""".stripMargin,
+
+    "q_temporal_validity" ->
+      """SELECT user_id AS uid, min(ts) AS first_seen, max(ts) AS last_seen,
+        |       count(*) AS n_events
+        |FROM events GROUP BY 1""".stripMargin,
 
     "q_conv_stats" ->
       """SELECT user_id, count(*) AS n_events,

@@ -115,6 +115,8 @@ object NodeSetOps {
           }
         } else if (spec.preserve.contains(c)) first(col(c), ignoreNulls = true).over(wAll)
         else if (spec.sumProps.contains(c)) sum(col(c)).over(wAll)
+        else if (spec.minProps.contains(c)) min(col(c)).over(wAll)
+        else if (spec.maxProps.contains(c)) max(col(c)).over(wAll)
         else last(col(c), ignoreNulls = true).over(wAll)
       acc.withColumn(c, v)
     }
@@ -217,6 +219,12 @@ object NodeSetOps {
               when(tEx && uEx, coalesce(tc, lit(0)) + coalesce(uc, lit(0)))
                 .when(tEx, tc)
                 .otherwise(uc)
+            } else if (spec.minProps.contains(c)) {
+              // temporal validity: first_seen = least ever merged
+              // (least/greatest skip nulls)
+              when(tEx && uEx, least(tc, uc)).when(tEx, tc).otherwise(uc)
+            } else if (spec.maxProps.contains(c)) {
+              when(tEx && uEx, greatest(tc, uc)).when(tEx, tc).otherwise(uc)
             } else {
               when(uEx, coalesce(uc, tc)).otherwise(tc)
             }

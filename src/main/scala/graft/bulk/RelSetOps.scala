@@ -169,6 +169,8 @@ object RelSetOps {
           case _            => collect_list(col(c)).over(wAll)
         }
         else if (spec.sumProps.contains(c)) sum(col(c)).over(wAll)
+        else if (spec.minProps.contains(c)) min(col(c)).over(wAll)
+        else if (spec.maxProps.contains(c)) max(col(c)).over(wAll)
         else last(col(c), ignoreNulls = true).over(wAll)
       acc.withColumn(c, v)
     }
@@ -239,6 +241,11 @@ object RelSetOps {
               // arithmetic update on match: r.c = r.c + u.c (nulls = 0)
               when(tEx && uEx, coalesce(tc, lit(0)) + coalesce(uc, lit(0)))
                 .when(tEx, tc).otherwise(uc)
+            else if (spec.minProps.contains(c))
+              // temporal validity interval: first_seen (least/greatest skip nulls)
+              when(tEx && uEx, least(tc, uc)).when(tEx, tc).otherwise(uc)
+            else if (spec.maxProps.contains(c))
+              when(tEx && uEx, greatest(tc, uc)).when(tEx, tc).otherwise(uc)
             else when(uEx, coalesce(uc, tc)).otherwise(tc)
           merged.as(c)
         }

@@ -1,0 +1,95 @@
+package graft.kg
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Graph analytics over materialized node/edge tables — the operators a KG
+  * consumer runs right after construction. All DataFrame-native (no RDDs,
+  * no driver-side adjacency), designed for the 10^12-turn node/edge scale:
+  * shuffles only on join keys, iterative ops carry a bounded frontier and
+  * cut lineage as they go (same discipline as [[ConnectedComponents]]).
+  */
+object GraphAlgos {
+
+  /** Co-mention edges: undirected entity pairs that appear in the same
+    * group (conversation, document, user stream), with the number of
+    * distinct groups supporting each pair.
+    *
+    * Dataflow: distinct (group, entity) → equi-self-join on group with
+    * `a < b` (each unordered pair once) → count per pair. The self-join
+    * shuffles each group's entity set once and pairs WITHIN groups only —
+    * never an all-pairs blowup across the corpus. Cost is
+    * sum(m_g choose 2) over group entity-counts m_g; a hot group with
+    * thousands of distinct entities is quadratic in ITS OWN m_g (that is
+    * the semantics, not an implementation artifact), so `maxGroupSize`
+    * drops degenerate groups (a conversation mentioning 10k entities is
+    * boilerplate, not signal — same spirit as Lsh's frequency gates).
+    * AQE's skew-join split handles residual group-size skew.
+    */
+  def coMentionEdges(df: DataFrame, groupCol: String, entityCol: String,
+                     maxGroupSize: Int = 10000): DataFrame = {
+    require(maxGroupSize > 1, s"maxGroupSize must be > 1, got $maxGroupSize")
+    val pairs0 = df.select(col(groupCol).as("g"), col(entityCol).as("e")).distinct()
+    val sized = pairs0
+      .withColumn("_gsz", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("g")))
+      .filter(col("_gsz") <= maxGroupSize)
+      .drop("_gsz")
+    val l = sized.alias("l"); val r = sized.alias("r")
+    l.join(r, col("l.g") === col("r.g") && col("l.e") < col("r.e"))
+      .groupBy(col("l.e").as("a"), col("r.e").as("b"))
+      .agg(countDistinct(col("l.g")).as("n_groups"))
+  }
+
+  /** k-hop reachability (BFS): every node reachable from `sources` in at
+    * most `maxHops` directed edge traversals, with its MINIMUM hop count.
+    *
+    * Iterative frontier expansion: hop h's frontier joins the edge table
+    * (shuffle on src), anti-joins the visited set (first settlement = min
+    * hops, since expansion is strictly by hop level), and becomes hop h+1.
+    * The frontier and visited sets carry (node, hops) ONLY — corpus-scale
+    * state never rides the loop. Each iteration persists + counts its
+    * frontier (cuts lineage growth, gives the fixpoint test), and the loop
+    * exits early when a frontier empties. `reverse=true` follows edges
+    * dst→src.
+    *
+    * Scale shape: identical join pattern to [[ConnectedComponents]]'s star
+    * rounds — hash shuffle on node id per hop, AQE skew-split on hub
+    * nodes; maxHops bounds the rounds, so worst case is maxHops shuffles
+    * of (id, int) pairs.
+    */
+  def bfsReachable(edges: DataFrame, sources: DataFrame, maxHops: Int,
+                   srcCol: String = "src", dstCol: String = "dst",
+                   nodeCol: String = "node", reverse: Boolean = false): DataFrame = {
+    require(maxHops >= 0, s"maxHops must be >= 0, got $maxHops")
+    val (from, to) = if (reverse) (dstCol, srcCol) else (srcCol, dstCol)
+    val e = edges.select(col(from).as("_from"), col(to).as("_to")).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var visited = sources.select(col(nodeCol).as("node")).distinct()
+      .withColumn("hops", lit(0))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var frontier = visited
+    var frontierN = frontier.count()
+    var h = 1
+    val retired = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    while (h <= maxHops && frontierN > 0) {
+      val next = frontier.join(e, frontier("node") === e("_from"))
+        .select(col("_to").as("node")).distinct()
+        .join(visited.select("node"), Seq("node"), "left_anti")
+        .withColumn("hops", lit(h))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      frontierN = next.count() // materialize BEFORE unpersisting parents
+      val nextVisited = visited.unionAll(next)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      nextVisited.count()
+      retired += visited; retired += next
+      visited = nextVisited
+      frontier = next
+      h += 1
+    }
+    retired.foreach(_.unpersist())
+    e.unpersist()
+    visited
+  }
+}

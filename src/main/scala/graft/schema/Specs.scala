@@ -20,7 +20,12 @@ final case class NodeSpec(
     // ADDITION on match — the merge rule incremental/streaming loads need so
     // counts converge to the batch pipeline's totals (arithmetic-update
     // MERGE, à la `UPDATE SET n.c = n.c + u.c`).
-    sumProps: Seq[String] = Nil
+    sumProps: Seq[String] = Nil,
+    // EXTENSION: temporal-validity accumulation on match — minProps keep
+    // the smallest value ever merged (first_seen), maxProps the largest
+    // (last_seen). Orderable types (timestamps, numerics, strings).
+    minProps: Seq[String] = Nil,
+    maxProps: Seq[String] = Nil
 ) {
   require(mergeKeys.nonEmpty, "mergeKeys must be non-empty (nodeset.py:180-184)")
   def allLabels: Seq[String] = (labels ++ additionalLabels).distinct
@@ -46,7 +51,11 @@ final case class RelSpec(
     unique: Boolean = false,
     // EXTENSION: numeric edge props accumulated by ADDITION on match (see
     // NodeSpec.sumProps) — support/mention counts under incremental merges.
-    sumProps: Seq[String] = Nil
+    sumProps: Seq[String] = Nil,
+    // EXTENSION: temporal-validity accumulation on match (see
+    // NodeSpec.minProps/maxProps) — edge first_seen/last_seen intervals.
+    minProps: Seq[String] = Nil,
+    maxProps: Seq[String] = Nil
 ) {
   require(startNodeProperties.nonEmpty && endNodeProperties.nonEmpty,
     "endpoint match properties required (relationshipset.py:42-76)")

@@ -1,0 +1,74 @@
+package graft.kg
+
+import graft.SparkSpec
+import graft.bulk.NodeSetOps
+import graft.schema.NodeSpec
+import org.apache.spark.sql.functions._
+
+class GraphAlgosSpec extends SparkSpec {
+  import spark.implicits._
+
+  // path graph: 1→2→3→4→5, plus a detached 9→10 and a hub shortcut 1→4
+  private def edges = Seq(
+    (1, 2), (2, 3), (3, 4), (4, 5), (9, 10), (1, 4)
+  ).toDF("src", "dst")
+
+  test("bfsReachable: minimum hop counts, early shortcut wins") {
+    val out = GraphAlgos.bfsReachable(
+        edges.select(col("src").cast("string").as("src"), col("dst").cast("string").as("dst")),
+        Seq("1").toDF("node"), maxHops = 4)
+      .as[(String, Int)].collect().toMap
+    // 4 is reachable in 1 hop via the shortcut (not 3 via the path)
+    assert(out === Map("1" -> 0, "2" -> 1, "4" -> 1, "3" -> 2, "5" -> 2))
+  }
+
+  test("bfsReachable: maxHops truncates; 0 hops = sources only; reverse follows dst→src") {
+    val e = edges.select(col("src").cast("string").as("src"), col("dst").cast("string").as("dst"))
+    val h1 = GraphAlgos.bfsReachable(e, Seq("1").toDF("node"), maxHops = 1)
+      .as[(String, Int)].collect().toMap
+    assert(h1 === Map("1" -> 0, "2" -> 1, "4" -> 1))
+    val h0 = GraphAlgos.bfsReachable(e, Seq("1").toDF("node"), maxHops = 0)
+      .as[(String, Int)].collect().toMap
+    assert(h0 === Map("1" -> 0))
+    val rev = GraphAlgos.bfsReachable(e, Seq("5").toDF("node"), maxHops = 2, reverse = true)
+      .as[(String, Int)].collect().toMap
+    assert(rev === Map("5" -> 0, "4" -> 1, "3" -> 2, "1" -> 2))
+  }
+
+  test("bfsReachable: multiple sources settle at their nearest hop") {
+    val e = edges.select(col("src").cast("string").as("src"), col("dst").cast("string").as("dst"))
+    val out = GraphAlgos.bfsReachable(e, Seq("3", "9").toDF("node"), maxHops = 2)
+      .as[(String, Int)].collect().toMap
+    assert(out === Map("3" -> 0, "9" -> 0, "4" -> 1, "10" -> 1, "5" -> 2))
+  }
+
+  test("coMentionEdges: distinct-group support, each unordered pair once") {
+    val df = Seq(
+      ("g1", "x"), ("g1", "y"), ("g1", "z"), ("g1", "x"), // duplicate mention
+      ("g2", "x"), ("g2", "y"),
+      ("g3", "x")                                          // singleton: no pairs
+    ).toDF("grp", "ent")
+    val out = GraphAlgos.coMentionEdges(df, "grp", "ent")
+      .as[(String, String, Long)].collect().toSet
+    assert(out === Set(("x", "y", 2L), ("x", "z", 1L), ("y", "z", 1L)))
+  }
+
+  test("coMentionEdges: maxGroupSize drops degenerate groups entirely") {
+    val big = (1 to 50).map(i => ("big", s"e$i"))
+    val df = (big ++ Seq(("small", "a"), ("small", "b"))).toDF("grp", "ent")
+    val out = GraphAlgos.coMentionEdges(df, "grp", "ent", maxGroupSize = 10)
+      .as[(String, String, Long)].collect().toSet
+    assert(out === Set(("a", "b", 1L)))
+  }
+
+  test("minProps/maxProps merge rules accumulate a validity interval across merges") {
+    val spec = NodeSpec(Seq("T"), Seq("k"),
+      minProps = Seq("lo"), maxProps = Seq("hi"))
+    val b1 = Seq(("a", 5, 5), ("a", 3, 3), ("b", 7, 7)).toDF("k", "lo", "hi")
+    val b2 = Seq(("a", 9, 9), ("b", 1, 1), ("c", 4, 4)).toDF("k", "lo", "hi")
+    val out = NodeSetOps.merge(Some(NodeSetOps.merge(None, b1, spec)), b2, spec)
+      .select("k", "lo", "hi").as[(String, Int, Int)].collect()
+      .map { case (k, l, h) => k -> (l, h) }.toMap
+    assert(out === Map("a" -> (3, 9), "b" -> (1, 7), "c" -> (4, 4)))
+  }
+}
