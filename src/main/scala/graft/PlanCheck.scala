@@ -25,7 +25,9 @@ object PlanCheck {
       "q_sample_stratified", // zero-shuffle codegen filter, pruned scan
       "q_decontam",        // broadcast gram probe + anti-join of ids
       "q_pack",            // sharded window — partitionBy present, no global sort
-      "q_quota_topk"       // per-group window over ONE group-key shuffle
+      "q_quota_topk",      // per-group window over ONE group-key shuffle
+      "q_comention",       // within-group self-join: ONE group-key shuffle pair
+      "q_temporal_validity" // merge with min/max rules: one full-outer hash shuffle
     )
     for (name <- interesting) {
       println(s"\n================ $name ================")
