@@ -754,6 +754,25 @@ object Queries {
     graft.kg.GraphAlgos.bfsReachable(edges, sources, maxHops = 3)
   }
 
+  /** Per-node triangle counts over the event-type co-mention graph
+    * (degree-oriented wedge enumeration — each triangle found once).
+    */
+  def triangles(s: SparkSession, dir: String): DataFrame = {
+    val edges = graft.kg.GraphAlgos.coMentionEdges(
+      t(s, dir, "events").select(col("user_id"), col("event_type")),
+      "user_id", "event_type")
+    graft.kg.GraphAlgos.triangleCounts(edges.select("a", "b"))
+  }
+
+  /** Structural similarity: Jaccard of user-neighborhoods between event
+    * types — only pairs with non-zero overlap materialize.
+    */
+  def neighborJacc(s: SparkSession, dir: String): DataFrame =
+    graft.kg.GraphAlgos.neighborJaccard(
+        t(s, dir, "events").select(col("event_type"), col("user_id")),
+        "event_type", "user_id")
+      .orderBy("a", "b")
+
   /** Temporal-validity merge rules (minProps/maxProps): nodes merged in
     * TWO batches (event_id parity split) accumulate first_seen/last_seen
     * across merges — the interval must equal a single global min/max.

@@ -80,6 +80,8 @@ object SparkEntry {
     "q_comention"            -> (Queries.comention _),
     "q_khop"                 -> (Queries.khop _),
     "q_temporal_validity"    -> (Queries.temporalValidity _),
+    "q_triangles"            -> (Queries.triangles _),
+    "q_neighbor_jaccard"     -> (Queries.neighborJacc _),
     // multimodal plumbing (stub kernel)
     "q_multimodal"           -> (Queries.multimodal _),
     "q_media_meta"           -> (Queries.mediaMeta _)
@@ -681,6 +683,29 @@ object SparkEntry {
       """SELECT user_id AS uid, min(ts) AS first_seen, max(ts) AS last_seen,
         |       count(*) AS n_events
         |FROM events GROUP BY 1""".stripMargin,
+
+    "q_triangles" ->
+      """WITH ge AS (SELECT DISTINCT user_id AS g, event_type AS e FROM events),
+        |ed AS (SELECT DISTINCT l.e AS x, r.e AS y
+        |       FROM ge l JOIN ge r ON l.g = r.g AND l.e < r.e),
+        |tri AS (SELECT e1.x AS n1, e1.y AS n2, e2.y AS n3
+        |        FROM ed e1 JOIN ed e2 ON e1.x = e2.x AND e1.y < e2.y
+        |        JOIN ed e3 ON e3.x = e1.y AND e3.y = e2.y)
+        |SELECT node, count(*) AS n_triangles FROM (
+        |  SELECT n1 AS node FROM tri
+        |  UNION ALL SELECT n2 FROM tri
+        |  UNION ALL SELECT n3 FROM tri)
+        |GROUP BY node""".stripMargin,
+
+    "q_neighbor_jaccard" ->
+      """WITH m AS (SELECT DISTINCT event_type AS n, user_id AS nb FROM events),
+        |deg AS (SELECT n, count(*) AS d FROM m GROUP BY n),
+        |sh AS (SELECT l.n AS a, r.n AS b, count(DISTINCT l.nb) AS shared
+        |       FROM m l JOIN m r ON l.nb = r.nb AND l.n < r.n GROUP BY 1, 2)
+        |SELECT sh.a, sh.b, sh.shared,
+        |       CAST(sh.shared AS DOUBLE) / (da.d + db.d - sh.shared) AS jaccard
+        |FROM sh JOIN deg da ON da.n = sh.a JOIN deg db ON db.n = sh.b
+        |ORDER BY 1, 2""".stripMargin,
 
     "q_conv_stats" ->
       """SELECT user_id, count(*) AS n_events,

@@ -61,6 +61,46 @@ class GraphAlgosSpec extends SparkSpec {
     assert(out === Set(("a", "b", 1L)))
   }
 
+  test("triangleCounts: hand graph — K4 plus a pendant") {
+    // K4 on {1,2,3,4}: each node is in C(3,2)=3 triangles; pendant 5 in none
+    val e = Seq((1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (4, 5),
+      (2, 1) /* duplicate reversed edge must not double-count */)
+      .toDF("a", "b")
+    val out = GraphAlgos.triangleCounts(e).as[(Int, Long)].collect().toMap
+    assert(out === Map(1 -> 3L, 2 -> 3L, 3 -> 3L, 4 -> 3L))
+  }
+
+  test("triangleCounts matches a brute-force oracle on a deterministic random graph") {
+    val rnd = new scala.util.Random(42)
+    val n = 30
+    val edges = (for {
+      i <- 1 to n; j <- (i + 1) to n if rnd.nextDouble() < 0.2
+    } yield (i, j)).toSeq
+    val adj = edges.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    val oracle = (for {
+      (a, b) <- edges
+      c <- adj(a).intersect(adj(b)) if c > b
+    } yield Seq(a, b, c)).flatten
+      .groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val out = GraphAlgos.triangleCounts(edges.toDF("a", "b"))
+      .as[(Int, Long)].collect().toMap
+    assert(out === oracle)
+  }
+
+  test("neighborJaccard: shared-neighbor ratio, zero-overlap pairs absent") {
+    val m = Seq(
+      ("x", 1), ("x", 2), ("x", 3),
+      ("y", 2), ("y", 3), ("y", 4),
+      ("z", 9) // no overlap with anyone
+    ).toDF("node", "nb")
+    val out = GraphAlgos.neighborJaccard(m, "node", "nb")
+      .select("a", "b", "shared", "jaccard")
+      .as[(String, String, Long, Double)].collect().toSet
+    // |x∩y|=2, |x∪y|=4
+    assert(out === Set(("x", "y", 2L, 0.5)))
+  }
+
   test("minProps/maxProps merge rules accumulate a validity interval across merges") {
     val spec = NodeSpec(Seq("T"), Seq("k"),
       minProps = Seq("lo"), maxProps = Seq("hi"))
