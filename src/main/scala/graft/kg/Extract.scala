@@ -14,7 +14,9 @@ import org.apache.spark.sql.functions._
 object Extract {
 
   /** Raw triples: one row per non-overlapping match of Corpus.TripleRegex in
-    * a turn's text. Columns: conv_id, turn_idx, subj_surface, pred, obj_surface, score.
+    * a turn's text. Columns: conv_id, turn_idx, ts, subj_surface, pred,
+    * obj_surface, score — ts rides along so the materialized node/edge
+    * tables can carry first_seen/last_seen validity intervals.
     */
   def triplesRaw(turns: DataFrame): DataFrame = {
     val spark = turns.sparkSession
@@ -29,16 +31,16 @@ object Extract {
     // dominant (per-row CPU) stage, so the 2× matters; results are
     // bit-identical (RegexpGroupsSpec asserts parity with the retired form).
     val matches = turns
-      .select(col("conv_id"), col("turn_idx"),
+      .select(col("conv_id"), col("turn_idx"), col("ts"),
         explode(graft.functions.functions.regexpGroups(col("text"), Corpus.TripleRegex)).as("g"))
-      .select(col("conv_id"), col("turn_idx"),
+      .select(col("conv_id"), col("turn_idx"), col("ts"),
         col("g.g1").as("subj_surface"),
         col("g.g2").as("phrase"),
         col("g.g3").as("obj_surface"))
     matches
       .join(broadcast(predDict), Seq("phrase"))
-      .select(col("conv_id"), col("turn_idx"), col("subj_surface"), col("pred"),
-        col("obj_surface"), lit(1.0).as("score"))
+      .select(col("conv_id"), col("turn_idx"), col("ts"), col("subj_surface"),
+        col("pred"), col("obj_surface"), lit(1.0).as("score"))
   }
 
   /** Normalized clustering key of a mention surface, as a Column: lowercase,

@@ -68,24 +68,32 @@ object Pipeline {
     // entities as a merged NodeSet (dedup on merge key `name`), relations as
     // a merged RelationshipSet (edge identity = (src,dst,type), mention
     // provenance accumulated via append_props).
-    val entitySpec = NodeSpec(labels = Seq("Entity"), mergeKeys = Seq("name"))
+    // first_seen/last_seen validity intervals (minProps/maxProps merge
+    // rules): the interval a node/edge was observed over — accumulated
+    // correctly under incremental re-merges
+    val entitySpec = NodeSpec(labels = Seq("Entity"), mergeKeys = Seq("name"),
+      minProps = Seq("first_seen"), maxProps = Seq("last_seen"))
     val nodes = stages.stage(graft.schema.GraphSchema.nodeTableName(entitySpec)) {
-      val entityRows = triples.select(col("subj").as("name"))
-        .unionAll(triples.select(col("obj").as("name")))
-        .groupBy("name").agg(count(lit(1)).as("mention_count"))
+      val entityRows = triples.select(col("subj").as("name"), col("ts"))
+        .unionAll(triples.select(col("obj").as("name"), col("ts")))
+        .groupBy("name").agg(count(lit(1)).as("mention_count"),
+          min(col("ts")).as("first_seen"), max(col("ts")).as("last_seen"))
       NodeSetOps.merge(None, entityRows, entitySpec)
     }
 
     val relSpec = RelSpec("REL", Seq("Entity"), Seq("Entity"),
-      Seq(EqKey("name")), Seq(EqKey("name")))
+      Seq(EqKey("name")), Seq(EqKey("name")),
+      minProps = Seq("first_seen"), maxProps = Seq("last_seen"))
     val edges = stages.stage(graft.schema.GraphSchema.relTableName(relSpec)) {
       val triplesAgg = triples
         .groupBy("subj", "pred", "obj")
         .agg(count(lit(1)).as("support"),
-          max(col("score")).as("score"))
+          max(col("score")).as("score"),
+          min(col("ts")).as("first_seen"), max(col("ts")).as("last_seen"))
       val relRows = triplesAgg.select(
         col("subj").as("start_name"), col("obj").as("end_name"),
-        col("pred"), col("support"), col("score"))
+        col("pred"), col("support"), col("score"),
+        col("first_seen"), col("last_seen"))
       // One logical RelationshipSet per predicate type would mirror the
       // reference 1:1; at scale we keep one edge table with rel_type as a
       // per-row column and resolve endpoints once.
@@ -153,7 +161,7 @@ object Pipeline {
               .withColumnRenamed("canonical", "obj")
               .withColumnRenamed("link_score", "_obj_score"), Seq("obj_surface"))
       .select(col("subj"), col("pred"), col("obj"), col("conv_id"), col("turn_idx"),
-        (col("_subj_score") * col("_obj_score")).as("score"))
+        col("ts"), (col("_subj_score") * col("_obj_score")).as("score"))
 
   /** Per-conversation stats via two-phase salted aggregation: partial
     * aggregate on (conv_id, salt) — spreads the hot conversation over 16

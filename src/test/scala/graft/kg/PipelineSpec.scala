@@ -99,6 +99,21 @@ class PipelineSpec extends SparkSpec {
     assert(labels == Seq("Entity"))
   }
 
+  test("node/edge first_seen-last_seen intervals equal the corpus min/max per key") {
+    // oracle: every triple mention's turn ts, grouped per canonical entity
+    val mentionTs = result.triples.select(col("subj").as("name"), col("ts"))
+      .unionAll(result.triples.select(col("obj").as("name"), col("ts")))
+      .groupBy("name")
+      .agg(min("ts").as("lo"), max("ts").as("hi"))
+      .collect().map(r => r.getString(0) -> (r.getTimestamp(1), r.getTimestamp(2))).toMap
+    val got = result.nodes.select("name", "first_seen", "last_seen")
+      .collect().map(r => r.getString(0) -> (r.getTimestamp(1), r.getTimestamp(2))).toMap
+    assert(got === mentionTs)
+    // edges: interval bounds must bracket every supporting mention
+    val e = result.edges.select("first_seen", "last_seen").collect()
+    assert(e.nonEmpty && e.forall(r => !r.getTimestamp(0).after(r.getTimestamp(1))))
+  }
+
   test("edge table: identity is (src,dst,rel_type); all endpoints resolve") {
     val e = result.edges
     assert(e.count() == e.select("src_id", "dst_id", "rel_type").distinct().count())
