@@ -175,6 +175,38 @@ final case class Graph(nodes: DataFrame, edges: DataFrame) {
     checked.as[T]
   }
 
+  /** Graph-analytics faces over this graph's edge table (delegating to
+    * [[graft.kg.GraphAlgos]]): k-hop reachability from the nodes matching
+    * `filters`, with minimum hop counts joined back to the node rows.
+    */
+  def reachable(labels: Seq[String], mergeKeys: Seq[String], maxHops: Int,
+                relType: Option[String], reverse: Boolean,
+                filters: FieldFilter*): DataFrame = {
+    val sources = RelSetOps.withNodeId(matchNodes(labels, filters: _*), mergeKeys)
+      .select(col("_node_id").as("node"))
+    val e = relType.fold(edges)(t => edges.filter(col(RelSetOps.RelType) === t))
+    val hops = graft.kg.GraphAlgos.bfsReachable(e, sources, maxHops,
+      srcCol = RelSetOps.SrcId, dstCol = RelSetOps.DstId, reverse = reverse)
+    RelSetOps.withNodeId(nodes, mergeKeys)
+      .join(hops, col("_node_id") === hops("node"))
+      .drop("_node_id", "node")
+  }
+
+  def reachable(labels: Seq[String], mergeKeys: Seq[String], maxHops: Int,
+                filters: FieldFilter*): DataFrame =
+    reachable(labels, mergeKeys, maxHops, None, reverse = false, filters: _*)
+
+  /** Per-node triangle participation over the (undirected view of the)
+    * edge table, keyed back to node rows.
+    */
+  def triangleCounts(mergeKeys: Seq[String], relType: Option[String] = None): DataFrame = {
+    val e = relType.fold(edges)(t => edges.filter(col(RelSetOps.RelType) === t))
+    val tri = graft.kg.GraphAlgos.triangleCounts(e, RelSetOps.SrcId, RelSetOps.DstId)
+    RelSetOps.withNodeId(nodes, mergeKeys)
+      .join(tri, col("_node_id") === tri("node"))
+      .drop("_node_id", "node")
+  }
+
   /** B10 — point delete with DETACH semantics: remove matching nodes AND
     * every edge touching them (anti-joins; DELETE FROM at table level).
     */

@@ -44,6 +44,37 @@ class GraphSpec extends SparkSpec {
     assert(graph.firstNode(Seq("Person")).count() == 1)
   }
 
+  test("reachable: k-hop BFS from a filtered anchor, hops joined to node rows") {
+    val g = graph // alice -KNOWS-> bob, carol; bob -KNOWS-> dave
+    val out = g.reachable(Seq("Person"), Seq("name"), maxHops = 2,
+        FieldFilter("name", FilterOp.Eq, "alice"))
+      .select("name", "hops").as[(String, Int)].collect().toMap
+    assert(out === Map("alice" -> 0, "bob" -> 1, "carol" -> 1, "dave" -> 2))
+    val oneHop = g.reachable(Seq("Person"), Seq("name"), maxHops = 1,
+        FieldFilter("name", FilterOp.Eq, "alice"))
+      .select("name", "hops").as[(String, Int)].collect().toMap
+    assert(oneHop === Map("alice" -> 0, "bob" -> 1, "carol" -> 1))
+    val rev = g.reachable(Seq("Person"), Seq("name"), maxHops = 2, None, reverse = true,
+        FieldFilter("name", FilterOp.Eq, "dave"))
+      .select("name", "hops").as[(String, Int)].collect().toMap
+    assert(rev === Map("dave" -> 0, "bob" -> 1, "alice" -> 2))
+  }
+
+  test("triangleCounts over the edge table: closing edge completes one triangle") {
+    // alice-bob, alice-carol, bob-dave: no triangle; add carol->bob to close one
+    val spec = RelSpec("KNOWS", Seq("Person"), Seq("Person"),
+      Seq(EqKey("name")), Seq(EqKey("name")))
+    val staged = Seq(
+      ("alice", "bob", 90), ("alice", "carol", 50), ("bob", "dave", 70),
+      ("carol", "bob", 10)
+    ).toDF("start_name", "end_name", "score")
+    val g = Graph(people, RelSetOps.merge(None, staged, people, spec))
+    assert(graph.triangleCounts(Seq("name")).count() === 0)
+    val tri = g.triangleCounts(Seq("name"))
+      .select("name", "n_triangles").as[(String, Long)].collect().toMap
+    assert(tri === Map("alice" -> 1L, "bob" -> 1L, "carol" -> 1L))
+  }
+
   test("1-hop traversal with source anchor + rel filter (test_model.py:583-665)") {
     val g = graph
     val out = g.traverse(
