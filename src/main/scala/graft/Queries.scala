@@ -773,6 +773,18 @@ object Queries {
         "event_type", "user_id")
       .orderBy("a", "b")
 
+  /** Fixed-iteration PageRank (3 rounds, d=0.85) over the directed
+    * user→event_type graph; rounded to 6 dp so parallel-vs-sequential
+    * float summation order cannot split the value-exact compare.
+    */
+  def pagerank(s: SparkSession, dir: String): DataFrame = {
+    val edges = t(s, dir, "events").select(
+      concat(lit("u:"), col("user_id")).as("src"),
+      concat(lit("e:"), col("event_type")).as("dst"))
+    graft.kg.GraphAlgos.pageRank(edges, iters = 3)
+      .select(col("n"), round(col("r"), 6).as("r"))
+  }
+
   /** Temporal-validity merge rules (minProps/maxProps): nodes merged in
     * TWO batches (event_id parity split) accumulate first_seen/last_seen
     * across merges — the interval must equal a single global min/max.

@@ -82,6 +82,7 @@ object SparkEntry {
     "q_temporal_validity"    -> (Queries.temporalValidity _),
     "q_triangles"            -> (Queries.triangles _),
     "q_neighbor_jaccard"     -> (Queries.neighborJacc _),
+    "q_pagerank"             -> (Queries.pagerank _),
     // multimodal plumbing (stub kernel)
     "q_multimodal"           -> (Queries.multimodal _),
     "q_media_meta"           -> (Queries.mediaMeta _)
@@ -696,6 +697,33 @@ object SparkEntry {
         |  UNION ALL SELECT n2 FROM tri
         |  UNION ALL SELECT n3 FROM tri)
         |GROUP BY node""".stripMargin,
+
+    "q_pagerank" ->
+      """WITH ed AS (SELECT DISTINCT 'u:' || user_id AS src, 'e:' || event_type AS dst
+        |           FROM events),
+        |nodes AS (SELECT src AS n FROM ed UNION SELECT dst FROM ed),
+        |params AS (SELECT CAST(count(*) AS DOUBLE) AS nn FROM nodes),
+        |od AS (SELECT src, CAST(count(*) AS DOUBLE) AS od FROM ed GROUP BY src),
+        |pr0 AS (SELECT n, 1.0 / (SELECT nn FROM params) AS r FROM nodes),
+        |it1 AS (SELECT e.dst AS n, SUM(p.r / o.od) AS c
+        |        FROM ed e JOIN od o ON e.src = o.src JOIN pr0 p ON p.n = e.src
+        |        GROUP BY e.dst),
+        |pr1 AS (SELECT nodes.n,
+        |               0.15 / (SELECT nn FROM params) + 0.85 * COALESCE(it1.c, 0) AS r
+        |        FROM nodes LEFT JOIN it1 ON nodes.n = it1.n),
+        |it2 AS (SELECT e.dst AS n, SUM(p.r / o.od) AS c
+        |        FROM ed e JOIN od o ON e.src = o.src JOIN pr1 p ON p.n = e.src
+        |        GROUP BY e.dst),
+        |pr2 AS (SELECT nodes.n,
+        |               0.15 / (SELECT nn FROM params) + 0.85 * COALESCE(it2.c, 0) AS r
+        |        FROM nodes LEFT JOIN it2 ON nodes.n = it2.n),
+        |it3 AS (SELECT e.dst AS n, SUM(p.r / o.od) AS c
+        |        FROM ed e JOIN od o ON e.src = o.src JOIN pr2 p ON p.n = e.src
+        |        GROUP BY e.dst),
+        |pr3 AS (SELECT nodes.n,
+        |               0.15 / (SELECT nn FROM params) + 0.85 * COALESCE(it3.c, 0) AS r
+        |        FROM nodes LEFT JOIN it3 ON nodes.n = it3.n)
+        |SELECT n, ROUND(r, 6) AS r FROM pr3""".stripMargin,
 
     "q_neighbor_jaccard" ->
       """WITH m AS (SELECT DISTINCT event_type AS n, user_id AS nb FROM events),

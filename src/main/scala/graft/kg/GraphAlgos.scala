@@ -118,6 +118,52 @@ object GraphAlgos {
           .as("jaccard"))
   }
 
+  /** Fixed-iteration PageRank over directed edges.
+    *
+    * Per iteration: one hash-shuffled join (edge src → current rank), one
+    * aggregation (contributions per dst), one left join back onto the node
+    * set — rank state is (node, double) ONLY, persisted + counted per
+    * iteration and the previous iteration's pin released, so lineage stays
+    * one round deep no matter how many iterations run (the same loop
+    * discipline as [[ConnectedComponents]] and [[bfsReachable]]).
+    *
+    * Deliberately simple mass model: dangling nodes (no out-edges) leak
+    * their damped mass rather than redistributing it — the standard
+    * teleport-only formulation that an unrolled SQL oracle can replicate
+    * exactly. Ranks therefore sum to <= 1; relative ordering (the thing
+    * consumers rank by) is unaffected for connected regions.
+    */
+  def pageRank(edges: DataFrame, iters: Int, damping: Double = 0.85,
+               srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
+    require(iters >= 0, s"iters must be >= 0, got $iters")
+    require(damping > 0 && damping < 1, s"damping must be in (0,1), got $damping")
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst")).distinct()
+    val nodes = e.select(col("src").as("n")).unionAll(e.select(col("dst").as("n")))
+      .distinct().persist(StorageLevel.MEMORY_AND_DISK)
+    val nN = nodes.count()
+    val eod = e.join(e.groupBy("src").agg(count(lit(1)).cast("double").as("od")), "src")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var ranks = nodes.withColumn("r", lit(1.0 / nN))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    ranks.count()
+    var i = 0
+    while (i < iters) {
+      val contrib = eod.join(ranks, eod("src") === ranks("n"))
+        .groupBy("dst").agg(sum(col("r") / col("od")).as("c"))
+      val next = nodes.join(contrib, nodes("n") === contrib("dst"), "left_outer")
+        .select(col("n"),
+          (lit((1.0 - damping) / nN) + lit(damping) * coalesce(col("c"), lit(0.0))).as("r"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      next.count()
+      ranks.unpersist()
+      ranks = next
+      i += 1
+    }
+    eod.unpersist()
+    nodes.unpersist()
+    ranks
+  }
+
   /** k-hop reachability (BFS): every node reachable from `sources` in at
     * most `maxHops` directed edge traversals, with its MINIMUM hop count.
     *

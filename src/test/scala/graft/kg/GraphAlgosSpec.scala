@@ -101,6 +101,28 @@ class GraphAlgosSpec extends SparkSpec {
     assert(out === Set(("x", "y", 2L, 0.5)))
   }
 
+  test("pageRank matches a sequential double-precision reference loop") {
+    val es = Seq(("a", "b"), ("b", "c"), ("c", "a"), ("a", "c"), ("d", "a"))
+    val iters = 5; val d = 0.85
+    // sequential reference, same teleport-only mass model
+    val ns = es.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+    val outd = es.groupBy(_._1).map { case (k, v) => k -> v.size.toDouble }
+    var r = ns.map(_ -> 1.0 / ns.size).toMap
+    for (_ <- 1 to iters) {
+      val c = es.groupBy(_._2).map { case (dst, in) =>
+        dst -> in.map(e => r(e._1) / outd(e._1)).sum
+      }
+      r = ns.map(n => n -> ((1.0 - d) / ns.size + d * c.getOrElse(n, 0.0))).toMap
+    }
+    val got = GraphAlgos.pageRank(es.toDF("src", "dst"), iters, d)
+      .as[(String, Double)].collect().toMap
+    assert(got.keySet === r.keySet)
+    got.foreach { case (n, v) => assert(math.abs(v - r(n)) < 1e-12, s"$n: $v vs ${r(n)}") }
+    // sink of the cycle ('c' has in-edges from both a and b) outranks the
+    // pure source 'd'
+    assert(got("c") > got("d"))
+  }
+
   test("minProps/maxProps merge rules accumulate a validity interval across merges") {
     val spec = NodeSpec(Seq("T"), Seq("k"),
       minProps = Seq("lo"), maxProps = Seq("hi"))
