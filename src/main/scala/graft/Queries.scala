@@ -773,6 +773,13 @@ object Queries {
         "event_type", "user_id")
       .orderBy("a", "b")
 
+  /** Per-node degree stats over the directed user→event_type graph. */
+  def degrees(s: SparkSession, dir: String): DataFrame =
+    graft.kg.GraphAlgos.degrees(
+      t(s, dir, "events").select(
+        concat(lit("u:"), col("user_id")).as("src"),
+        concat(lit("e:"), col("event_type")).as("dst")))
+
   /** Fixed-iteration PageRank (3 rounds, d=0.85) over the directed
     * user→event_type graph; rounded to 6 dp so parallel-vs-sequential
     * float summation order cannot split the value-exact compare.

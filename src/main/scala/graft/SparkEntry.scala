@@ -83,6 +83,7 @@ object SparkEntry {
     "q_triangles"            -> (Queries.triangles _),
     "q_neighbor_jaccard"     -> (Queries.neighborJacc _),
     "q_pagerank"             -> (Queries.pagerank _),
+    "q_degrees"              -> (Queries.degrees _),
     // multimodal plumbing (stub kernel)
     "q_multimodal"           -> (Queries.multimodal _),
     "q_media_meta"           -> (Queries.mediaMeta _)
@@ -697,6 +698,17 @@ object SparkEntry {
         |  UNION ALL SELECT n2 FROM tri
         |  UNION ALL SELECT n3 FROM tri)
         |GROUP BY node""".stripMargin,
+
+    "q_degrees" ->
+      """WITH ed AS (SELECT DISTINCT 'u:' || user_id AS src, 'e:' || event_type AS dst
+        |           FROM events),
+        |o AS (SELECT src AS node, count(*) AS out_deg FROM ed GROUP BY 1),
+        |i AS (SELECT dst AS node, count(*) AS in_deg FROM ed GROUP BY 1)
+        |SELECT COALESCE(o.node, i.node) AS node,
+        |       COALESCE(o.out_deg, 0) AS out_deg,
+        |       COALESCE(i.in_deg, 0) AS in_deg,
+        |       COALESCE(o.out_deg, 0) + COALESCE(i.in_deg, 0) AS degree
+        |FROM o FULL OUTER JOIN i ON o.node = i.node""".stripMargin,
 
     "q_pagerank" ->
       """WITH ed AS (SELECT DISTINCT 'u:' || user_id AS src, 'e:' || event_type AS dst

@@ -118,6 +118,22 @@ object GraphAlgos {
           .as("jaccard"))
   }
 
+  /** Per-node degree statistics over directed edges: out-degree, in-degree
+    * and total, with distinct parallel edges collapsed first. One shuffle
+    * per direction (map-side partial counts), full outer combined — every
+    * node appears even if it only ever sits on one side.
+    */
+  def degrees(edges: DataFrame, srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst")).distinct()
+    val outD = e.groupBy(col("src").as("node")).agg(count(lit(1)).as("out_deg"))
+    val inD = e.groupBy(col("dst").as("node")).agg(count(lit(1)).as("in_deg"))
+    outD.join(inD, Seq("node"), "full_outer")
+      .select(col("node"),
+        coalesce(col("out_deg"), lit(0L)).as("out_deg"),
+        coalesce(col("in_deg"), lit(0L)).as("in_deg"),
+        (coalesce(col("out_deg"), lit(0L)) + coalesce(col("in_deg"), lit(0L))).as("degree"))
+  }
+
   /** Fixed-iteration PageRank over directed edges.
     *
     * Per iteration: one hash-shuffled join (edge src → current rank), one

@@ -101,6 +101,16 @@ class GraphAlgosSpec extends SparkSpec {
     assert(out === Set(("x", "y", 2L, 0.5)))
   }
 
+  test("degrees: out/in/total per node, one-sided nodes included") {
+    val e = Seq(("a", "b"), ("a", "c"), ("b", "c"), ("a", "b") /* dup collapses */)
+      .toDF("src", "dst")
+    val out = GraphAlgos.degrees(e)
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    assert(out === Map(
+      "a" -> (2L, 0L, 2L), "b" -> (1L, 1L, 2L), "c" -> (0L, 2L, 2L)))
+  }
+
   test("pageRank matches a sequential double-precision reference loop") {
     val es = Seq(("a", "b"), ("b", "c"), ("c", "a"), ("a", "c"), ("d", "a"))
     val iters = 5; val d = 0.85
