@@ -27,9 +27,14 @@ object Bench {
     */
   def kgInput(spark: SparkSession): String = {
     val dir = s"${System.getProperty("java.io.tmpdir")}/graft-bench-kg-input-$KgTurns"
+    // mode("overwrite"), not "ignore": a crashed prior write leaves the
+    // directory WITHOUT _SUCCESS, and an ignore-mode write would silently
+    // no-op on it — the bench would then measure a partial corpus and
+    // report wrong throughput. Overwrite makes a stale partial dir
+    // unreusable by construction.
     if (!java.nio.file.Files.exists(java.nio.file.Paths.get(dir, "_SUCCESS")))
       kg.TranscriptGen.turns(spark, KgTurns, spark.sparkContext.defaultParallelism * 2)
-        .toDF().write.mode("ignore").parquet(dir)
+        .toDF().write.mode("overwrite").parquet(dir)
     dir
   }
 

@@ -435,7 +435,12 @@ object Queries {
     // all-pairs variant is only ever run on blocks small enough to
     // broadcast — LSH covers the rest).
     val l = base.alias("l"); val r = broadcast(base).alias("r")
-    l.join(r, col("l.blk") === col("r.blk") && col("l.id") < col("r.id"))
+    // size-ratio prefilter: jaccard >= θ implies min(|A|,|B|) >= θ·max —
+    // exactness-preserving (changes no result row), cuts the candidate set
+    // before the array intersection, which is where the time goes
+    l.join(r, col("l.blk") === col("r.blk") && col("l.id") < col("r.id") &&
+        size(col("l.sh")).cast("double") >= lit(0.5) * size(col("r.sh")) &&
+        size(col("r.sh")).cast("double") >= lit(0.5) * size(col("l.sh")))
       .withColumn("jaccard", round(
         size(array_intersect(col("l.sh"), col("r.sh"))).cast("double") /
           size(array_union(col("l.sh"), col("r.sh"))), 6))

@@ -56,9 +56,13 @@ object ScalingBench {
         .filterNot(d => java.nio.file.Files.exists(java.nio.file.Paths.get(d, "_SUCCESS")))
       if (missing.nonEmpty) {
         val spark = Bench.session("32")
-        try Seq(turns / 10, turns).foreach { n =>
+        // overwrite (see Bench.kgInput): a _SUCCESS-less dir is a crashed
+        // partial write; ignore-mode would silently reuse it and the
+        // scaling numbers would be measured over a truncated corpus
+        try missing.foreach { d =>
+          val n = if (d == inputDir(turns)) turns else turns / 10
           kg.TranscriptGen.turns(spark, n, InputFiles).toDF()
-            .write.mode("ignore").parquet(inputDir(n))
+            .write.mode("overwrite").parquet(d)
         } finally spark.stop()
       }
     }

@@ -178,6 +178,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[MinHashSig].getName, "graft_minhash_sig"),
       (args: Seq[Expression]) => {
         require(args.length == 2, "graft_minhash_sig(arr, numHashes)")
+        require(args(1).foldable, "graft_minhash_sig: numHashes must be a literal")
         MinHashSig(args.head, args(1).eval().asInstanceOf[Number].intValue())
       }))
     ext.injectFunction((FunctionIdentifier("graft_simhash64"),

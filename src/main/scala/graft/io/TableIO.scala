@@ -180,7 +180,14 @@ final class StageRunner(spark: SparkSession, workDir: String) extends AutoClosea
 
   private def writeVersion(name: String)(compute: => DataFrame): DataFrame = {
     val ver = log.nextVersion(name)
-    val path = s"$workDir/$name/v$ver"
+    // Legacy guard: a stage whose only commit predates versioning has its
+    // parquet at <workDir>/<stage> ITSELF (no /v<N> suffix). Writing v2 to
+    // <workDir>/<stage>/v2 would nest the new parquet INSIDE the legacy
+    // data directory, and any read of the legacy path (readAsOf v1) then
+    // hits Spark's mixed files-and-subdirectory discovery failure. Anchor
+    // post-legacy versions BESIDE it instead: <workDir>/<stage>__v<N>.
+    val legacyAnchored = log.latest(name).exists(s => !s.path.matches(""".*/v\d+$"""))
+    val path = if (legacyAnchored) s"$workDir/${name}__v$ver" else s"$workDir/$name/v$ver"
     metrics.setStage(name)
     spark.sparkContext.setJobDescription(s"graft-stage:$name")
     val df = compute

@@ -11,6 +11,14 @@ import graft.schema.{FieldFilter, NodeSpec, RelSpec}
   * `.limit(1)` for `first()`, B5). Filters are conjunctive-only, like the
   * reference (model.py:427-433).
   */
+object Graph {
+  /** Serializes rawQuery ANALYSIS across all Graph instances in the JVM —
+    * the `nodes`/`edges` view names are a per-call contract, not session
+    * state (see [[Graph.rawQuery]]).
+    */
+  private[ogm] val rawQueryLock = new Object
+}
+
 final case class Graph(nodes: DataFrame, edges: DataFrame) {
 
   /** Release the cached node/edge tables a loader pinned (no-op when
@@ -128,13 +136,26 @@ final case class Graph(nodes: DataFrame, edges: DataFrame) {
   def rawQuery(sql: String, requiredCols: Seq[String],
                args: Map[String, Any] = Map.empty): DataFrame = {
     val spark = nodes.sparkSession
-    nodes.createOrReplaceTempView("nodes")
-    edges.createOrReplaceTempView("edges")
-    val out = if (args.isEmpty) spark.sql(sql) else spark.sql(sql, args)
-    val missing = requiredCols.filterNot(out.columns.contains)
-    require(missing.isEmpty,
-      s"raw query must return node-shaped rows; missing: ${missing.mkString(",")}")
-    out
+    // The views are registered under the contract names `nodes`/`edges` for
+    // the duration of ONE analysis only, under a JVM-wide lock, then
+    // dropped: two live Graphs in one session would otherwise silently
+    // shadow each other's session-global views. spark.sql analyzes eagerly,
+    // so the returned DataFrame's plan is bound to THIS graph's tables
+    // before the lock releases — only analysis serializes, never execution.
+    Graph.rawQueryLock.synchronized {
+      nodes.createOrReplaceTempView("nodes")
+      edges.createOrReplaceTempView("edges")
+      try {
+        val out = if (args.isEmpty) spark.sql(sql) else spark.sql(sql, args)
+        val missing = requiredCols.filterNot(out.columns.contains)
+        require(missing.isEmpty,
+          s"raw query must return node-shaped rows; missing: ${missing.mkString(",")}")
+        out
+      } finally {
+        spark.catalog.dropTempView("nodes")
+        spark.catalog.dropTempView("edges")
+      }
+    }
   }
 
   /** Typed read path — the `Dataset[T]` form of the reference's rehydration
@@ -208,14 +229,23 @@ final case class Graph(nodes: DataFrame, edges: DataFrame) {
   }
 
   /** B10 — point delete with DETACH semantics: remove matching nodes AND
-    * every edge touching them (anti-joins; DELETE FROM at table level).
+    * every edge touching them.
+    *
+    * All three subtractions are LEFT-ANTI joins on the node-identity hash
+    * (the same (primary label, mergeKeys) id the edges were resolved with),
+    * NOT `exceptAll`: doomed-set membership is fully determined by the id,
+    * and an anti-join shuffles the 8-byte key column only, where exceptAll
+    * hash-shuffles EVERY column of the whole node table to subtract a
+    * filtered subset of itself. This is also exactly the
+    * `DELETE FROM nodes WHERE _node_id IN (...)` lowering the Iceberg path
+    * wants (SURVEY §2 B10).
     */
   def detachDeleteNodes(labels: Seq[String], mergeKeys: Seq[String], filters: FieldFilter*): Graph = {
     val doomed = matchNodes(labels, filters: _*)
-    val keep = nodes.exceptAll(doomed)
-    // node identity for the edge anti-join: same (labels, mergeKeys) hash the
-    // edges were resolved with
     val ids = RelSetOps.withNodeId(doomed, mergeKeys).select(col("_node_id"))
+    val keep = RelSetOps.withNodeId(nodes, mergeKeys)
+      .join(ids, Seq("_node_id"), "left_anti")
+      .select(nodes.columns.map(col).toIndexedSeq: _*)
     val keptEdges = edges
       .join(ids, edges(RelSetOps.SrcId) === ids("_node_id"), "left_anti")
       .join(ids, edges(RelSetOps.DstId) === ids("_node_id"), "left_anti")
@@ -224,6 +254,15 @@ final case class Graph(nodes: DataFrame, edges: DataFrame) {
 
   /** B11 — targeted edge delete: all edges of a type from anchored sources,
     * optionally restricted to specific targets.
+    *
+    * The subtraction is a LEFT-ANTI join on the edge identity columns
+    * (src_id, dst_id, rel_type) — not `exceptAll` over every edge column.
+    * Doom membership is decided entirely by those three columns (the
+    * filters anchor node IDS, never edge properties), so parallel edges
+    * sharing an identity are doomed together either way and the anti-join
+    * is row-for-row equivalent while shuffling keys only. It is also the
+    * direct `DELETE FROM edges WHERE (src,dst,type) IN (...)` lowering for
+    * the Iceberg path.
     */
   def deleteEdges(relType: String, srcFilter: Seq[FieldFilter],
                   dstFilter: Seq[FieldFilter] = Nil, keys: Seq[String]): Graph = {
@@ -233,10 +272,12 @@ final case class Graph(nodes: DataFrame, edges: DataFrame) {
     val dstIds = RelSetOps.withNodeId(
       nodes.filter(dstFilter.map(_.toColumn).reduceOption(_ && _).getOrElse(lit(true))), keys)
       .select(col("_node_id"))
-    val doomed = edges
+    val doomedKeys = edges
       .filter(col(RelSetOps.RelType) === relType)
       .join(srcIds, edges(RelSetOps.SrcId) === srcIds("_node_id"), "left_semi")
       .join(dstIds, edges(RelSetOps.DstId) === dstIds("_node_id"), "left_semi")
-    Graph(nodes, edges.exceptAll(doomed))
+      .select(RelSetOps.SrcId, RelSetOps.DstId, RelSetOps.RelType)
+    Graph(nodes, edges.join(doomedKeys,
+      Seq(RelSetOps.SrcId, RelSetOps.DstId, RelSetOps.RelType), "left_anti"))
   }
 }

@@ -165,6 +165,12 @@ object Dedup {
 
   /** SimHash near-dup pairs with hamming distance <= maxHamming, blocked on
     * 16-bit bands (guaranteed complete for maxHamming <= 3).
+    *
+    * Contract (same as [[minhashLshPairs]]): the verified pair set is
+    * MATERIALIZED EAGERLY at call time — the call runs a job — and returns
+    * pinned at MEMORY_AND_DISK so the (small) result is reusable without
+    * recomputing the self-join; callers done with it release the blocks
+    * with `result.unpersist()` (the Graph.release() analogue).
     */
   def simhashPairs(docs: DataFrame, maxHamming: Int = 3,
                    idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
@@ -197,14 +203,36 @@ object Dedup {
   }
 
   /** Exact n-gram Jaccard similarity for all pairs within a blocking key
-    * (e.g. language) — the exact (non-LSH) small-block variant.
+    * (e.g. language) — the exact (non-LSH) small-block verification tool;
+    * MinHash-LSH is the corpus-scale path.
+    *
+    * Exact all-pairs is O(block²) by nature, so two guards keep the tool
+    * honest at scale:
+    *  - `maxBlockSize` DROPS degenerate blocks (same contract as
+    *    GraphAlgos.coMentionEdges' maxGroupSize): at 100× data one language
+    *    block IS the corpus, and an ungated all-pairs there is the job
+    *    that never finishes. A block bigger than the gate is by definition
+    *    not a "small block" — route it through LSH instead.
+    *  - a size-ratio PREFILTER in the join condition: Jaccard >= θ implies
+    *    min(|A|,|B|) >= θ·max(|A|,|B|) (since |A∩B| <= min and |A∪B| >=
+    *    max), so `θ·|r| <= |l| and θ·|l| <= |r|` is exactness-preserving
+    *    prefix filtering — it cuts candidates before the array intersection
+    *    (the expensive part) and changes NO result row.
     */
   def ngramJaccardPairs(docs: DataFrame, blockCol: String, threshold: Double,
-                        idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+                        idCol: String = "doc_id", textCol: String = "text",
+                        maxBlockSize: Int = 10000): DataFrame = {
+    require(maxBlockSize > 1, s"maxBlockSize must be > 1, got $maxBlockSize")
     val base = docs.select(col(blockCol).as("blk"), col(idCol).as("id"),
       wordShingleHashes(col(textCol)).as("sh"))
-    val l = base.alias("l"); val r = base.alias("r")
-    l.join(r, col("l.blk") === col("r.blk") && col("l.id") < col("r.id"))
+    val gated = base
+      .withColumn("_bsz", count(lit(1)).over(Window.partitionBy("blk")))
+      .filter(col("_bsz") <= maxBlockSize)
+      .drop("_bsz")
+    val l = gated.alias("l"); val r = gated.alias("r")
+    l.join(r, col("l.blk") === col("r.blk") && col("l.id") < col("r.id") &&
+        size(col("l.sh")).cast("double") >= lit(threshold) * size(col("r.sh")) &&
+        size(col("r.sh")).cast("double") >= lit(threshold) * size(col("l.sh")))
       .withColumn("jaccard",
         size(array_intersect(col("l.sh"), col("r.sh"))).cast("double") /
           size(array_union(col("l.sh"), col("r.sh"))))

@@ -74,4 +74,32 @@ class SnapshotSpec extends SparkSpec {
       .as[Int].collect().sorted.toSeq === Seq(10, 20))
     finally r.close()
   }
+
+  test("recommit of a legacy stage anchors beside the legacy dir, not inside it") {
+    val wd = tmpDir("graft-snaplegacy2")
+    val dataDir = s"$wd/old_stage"
+    Seq(10, 20).toDF("x").write.parquet(dataDir)
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(wd, "_graft_snapshots.jsonl"),
+      s"""{"stage":"old_stage","path":"$dataDir","rows":2,"partitions":1,"ts":1}\n""")
+    val r = new StageRunner(spark, wd)
+    try {
+      val v2 = r.recommit("old_stage")(Seq(30).toDF("x"))
+      assert(v2.as[Int].collect().toSeq === Seq(30))
+      // the new version directory must NOT nest inside the legacy parquet
+      // dir (that would break legacy-path reads with mixed files+subdirs)
+      val p2 = r.log.latest("old_stage").get.path
+      assert(r.log.latest("old_stage").get.version === 2)
+      assert(!p2.startsWith(dataDir + "/"), p2)
+      // both versions stay readable: time travel to v1 AND current v2
+      assert(r.readAsOf("old_stage", 1).as[Int].collect().sorted.toSeq === Seq(10, 20))
+      assert(r.stage("old_stage")(sys.error("no"): org.apache.spark.sql.DataFrame)
+        .as[Int].collect().toSeq === Seq(30))
+      // a third commit keeps anchoring beside (never regresses to nesting)
+      r.recommit("old_stage")(Seq(40).toDF("x"))
+      val p3 = r.log.latest("old_stage").get.path
+      assert(!p3.startsWith(dataDir + "/"), p3)
+      assert(r.readAsOf("old_stage", 2).as[Int].collect().toSeq === Seq(30))
+    } finally r.close()
+  }
 }

@@ -171,6 +171,27 @@ class GraphSpec extends SparkSpec {
     assert(out.count() == 0)
   }
 
+  test("two live Graphs raw-query concurrently without view shadowing") {
+    val g1 = graph // 4 people
+    val g2 = Graph(people.filter(col("city") === "ny"), spark.emptyDataFrame)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    // each future analyzes against ITS graph's tables; interleaved calls on
+    // the shared session must never read the other graph's view
+    val runs = (1 to 8).map { i =>
+      Future {
+        if (i % 2 == 0) g1.rawQuery("SELECT name FROM nodes", Seq("name")).count()
+        else g2.rawQuery("SELECT name FROM nodes", Seq("name")).count()
+      }
+    }
+    val counts = Await.result(Future.sequence(runs), 60.seconds)
+    assert(counts.zipWithIndex.forall { case (n, idx) =>
+      n == (if ((idx + 1) % 2 == 0) 4L else 2L) }, counts.toString)
+    // views do not leak past the call
+    assert(!spark.catalog.tableExists("nodes"))
+  }
+
   test("typed read path rehydrates Dataset[T] (model.py:450-451,531-532)") {
     val g = graph
     val ds = g.matchNodesAs[PersonRow](Seq("Person"),

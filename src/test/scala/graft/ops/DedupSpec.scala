@@ -77,4 +77,39 @@ class DedupSpec extends SparkSpec {
     assert(pairs.contains((1L, 2L)))     // same block exact dup
     assert(!pairs.contains((1L, 6L)))    // exact dup but different block
   }
+
+  test("ngram jaccard drops blocks over maxBlockSize (quadratic gate)") {
+    // 'en' block has 4 docs, 'es' has 2: a gate of 3 must drop every en
+    // pair (incl. the exact dup 1-2) while es survives untouched
+    val all = Dedup.ngramJaccardPairs(docs, "lang", 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val gated = Dedup.ngramJaccardPairs(docs, "lang", 0.4, maxBlockSize = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(all.contains((1L, 2L)))
+    assert(!gated.contains((1L, 2L)))
+    assert(gated == all.filterNot { case (a, b) =>
+      Set(1L, 2L, 3L, 4L).contains(a) || Set(1L, 2L, 3L, 4L).contains(b) })
+    intercept[IllegalArgumentException] {
+      Dedup.ngramJaccardPairs(docs, "lang", 0.4, maxBlockSize = 1)
+    }
+  }
+
+  test("ngram jaccard size-ratio prefilter preserves every result pair") {
+    // θ=0.1 admits size-skewed pairs; the prefilter must not lose any of
+    // them vs a filter-free reference computed inline
+    val base = docs.select(col("lang").as("blk"), col("doc_id").as("id"),
+      Dedup.wordShingleHashes(col("text")).as("sh"))
+    val l = base.alias("l"); val r = base.alias("r")
+    val reference = l.join(r,
+        col("l.blk") === col("r.blk") && col("l.id") < col("r.id"))
+      .withColumn("jaccard",
+        size(array_intersect(col("l.sh"), col("r.sh"))).cast("double") /
+          size(array_union(col("l.sh"), col("r.sh"))))
+      .filter(col("jaccard") >= 0.1)
+      .select(col("l.id"), col("r.id"))
+      .collect().map(r0 => (r0.getLong(0), r0.getLong(1))).toSet
+    val prefiltered = Dedup.ngramJaccardPairs(docs, "lang", 0.1)
+      .collect().map(r0 => (r0.getLong(0), r0.getLong(1))).toSet
+    assert(prefiltered == reference)
+  }
 }
