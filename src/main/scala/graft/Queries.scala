@@ -472,9 +472,20 @@ object Queries {
       .select("doc_id", "n_chars")
   }
 
-  /** SimHash near-dup pairs, hamming <= 3. */
+  /** SimHash near-dup pairs, hamming <= 3. Value-exact via the two-table
+    * dump: the oracle recomputes the band-blocked hamming pairs in SQL FROM
+    * the dumped signature table (q_simhash_sigs), so the pair-generation
+    * operator — the join/band/dedupe logic that can actually be wrong — is
+    * value-checked even though the signature itself is engine-specific.
+    */
   def simhashPairs(s: SparkSession, dir: String): DataFrame =
     Dedup.simhashPairs(t(s, dir, "documents"), 3)
+
+  /** The (id, simhash) signature table — dumped so q_simhash_pairs' oracle
+    * can derive the pairs from it (rows-only itself: xxhash-specific).
+    */
+  def simhashSigs(s: SparkSession, dir: String): DataFrame =
+    Dedup.simhash(t(s, dir, "documents"))
 
   /** Text metrics: whitespace + BPE-ish token counts. */
   def tokenCounts(s: SparkSession, dir: String): DataFrame =
@@ -654,6 +665,101 @@ object Queries {
     val embs = t(s, dir, "embeddings")
       .select(col("vec_id"), expr("transform(embedding, x -> cast(x as double))").as("embedding"))
     Similarity.cosinePairsLsh(embs, 0.3, bits = 16, bandBits = 4)
+  }
+
+  /** Recall gate for the approximate similarity operators: each variant's
+    * result is compared IN SPARK against the exact reference that is itself
+    * value-checked by its own gate (brute-force top-k / exact cosine
+    * pairs), and the gate emits one deterministic row per variant —
+    * (variant, n_ref, recall_ok). The oracle is the literal expectation, so
+    * the DRIVER (not just a spec) fails the round if an approximate
+    * operator regresses. Everything is deterministic: seeded centroids,
+    * hash-derived hyperplanes, no RNG.
+    *
+    * Two kinds of rows:
+    *  - `ivf_full_probe` is a STRUCTURAL EXACTNESS invariant: probing every
+    *    cell must reproduce the brute-force top-k EXACTLY (recall == 1.0).
+    *    Any bug in assignment, probing, candidate join, or ranking breaks
+    *    it — zero approximation slack.
+    *  - the approximate settings carry calibrated floors. The driver's
+    *    synthetic embeddings are near-uniform (no cluster structure), the
+    *    adversarial case for space-partitioning ANN: probing 4/16 cells
+    *    measures recall ≈ 0.48-0.50 here (vs ≥ 0.9 on the clustered
+    *    SimilaritySpec fixture — IVF's design regime), and 4-band 4-bit
+    *    sign-LSH at θ=0.3 ≈ 0.43 (theory: 1-(1-p⁴)⁴ ≈ 0.42 at the
+    *    threshold). Floors at 0.35 / 0.3 sit above the ~0.25 a
+    *    wrong-cells/wrong-bands implementation would score but below honest
+    *    run-to-run structure, so they gate implementation regressions, not
+    *    data luck.
+    */
+  def annRecall(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val embs = t(s, dir, "embeddings")
+      .select(col("vec_id"), expr("transform(embedding, x -> cast(x as double))").as("embedding"))
+    val queries = embs.filter(col("vec_id") < 8)
+
+    def topkRecall(approx: DataFrame, floor: Double): (Long, Boolean) = {
+      val exact = Similarity.bruteForceTopK(embs, queries, 5)
+        .select(col("query_id"), col("item_id"))
+      val nRef = exact.count()
+      val hit = exact.join(approx.select(col("query_id"), col("item_id")),
+        Seq("query_id", "item_id"), "left_semi").count()
+      (nRef, hit.toDouble / nRef >= floor)
+    }
+    val (fullN, fullOk) = topkRecall(
+      Similarity.ivfTopK(embs, queries, 5, nCells = 16, nProbe = 16), floor = 1.0)
+    val (ivfN, ivfOk) = topkRecall(
+      Similarity.ivfTopK(embs, queries, 5, nCells = 16, nProbe = 4), floor = 0.35)
+    val (trN, trOk) = topkRecall(
+      Similarity.ivfTopK(embs, queries, 5, nCells = 16, nProbe = 4, trainIters = 2),
+      floor = 0.35)
+
+    // LSH near-dup recall vs the exact global cosine >= 0.3 pair set
+    // (threshold on the 6-dp-rounded cosine, the same boundary rule the
+    // value-gated q_embed_neardup uses, so the oracle can recompute n_ref
+    // exactly in SQL)
+    val l = embs.alias("l"); val r = embs.alias("r")
+    val exactPairs = l.join(r, col("l.vec_id") < col("r.vec_id"))
+      .filter(round(Similarity.cosine(col("l.embedding"), col("r.embedding")), 6) >= 0.3)
+      .select(col("l.vec_id").as("a"), col("r.vec_id").as("b"))
+    val lshPairs = Similarity.cosinePairsLsh(embs, 0.3, bits = 16, bandBits = 4)
+      .select("a", "b")
+    val nPairs = exactPairs.count()
+    val lshHit = exactPairs.join(lshPairs, Seq("a", "b"), "left_semi").count()
+    val lshOk = lshHit.toDouble / nPairs >= 0.3
+
+    Seq(("ivf_full_probe", fullN, fullOk), ("ivf", ivfN, ivfOk),
+        ("ivf_trained", trN, trOk), ("lsh_neardup", nPairs, lshOk))
+      .toDF("variant", "n_ref", "recall_ok")
+  }
+
+  /** A11/B13 — deterministic artifact naming THROUGH the registry: specs
+    * are registered by name, looked back up (get_class_by_name analogue),
+    * and their table names/paths emitted — including the per-call namespace
+    * override beating the registry default (the reference's `database=`
+    * parameter precedence). Oracle = the literal expected strings, so the
+    * naming contract (nodeset.py:123-141, model.py:596) is value-gated, not
+    * just spec-tested.
+    */
+  def naming(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val schema = new GraphSchema(defaultNamespace = "prod")
+    schema.register("cust", NodeSpec(Seq("Customer"), Seq("uuid"),
+      additionalLabels = Seq("Gold")))
+    schema.register("line", NodeSpec(Seq("Line"), Seq("l_orderkey", "l_linenumber")))
+    schema.register("placed", RelSpec("PLACED", Seq("Customer"), Seq("Order"),
+      Seq(EqKey("key")), Seq(EqKey("key"))))
+    require(schema.nodeNames == Set("cust", "line") && schema.relNames == Set("placed"),
+      s"registry lookup mismatch: ${schema.nodeNames} / ${schema.relNames}")
+    Seq(
+      ("cust_name", GraphSchema.nodeTableName(schema.node("cust"))),
+      ("cust_path", schema.nodeTablePath("/warehouse", schema.node("cust"))),
+      ("cust_path_override", schema.nodeTablePath("/warehouse", schema.node("cust"),
+        namespace = Some("staging"))),
+      ("line_name", GraphSchema.nodeTableName(schema.node("line"))),
+      ("placed_name", GraphSchema.relTableName(schema.rel("placed"))),
+      ("placed_path", schema.relTablePath("/warehouse", schema.rel("placed")))
+    ).toDF("entity", "value")
   }
 
   // ---------- KG pipeline shapes over events-as-transcripts ----------

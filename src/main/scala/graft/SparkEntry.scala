@@ -48,6 +48,7 @@ object SparkEntry {
     "q_minhash_dedup"        -> (Queries.minhashDedup _),
     "q_minhash_dedup_best"   -> (Queries.minhashDedupBest _),
     "q_simhash_pairs"        -> (Queries.simhashPairs _),
+    "q_simhash_sigs"         -> (Queries.simhashSigs _),
     // similarity search
     "q_ann_topk"             -> (Queries.annBruteForce _),
     "q_ann_quantized"        -> (Queries.annQuantized _),
@@ -56,6 +57,8 @@ object SparkEntry {
     "q_embed_neardup"        -> (Queries.embedNearDup _),
     "q_quantize"             -> (Queries.quantize _),
     "q_embed_neardup_lsh"    -> (Queries.embedNearDupLsh _),
+    "q_ann_recall"           -> (Queries.annRecall _),
+    "q_naming"               -> (Queries.naming _),
     // text analysis
     "q_token_counts"         -> (Queries.tokenCounts _),
     "q_lang_id"              -> (Queries.langId _),
@@ -377,11 +380,14 @@ object SparkEntry {
         |  (acc, h) -> (acc * 31 + h) % 1000000007) AS fingerprint
         |FROM toks""".stripMargin,
 
-    // portable multiplicative-hash bucket: (((id+salt) % 1000003) *
-    // 2654435761 + salt) % 1000000 — identical arithmetic on both engines
+    // portable two-round multiplicative-hash bucket (Sampling.bucket):
+    // ((((id+s) % 1000003) * 2654435761 + s) % 1e6
+    //  + (((id+s) % 999983) * 2246822518) % 1e6) % 1e6
+    // — identical exact integer arithmetic on both engines
     "q_sample_stratified" ->
       """SELECT doc_id, lang FROM documents
-        |WHERE ((((doc_id + 7) % 1000003) * 2654435761 + 7) % 1000000) <
+        |WHERE (((((doc_id + 7) % 1000003) * 2654435761 + 7) % 1000000)
+        |       + ((((doc_id + 7) % 999983) * 2246822518) % 1000000)) % 1000000 <
         |      (CASE WHEN lang = 'en' THEN 300000 ELSE 800000 END)""".stripMargin,
 
     "q_split" ->
@@ -390,7 +396,8 @@ object SparkEntry {
         |       WHEN b < 900000 THEN 'val'
         |       WHEN b < 1000000 THEN 'test' END AS split
         |FROM (SELECT doc_id,
-        |        (((doc_id + 3) % 1000003) * 2654435761 + 3) % 1000000 AS b
+        |        (((((doc_id + 3) % 1000003) * 2654435761 + 3) % 1000000)
+        |         + ((((doc_id + 3) % 999983) * 2246822518) % 1000000)) % 1000000 AS b
         |      FROM documents)""".stripMargin,
 
     "q_quota_topk" ->
@@ -486,7 +493,8 @@ object SparkEntry {
     "q_pack" ->
       """WITH base AS (
         |  SELECT doc_id,
-        |    ((((doc_id + 11) % 1000003) * 2654435761 + 11) % 1000000) % 4 AS shard,
+        |    ((((((doc_id + 11) % 1000003) * 2654435761 + 11) % 1000000)
+        |      + ((((doc_id + 11) % 999983) * 2246822518) % 1000000)) % 1000000) % 4 AS shard,
         |    len(regexp_split_to_array(trim(text), '\s+')) AS toks
         |  FROM documents)
         |SELECT doc_id,
@@ -751,9 +759,62 @@ object SparkEntry {
       """SELECT user_id, count(*) AS n_events,
         |       array_to_string(list_sort(list(DISTINCT event_type)), ',') AS event_types,
         |       min(ts) AS first_ts, max(ts) AS last_ts
-        |FROM events GROUP BY 1""".stripMargin
-    // q_simhash_pairs (xxhash-derived signatures) / q_ann_ivf +
-    // q_embed_neardup_lsh (approximate by nature) / q_multimodal (stub
-    // codec): rows-only check — no portable SQL oracle exists for these.
+        |FROM events GROUP BY 1""".stripMargin,
+
+    // two-table dump check: the signature table itself is engine-specific
+    // (q_simhash_sigs stays rows-only), but the PAIR OPERATOR — 16-bit
+    // banding, self-join, dedupe, hamming<=3 filter — is recomputed here in
+    // SQL from the DUMPED signatures, so any join/band/dedupe bug breaks
+    // the value match. __GRAFT_OUT__ is substituted by Verify with the dump
+    // directory it just wrote.
+    "q_simhash_pairs" ->
+      """WITH sigs AS (
+        |  SELECT id, simhash
+        |  FROM read_parquet('__GRAFT_OUT__/q_simhash_sigs/*.parquet')),
+        |banded AS (
+        |  SELECT id, simhash, bi, (simhash >> CAST(bi * 16 AS INTEGER)) & 65535 AS k
+        |  FROM sigs, range(4) t(bi)),
+        |cand AS (
+        |  SELECT DISTINCT l.id AS a, r.id AS b, l.simhash AS sa, r.simhash AS sb
+        |  FROM banded l JOIN banded r
+        |    ON l.bi = r.bi AND l.k = r.k AND l.id < r.id)
+        |SELECT a, b, CAST(bit_count(xor(sa, sb)) AS INTEGER) AS hamming
+        |FROM cand WHERE bit_count(xor(sa, sb)) <= 3""".stripMargin,
+
+    // quality contract for the approximate operators: recall_ok is the
+    // literal expectation (recall computed IN SPARK against exact
+    // references that are themselves value-gated — q_ann_topk /
+    // q_embed_neardup); the reference-set SIZES are recomputed here
+    // exactly (8 queries × top-5; exact rounded-cosine pair count), so a
+    // broken reference side cannot silently shrink the recall base
+    "q_ann_recall" ->
+      """WITH e AS (SELECT vec_id, embedding FROM embeddings),
+        |flat AS (
+        |  SELECT a.vec_id AS a, b.vec_id AS b,
+        |         CAST(unnest(a.embedding) AS DOUBLE) AS xa,
+        |         CAST(unnest(b.embedding) AS DOUBLE) AS xb
+        |  FROM e a JOIN e b ON a.vec_id < b.vec_id),
+        |dots AS (SELECT a, b, sum(xa * xb) AS dp, sum(xa * xa) AS na, sum(xb * xb) AS nb
+        |         FROM flat GROUP BY 1, 2),
+        |np AS (SELECT count(*) AS n FROM dots
+        |       WHERE round(dp / (sqrt(na) * sqrt(nb)), 6) >= 0.3)
+        |SELECT 'ivf_full_probe' AS variant, CAST(40 AS BIGINT) AS n_ref, true AS recall_ok
+        |UNION ALL SELECT 'ivf', 40, true
+        |UNION ALL SELECT 'ivf_trained', 40, true
+        |UNION ALL SELECT 'lsh_neardup', (SELECT n FROM np), true""".stripMargin,
+
+    // literal naming contract (nodeset.py:123-141, model.py:596):
+    // registry-resolved specs must produce exactly these names/paths
+    "q_naming" ->
+      """SELECT 'cust_name' AS entity, 'nodeset_Customer_Gold_uuid' AS value
+        |UNION ALL SELECT 'cust_path', '/warehouse/prod/nodeset_Customer_Gold_uuid'
+        |UNION ALL SELECT 'cust_path_override', '/warehouse/staging/nodeset_Customer_Gold_uuid'
+        |UNION ALL SELECT 'line_name', 'nodeset_Line_l_orderkey_l_linenumber'
+        |UNION ALL SELECT 'placed_name', 'relationshipset_PLACED_Customer_Order'
+        |UNION ALL SELECT 'placed_path', '/warehouse/prod/relationshipset_PLACED_Customer_Order'""".stripMargin
+    // q_simhash_sigs (xxhash-derived signatures) / q_ann_ivf +
+    // q_ann_ivf_trained + q_embed_neardup_lsh (approximate by nature —
+    // quality-gated via q_ann_recall) / q_multimodal (stub codec):
+    // rows-only check — no portable SQL oracle exists for these.
   )
 }

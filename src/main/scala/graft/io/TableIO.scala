@@ -37,10 +37,13 @@ final class SnapshotLog(dir: String) {
   private val logPath = Paths.get(dir, "_graft_snapshots.jsonl")
   Files.createDirectories(Paths.get(dir))
 
-  final case class Snapshot(stage: String, path: String, version: Int, ts: Long)
+  final case class Snapshot(stage: String, path: String, version: Int, ts: Long,
+                            note: String = "")
 
   /** All committed snapshots, log order (oldest first). Lines written
-    * before versioning carry no version field → version 1.
+    * before versioning carry no version field → version 1; `note` carries
+    * an optional caller tag (e.g. the batch id a merge commit applied —
+    * the idempotence key for resumable incremental merges).
     */
   def snapshots(): Seq[Snapshot] =
     if (!Files.exists(logPath)) Seq.empty
@@ -50,13 +53,15 @@ final class SnapshotLog(dir: String) {
       val pathRe = """"path":"([^"]+)"""".r
       val verRe = """"version":(\d+)""".r
       val tsRe = """"ts":(\d+)""".r
+      val noteRe = """"note":"([^"]*)"""".r
       Files.readAllLines(logPath).asScala.toSeq.flatMap { l =>
         for {
           st <- stageRe.findFirstMatchIn(l).map(_.group(1))
           p <- pathRe.findFirstMatchIn(l).map(_.group(1))
         } yield Snapshot(st, p,
           verRe.findFirstMatchIn(l).map(_.group(1).toInt).getOrElse(1),
-          tsRe.findFirstMatchIn(l).map(_.group(1).toLong).getOrElse(0L))
+          tsRe.findFirstMatchIn(l).map(_.group(1).toLong).getOrElse(0L),
+          noteRe.findFirstMatchIn(l).map(_.group(1)).getOrElse(""))
       }
     }
 
@@ -81,9 +86,12 @@ final class SnapshotLog(dir: String) {
     latest(stage).map(_.version + 1).getOrElse(1)
 
   def commit(stage: String, path: String, rows: Long, partitions: Int,
-             version: Int = 1): Unit = {
+             version: Int = 1, note: String = ""): Unit = {
+    require(!note.contains("\"") && !note.contains("\n"),
+      s"snapshot note must be quote/newline-free, got: $note")
+    val noteField = if (note.isEmpty) "" else s""","note":"$note""""
     val line =
-      s"""{"stage":"$stage","path":"$path","version":$version,"rows":$rows,"partitions":$partitions,"ts":${System.currentTimeMillis()}}\n"""
+      s"""{"stage":"$stage","path":"$path","version":$version,"rows":$rows,"partitions":$partitions$noteField,"ts":${System.currentTimeMillis()}}\n"""
     Files.writeString(logPath, line, StandardOpenOption.CREATE, StandardOpenOption.APPEND)
   }
 
@@ -170,6 +178,38 @@ final class StageRunner(spark: SparkSession, workDir: String) extends AutoClosea
   def recommit(name: String)(compute: => DataFrame): DataFrame =
     writeVersion(name)(compute)
 
+  /** MERGE INTO a snapshot-managed table — the production shape of
+    * incremental maintenance: read the latest COMMITTED snapshot of the
+    * stage, apply `merge` (e.g. NodeSetOps/RelSetOps.merge of one batch),
+    * and commit the result as a NEW version tagged with `batchId`.
+    *
+    * `batchId` is the exactly-once key: if any committed version of this
+    * stage already carries it, the batch was fully merged before a crash
+    * and the call SKIPS the merge, returning the current table — so a
+    * killed-and-restarted incremental pipeline that replays its batches
+    * converges to the same table instead of double-counting sum-merged
+    * props. (This is the commit-log analogue of Iceberg's
+    * write.wap/branch-dedupe on MERGE INTO, and pairs with Structured
+    * Streaming's foreachBatch batchId contract.)
+    */
+  def mergeStage(name: String, batchId: String)
+                (merge: Option[DataFrame] => DataFrame): DataFrame = {
+    require(batchId.nonEmpty, "mergeStage needs a non-empty batchId")
+    val prior = log.snapshots().filter(_.stage == name)
+    if (prior.exists(_.note == batchId))
+      TableIO.read(spark, log.latest(name).get.path)
+    else {
+      val prev = log.latest(name).filter(s => TableIO.exists(s.path))
+        .map(s => TableIO.read(spark, s.path))
+      writeVersion(name, note = batchId)(merge(prev))
+    }
+  }
+
+  /** Latest committed snapshot of a stage, if any — the current table. */
+  def readLatest(name: String): Option[DataFrame] =
+    log.latest(name).filter(s => TableIO.exists(s.path))
+      .map(s => TableIO.read(spark, s.path))
+
   /** Time travel: read a stage as of a specific committed version. */
   def readAsOf(name: String, version: Int): DataFrame =
     log.asOf(name, version) match {
@@ -178,7 +218,7 @@ final class StageRunner(spark: SparkSession, workDir: String) extends AutoClosea
         s"no committed snapshot: stage=$name version=$version")
     }
 
-  private def writeVersion(name: String)(compute: => DataFrame): DataFrame = {
+  private def writeVersion(name: String, note: String = "")(compute: => DataFrame): DataFrame = {
     val ver = log.nextVersion(name)
     // Legacy guard: a stage whose only commit predates versioning has its
     // parquet at <workDir>/<stage> ITSELF (no /v<N> suffix). Writing v2 to
@@ -194,7 +234,7 @@ final class StageRunner(spark: SparkSession, workDir: String) extends AutoClosea
     TableIO.write(df, path)
     val written = metrics.flush(name, workDir)
     val out = TableIO.read(spark, path)
-    log.commit(name, path, written, out.rdd.getNumPartitions, ver)
+    log.commit(name, path, written, out.rdd.getNumPartitions, ver, note)
     out
   }
 }

@@ -28,15 +28,33 @@ object Sampling {
   val Buckets = 1000000L
   private val FoldPrime = 1000003L    // prime just above the bucket count
   private val Mult = 2654435761L      // Knuth multiplicative constant (2^32/φ)
+  private val FoldPrime2 = 999983L    // prime just BELOW the bucket count
+  // xxHash 32-bit prime 2 minus 1: EVEN on purpose — the two rounds are
+  // SUMMED, and for ids below both fold primes the sum is affine with
+  // multiplier (Mult + Mult2) mod the power-of-two factors of Buckets;
+  // two odd multipliers would make that sum even and freeze the bucket's
+  // low bits (every `bucket % nShards` consumer would then degenerate).
+  // odd + even keeps the combined multiplier odd (and ≢ 0 mod 5).
+  private val Mult2 = 2246822518L
 
   /** Portable deterministic bucket in [0, Buckets) for a long id.
-    * Folding mod a prime FIRST keeps the product under 2^52, so the
-    * arithmetic never overflows int64 in any ANSI engine; composing two
-    * coprime moduli (1000003 then 1000000) breaks the affine structure a
-    * single-modulus multiplicative hash would leak into bucket strides.
+    * Folding mod a prime FIRST keeps every product under 2^52, so the
+    * arithmetic is exact even in engines that evaluate in doubles.
+    *
+    * The bucket is the mod-Buckets SUM of TWO independent fold-multiply
+    * rounds over DIFFERENT primes. One round alone aliases residue
+    * classes: ids congruent mod its fold prime would share a bucket
+    * forever, so at >1e6 rows a rate sample would select ids spaced
+    * exactly 1,000,003 apart in perfect correlation — the opposite of the
+    * independence a train/val/test split implies. Two coprime folds
+    * collide only for ids congruent mod FoldPrime·FoldPrime2 ≈ 1e12, which
+    * pushes the aliasing horizon past the 10^12-row design scale.
     */
   def bucket(id: Column, salt: Long): Column =
-    pmod(pmod(id + lit(salt), lit(FoldPrime)) * lit(Mult) + lit(salt), lit(Buckets))
+    pmod(
+      pmod(pmod(id + lit(salt), lit(FoldPrime)) * lit(Mult) + lit(salt), lit(Buckets)) +
+        pmod(pmod(id + lit(salt), lit(FoldPrime2)) * lit(Mult2), lit(Buckets)),
+      lit(Buckets))
 
   /** Keep a deterministic `rate` fraction of rows (0 <= rate <= 1). */
   def sampleByRate(df: DataFrame, rate: Double, idCol: String = "doc_id",

@@ -79,6 +79,63 @@ object IncrementalPipeline {
     }
   }
 
+  /** Snapshot-committed accumulated state — the DURABLE face of
+    * [[GraphState]] and the exact call-site shape the production Iceberg
+    * path lowers to (`MERGE INTO` per foreachBatch): each micro-batch
+    * MERGEs into node/edge tables managed by [[graft.io.StageRunner]]
+    * snapshots, so the graph survives the JVM and a killed stream restarted
+    * from its checkpoint resumes from the last committed snapshot.
+    *
+    * Exactly-once across crashes: the streaming checkpoint makes batch ids
+    * stable under replay, and `mergeStage` tags each commit with its batch
+    * id — a replayed batch whose merge already committed is SKIPPED
+    * per-stage, so sum-accumulated props never double-count even when the
+    * crash lands between the node commit and the edge commit (nodes skip,
+    * edges merge — each stage resumes at its own high-water mark).
+    */
+  final class DurableGraphState(runner: graft.io.StageRunner) {
+    val NodesStage = "nodeset_Entity_name"
+    val EdgesStage = "relationshipset_REL_Entity_Entity"
+
+    def mergeBatch(triples: DataFrame, batchId: Long): Unit = synchronized {
+      val entityRows = triples.select(col("subj").as("name"))
+        .unionAll(triples.select(col("obj").as("name")))
+        .groupBy("name").agg(count(lit(1)).as("mention_count"))
+      val newNodes = runner.mergeStage(NodesStage, s"batch-$batchId")(prev =>
+        NodeSetOps.merge(prev, entityRows, entitySpec))
+      val relRows = triples
+        .groupBy("subj", "pred", "obj").agg(count(lit(1)).as("support"))
+        .select(col("subj").as("start_name"), col("obj").as("end_name"),
+          col("pred"), col("support"))
+      runner.mergeStage(EdgesStage, s"batch-$batchId")(prev =>
+        RelSetOps.merge(prev, relRows, newNodes, relSpec, relTypeCol = Some("pred")))
+      ()
+    }
+
+    def nodes: Option[DataFrame] = runner.readLatest(NodesStage)
+    def edges: Option[DataFrame] = runner.readLatest(EdgesStage)
+  }
+
+  /** The durable stream: same source/trigger contract as [[start]], but
+    * micro-batches merge through snapshot commits keyed by the streaming
+    * batch id (stable across checkpoint restarts).
+    */
+  def startDurable(spark: SparkSession, inputDir: String, checkpointDir: String,
+                   state: DurableGraphState,
+                   maxFilesPerTrigger: Option[Int] = Some(1)): StreamingQuery = {
+    val schema = org.apache.spark.sql.Encoders.product[graft.schema.TranscriptTurn].schema
+    val reader = spark.readStream.schema(schema)
+    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+    val stream = reader.parquet(inputDir)
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        state.mergeBatch(extractBatch(batch), batchId)
+      }
+      .start()
+  }
+
   /** Start the incremental stream over a parquet directory of transcript
     * files. Returns the query + live state.
     *

@@ -67,6 +67,18 @@ class SamplingSpec extends SparkSpec {
     assert(math.abs(kept - 500) < 70, s"kept $kept of ~500")
   }
 
+  test("ids one fold-prime apart are decorrelated (no residue-class aliasing)") {
+    // under a single-fold hash, id and id + 1000003 always landed in the
+    // SAME bucket; with the two-round hash their selection indicators must
+    // disagree at roughly rate·(1-rate)·2 of pairs
+    val P = 1000003L
+    val ids = (0L until 500L).flatMap(i => Seq(i, i + P)).toDF("doc_id")
+    val kept = Sampling.sampleByRate(ids, 0.3, salt = 1L)
+      .collect().map(_.getLong(0)).toSet
+    val disagree = (0L until 500L).count(i => kept.contains(i) != kept.contains(i + P))
+    assert(disagree > 100, s"only $disagree of 500 congruent pairs disagree — aliased")
+  }
+
   test("sampling ops are zero-shuffle projections (no Exchange in the plan)") {
     val plan = Sampling.sampleStratified(docs, "lang", Map("en" -> 0.5),
       defaultRate = 0.2, idCol = "doc_id")

@@ -60,6 +60,69 @@ class IncrementalPipelineSpec extends SparkSpec {
     assert(gotSupport == wantSupport)
   }
 
+  test("durable merge stages: kill between batches, resume converges without double-counting") {
+    val n = 600L
+    val inDir = tmpDir("graft-durable-in")
+    val ckDir = tmpDir("graft-durable-ck")
+    val wd = tmpDir("graft-durable-wd")
+
+    // batch truth
+    val all = TranscriptGen.turns(spark, n, 4).toDF()
+    val batchTriples = IncrementalPipeline.extractBatch(all)
+    val batchState = new IncrementalPipeline.GraphState(spark)
+    batchState.mergeBatch(batchTriples)
+
+    // phase 1: only the first two of three files exist; run to completion
+    // (AvailableNow drains what is there), then KILL the runner (close) —
+    // simulating a crash after two committed micro-batches
+    Seq((0L, 200L), (200L, 400L)).foreach { case (lo, hi) =>
+      spark.range(lo, hi).map(id => graft.kg.Corpus.turnAt(id, n)).toDF()
+        .coalesce(1).write.mode("append").parquet(inDir)
+    }
+    val r1 = new graft.io.StageRunner(spark, wd)
+    try {
+      val st1 = new IncrementalPipeline.DurableGraphState(r1)
+      IncrementalPipeline.startDurable(spark, inDir, ckDir, st1, Some(1))
+        .awaitTermination(120000)
+      assert(st1.nodes.isDefined && st1.edges.isDefined)
+    } finally r1.close()
+
+    // the merge commits are tagged per batch: two batches → two versions
+    val logAfterKill = new graft.io.SnapshotLog(wd)
+    val nodeNotes = logAfterKill.snapshots()
+      .filter(_.stage == "nodeset_Entity_name").map(_.note)
+    assert(nodeNotes == Seq("batch-0", "batch-1"), nodeNotes.toString)
+
+    // phase 2: the third file lands; a NEW runner + the SAME checkpoint
+    // resume the stream. The checkpoint replays nothing already committed
+    // (AvailableNow high-water mark), and even if it did, the batch-note
+    // dedupe in mergeStage would skip it — assert by re-merging batch 1
+    // explicitly and seeing no new version.
+    val r2 = new graft.io.StageRunner(spark, wd)
+    try {
+      val st2 = new IncrementalPipeline.DurableGraphState(r2)
+      val before = r2.log.snapshots().size
+      st2.mergeBatch(IncrementalPipeline.extractBatch(
+        spark.range(200L, 400L).map(id => graft.kg.Corpus.turnAt(id, n)).toDF()), 1L)
+      assert(r2.log.snapshots().size == before, "replayed batch must not re-commit")
+
+      spark.range(400L, 600L).map(id => graft.kg.Corpus.turnAt(id, n)).toDF()
+        .coalesce(1).write.mode("append").parquet(inDir)
+      IncrementalPipeline.startDurable(spark, inDir, ckDir, st2, Some(1))
+        .awaitTermination(120000)
+
+      // converged to the batch graph: per-edge support exact (the
+      // double-count-sensitive quantity)
+      val gotSupport = st2.edges.get.select("src_id", "dst_id", "rel_type", "support")
+        .collect().map(r => ((r.getLong(0), r.getLong(1), r.getString(2)), r.getLong(3))).toMap
+      val wantSupport = batchState.edges.get.select("src_id", "dst_id", "rel_type", "support")
+        .collect().map(r => ((r.getLong(0), r.getLong(1), r.getString(2)), r.getLong(3))).toMap
+      assert(gotSupport == wantSupport)
+      val totalMentions = st2.nodes.get.agg(sum("mention_count")).head().getLong(0)
+      assert(totalMentions == 2 * batchTriples.count())
+    } finally r2.close()
+  }
+
   test("periodic re-canonicalization converges the incremental graph to the batch pipeline") {
     val n = 900L
     val inDir = tmpDir("graft-recanon-in")
