@@ -903,6 +903,19 @@ object Queries {
       .select(col("n"), round(col("r"), 6).as("r"))
   }
 
+  /** Personalized PageRank (random walk with restart) seeded at two user
+    * nodes — "relevance to these entities" over the user→event_type graph;
+    * 3 iterations, rounded to 6 dp, against an unrolled-SQL oracle.
+    */
+  def pagerankPersonal(s: SparkSession, dir: String): DataFrame = {
+    val edges = t(s, dir, "events").select(
+      concat(lit("u:"), col("user_id")).as("src"),
+      concat(lit("e:"), col("event_type")).as("dst"))
+    val sources = s.range(2).select(concat(lit("u:"), col("id") + 1).as("node"))
+    graft.kg.GraphAlgos.pageRankPersonalized(edges, sources, iters = 3)
+      .select(col("n"), round(col("r"), 6).as("r"))
+  }
+
   /** Temporal-validity merge rules (minProps/maxProps): nodes merged in
     * TWO batches (event_id parity split) accumulate first_seen/last_seen
     * across merges — the interval must equal a single global min/max.

@@ -86,6 +86,7 @@ object SparkEntry {
     "q_triangles"            -> (Queries.triangles _),
     "q_neighbor_jaccard"     -> (Queries.neighborJacc _),
     "q_pagerank"             -> (Queries.pagerank _),
+    "q_pagerank_personal"    -> (Queries.pagerankPersonal _),
     "q_degrees"              -> (Queries.degrees _),
     // multimodal plumbing (stub kernel)
     "q_multimodal"           -> (Queries.multimodal _),
@@ -478,16 +479,19 @@ object SparkEntry {
         |SELECT d.doc_id, d.lang FROM documents d
         |WHERE d.doc_id NOT IN (SELECT doc_id FROM hits)""".stripMargin,
 
-    // round-trip check: Spark ENCODES real PNG/WAV headers from id-derived
-    // parameters and PARSES them back; the oracle computes the parameters
-    // directly — any encode/parse asymmetry breaks the value match
+    // round-trip check: Spark ENCODES real PNG/WAV/JPEG headers from
+    // id-derived parameters and PARSES them back (marker-stream walk for
+    // JPEG's SOF0); the oracle computes the parameters directly — any
+    // encode/parse asymmetry breaks the value match
     "q_media_meta" ->
       """SELECT id AS media_id,
-        |  CASE WHEN id % 2 = 0 THEN 'png' ELSE 'wav' END AS format,
-        |  CASE WHEN id % 2 = 0 THEN CAST(16 + id % 64 AS INTEGER) END AS width,
-        |  CASE WHEN id % 2 = 0 THEN CAST(16 + id % 48 AS INTEGER) END AS height,
-        |  CASE WHEN id % 2 = 1 THEN CAST(8000 + (id % 4) * 8000 AS INTEGER) END AS sample_rate,
-        |  CASE WHEN id % 2 = 1 THEN CAST(1 + (id // 2) % 2 AS INTEGER) END AS channels
+        |  CASE id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'wav' ELSE 'jpeg' END AS format,
+        |  CASE WHEN id % 3 = 0 THEN CAST(16 + id % 64 AS INTEGER)
+        |       WHEN id % 3 = 2 THEN CAST(16 + id % 96 AS INTEGER) END AS width,
+        |  CASE WHEN id % 3 = 0 THEN CAST(16 + id % 48 AS INTEGER)
+        |       WHEN id % 3 = 2 THEN CAST(16 + id % 80 AS INTEGER) END AS height,
+        |  CASE WHEN id % 3 = 1 THEN CAST(8000 + (id % 4) * 8000 AS INTEGER) END AS sample_rate,
+        |  CASE WHEN id % 3 = 1 THEN CAST(1 + (id // 2) % 2 AS INTEGER) END AS channels
         |FROM range(300) t(id)""".stripMargin,
 
     "q_pack" ->
@@ -743,6 +747,36 @@ object SparkEntry {
         |pr3 AS (SELECT nodes.n,
         |               0.15 / (SELECT nn FROM params) + 0.85 * COALESCE(it3.c, 0) AS r
         |        FROM nodes LEFT JOIN it3 ON nodes.n = it3.n)
+        |SELECT n, ROUND(r, 6) AS r FROM pr3""".stripMargin,
+
+    // personalized teleport: mass restarts at the two seed users; dangling
+    // leak model identical to q_pagerank so the unrolled SQL is exact
+    "q_pagerank_personal" ->
+      """WITH ed AS (SELECT DISTINCT 'u:' || user_id AS src, 'e:' || event_type AS dst
+        |           FROM events),
+        |nodes AS (SELECT src AS n FROM ed UNION SELECT dst FROM ed),
+        |tele AS (SELECT n, CASE WHEN n IN ('u:1', 'u:2') THEN 0.5 ELSE 0.0 END AS t
+        |         FROM nodes),
+        |od AS (SELECT src, CAST(count(*) AS DOUBLE) AS od FROM ed GROUP BY src),
+        |pr0 AS (SELECT n, t, t AS r FROM tele),
+        |it1 AS (SELECT e.dst AS n, SUM(p.r / o.od) AS c
+        |        FROM ed e JOIN od o ON e.src = o.src JOIN pr0 p ON p.n = e.src
+        |        GROUP BY e.dst),
+        |pr1 AS (SELECT tele.n, tele.t,
+        |               0.15 * tele.t + 0.85 * COALESCE(it1.c, 0) AS r
+        |        FROM tele LEFT JOIN it1 ON tele.n = it1.n),
+        |it2 AS (SELECT e.dst AS n, SUM(p.r / o.od) AS c
+        |        FROM ed e JOIN od o ON e.src = o.src JOIN pr1 p ON p.n = e.src
+        |        GROUP BY e.dst),
+        |pr2 AS (SELECT tele.n, tele.t,
+        |               0.15 * tele.t + 0.85 * COALESCE(it2.c, 0) AS r
+        |        FROM tele LEFT JOIN it2 ON tele.n = it2.n),
+        |it3 AS (SELECT e.dst AS n, SUM(p.r / o.od) AS c
+        |        FROM ed e JOIN od o ON e.src = o.src JOIN pr2 p ON p.n = e.src
+        |        GROUP BY e.dst),
+        |pr3 AS (SELECT tele.n, tele.t,
+        |               0.15 * tele.t + 0.85 * COALESCE(it3.c, 0) AS r
+        |        FROM tele LEFT JOIN it3 ON tele.n = it3.n)
         |SELECT n, ROUND(r, 6) AS r FROM pr3""".stripMargin,
 
     "q_neighbor_jaccard" ->

@@ -180,6 +180,64 @@ object GraphAlgos {
     ranks
   }
 
+  /** Personalized PageRank (random walk with restart): like [[pageRank]],
+    * but the teleport mass returns to the SOURCE set instead of spreading
+    * uniformly — the standard "relevance to these seed entities" ranking
+    * for KG neighborhoods (seed an entity, rank its graph context).
+    *
+    * Same loop discipline as [[pageRank]]: per iteration one hash-shuffled
+    * join + one aggregation over (node, double) state, persisted + counted
+    * per round with the previous pin released. The teleport vector rides
+    * the node frame as a second double column (computed once via a
+    * left-semi-derived flag, never re-joined per iteration). Dangling mass
+    * leaks, as in the base model, so an unrolled SQL oracle replicates the
+    * values exactly.
+    */
+  def pageRankPersonalized(edges: DataFrame, sources: DataFrame, iters: Int,
+                           damping: Double = 0.85,
+                           srcCol: String = "src", dstCol: String = "dst",
+                           nodeCol: String = "node"): DataFrame = {
+    require(iters >= 0, s"iters must be >= 0, got $iters")
+    require(damping > 0 && damping < 1, s"damping must be in (0,1), got $damping")
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst")).distinct()
+    val srcSet = sources.select(col(nodeCol).as("n")).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nS = srcSet.count()
+    require(nS > 0, "personalized PageRank needs at least one source node")
+    val nodes = e.select(col("src").as("n")).unionAll(e.select(col("dst").as("n")))
+      .distinct()
+    val withTele = nodes
+      .join(srcSet.withColumn("_is_src", lit(1)), Seq("n"), "left_outer")
+      .select(col("n"),
+        when(col("_is_src").isNotNull, lit(1.0 / nS)).otherwise(lit(0.0)).as("t"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    withTele.count()
+    val eod = e.join(e.groupBy("src").agg(count(lit(1)).cast("double").as("od")), "src")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var ranks = withTele.select(col("n"), col("t"), col("t").as("r"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    ranks.count()
+    var i = 0
+    while (i < iters) {
+      val contrib = eod.join(ranks, eod("src") === ranks("n"))
+        .groupBy("dst").agg(sum(col("r") / col("od")).as("c"))
+      val next = withTele.join(contrib, withTele("n") === contrib("dst"), "left_outer")
+        .select(withTele("n"), withTele("t"),
+          (lit(1.0 - damping) * col("t") +
+            lit(damping) * coalesce(col("c"), lit(0.0))).as("r"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      next.count()
+      ranks.unpersist()
+      ranks = next
+      i += 1
+    }
+    eod.unpersist()
+    srcSet.unpersist()
+    val out = ranks.select("n", "r")
+    withTele.unpersist()
+    out
+  }
+
   /** k-hop reachability (BFS): every node reachable from `sources` in at
     * most `maxHops` directed edge traversals, with its MINIMUM hop count.
     *

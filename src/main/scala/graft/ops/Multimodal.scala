@@ -160,6 +160,24 @@ object Multimodal {
       "data".getBytes("US-ASCII") ++ le32(0)
   }
 
+  private def be16(v: Int): Array[Byte] =
+    Array(((v >>> 8) & 0xFF).toByte, (v & 0xFF).toByte)
+
+  /** A valid JPEG prefix: SOI, a JFIF APP0 segment, and a baseline SOF0
+    * frame header carrying the dimensions (3 components, 8-bit) — the
+    * segment a real dimension sniffer walks the marker stream to find.
+    * No scan data: header READING does not need entropy-coded content.
+    */
+  def jpegHeaderBytes(width: Int, height: Int): Array[Byte] = {
+    val app0 = Array[Byte](0xFF.toByte, 0xE0.toByte) ++ be16(16) ++
+      "JFIF".getBytes("US-ASCII") ++ Array[Byte](0, 1, 1, 0) ++
+      be16(1) ++ be16(1) ++ Array[Byte](0, 0)
+    val sof0 = Array[Byte](0xFF.toByte, 0xC0.toByte) ++ be16(17) ++
+      Array[Byte](8) ++ be16(height) ++ be16(width) ++ Array[Byte](3) ++
+      Array[Byte](1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1)
+    Array[Byte](0xFF.toByte, 0xD8.toByte) ++ app0 ++ sof0
+  }
+
   final case class ParsedMedia(media_id: Long, format: String,
                                width: Option[Int], height: Option[Int],
                                sample_rate: Option[Int], channels: Option[Int])
@@ -167,6 +185,8 @@ object Multimodal {
   private def readBe32(b: Array[Byte], o: Int): Int =
     ((b(o) & 0xFF) << 24) | ((b(o + 1) & 0xFF) << 16) |
       ((b(o + 2) & 0xFF) << 8) | (b(o + 3) & 0xFF)
+  private def readBe16(b: Array[Byte], o: Int): Int =
+    ((b(o) & 0xFF) << 8) | (b(o + 1) & 0xFF)
   private def readLe32(b: Array[Byte], o: Int): Int =
     (b(o) & 0xFF) | ((b(o + 1) & 0xFF) << 8) |
       ((b(o + 2) & 0xFF) << 16) | ((b(o + 3) & 0xFF) << 24)
@@ -186,19 +206,45 @@ object Multimodal {
         new String(b.slice(12, 16), "US-ASCII") == "fmt ")
       ParsedMedia(id, "wav", None, None,
         Some(readLe32(b, 24)), Some(readLe16(b, 22)))
+    else if (b.length >= 4 && (b(0) & 0xFF) == 0xFF && (b(1) & 0xFF) == 0xD8)
+      parseJpegSof(id, b)
     else ParsedMedia(id, "unknown", None, None, None, None)
   }
 
-  /** Deterministic synthetic media with REAL encoded headers: even ids are
-    * PNGs (dims derived from the id), odd ids are WAVs. Stands in for
+  /** Walk the JPEG marker stream from SOI to the first SOF0-SOF3 frame
+    * header (baseline/extended/progressive/lossless) and read height/width.
+    * Standalone markers (TEM, RSTn) have no length field; everything else
+    * is skipped by its big-endian segment length. Truncated or SOF-less
+    * streams degrade to "unknown".
+    */
+  private def parseJpegSof(id: Long, b: Array[Byte]): ParsedMedia = {
+    var i = 2
+    while (i + 3 < b.length && (b(i) & 0xFF) == 0xFF) {
+      val m = b(i + 1) & 0xFF
+      if (m >= 0xC0 && m <= 0xC3) {
+        if (i + 8 < b.length)
+          return ParsedMedia(id, "jpeg",
+            Some(readBe16(b, i + 7)), Some(readBe16(b, i + 5)), None, None)
+        else return ParsedMedia(id, "unknown", None, None, None, None)
+      }
+      if (m == 0x01 || (m >= 0xD0 && m <= 0xD8)) i += 2
+      else i += 2 + readBe16(b, i + 2)
+    }
+    ParsedMedia(id, "unknown", None, None, None, None)
+  }
+
+  /** Deterministic synthetic media with REAL encoded headers: ids cycle
+    * PNG / WAV / JPEG (params derived from the id). Stands in for
     * `spark.read.format("binaryFile")` in production.
     */
   def syntheticEncodedMedia(spark: SparkSession, n: Long): DataFrame = {
     import spark.implicits._
     spark.range(n).map { id =>
-      val payload =
-        if (id % 2 == 0) pngHeaderBytes(16 + (id % 64).toInt, 16 + (id % 48).toInt)
-        else wavHeaderBytes(8000 + (id % 4).toInt * 8000, 1 + ((id / 2) % 2).toInt)
+      val payload = (id % 3) match {
+        case 0 => pngHeaderBytes(16 + (id % 64).toInt, 16 + (id % 48).toInt)
+        case 1 => wavHeaderBytes(8000 + (id % 4).toInt * 8000, 1 + ((id / 2) % 2).toInt)
+        case _ => jpegHeaderBytes(16 + (id % 96).toInt, 16 + (id % 80).toInt)
+      }
       (id, payload)
     }.toDF("media_id", "payload")
   }

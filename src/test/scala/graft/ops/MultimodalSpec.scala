@@ -80,19 +80,36 @@ class MultimodalSpec extends SparkSpec {
       Multimodal.pngHeaderBytes(1, 1).take(10)).format == "unknown")
   }
 
+  test("JPEG header codec round-trips through the marker stream") {
+    val j = Multimodal.parseHeader(1L, Multimodal.jpegHeaderBytes(1920, 1080))
+    assert(j.format == "jpeg" && j.width.contains(1920) && j.height.contains(1080))
+    assert(j.sample_rate.isEmpty && j.channels.isEmpty)
+    // SOI without any SOF segment degrades, not crashes
+    assert(Multimodal.parseHeader(2L,
+      Multimodal.jpegHeaderBytes(8, 8).take(6)).format == "unknown")
+    // truncated mid-SOF degrades too
+    assert(Multimodal.parseHeader(3L,
+      Multimodal.jpegHeaderBytes(8, 8).dropRight(12)).format == "unknown")
+  }
+
   test("distributed header parse recovers every generated parameter") {
     val media = Multimodal.syntheticEncodedMedia(spark, 100)
     val parsed = Multimodal.parseHeaders(media).collect()
     assert(parsed.length == 100)
     parsed.foreach { p =>
-      if (p.media_id % 2 == 0) {
-        assert(p.format == "png")
-        assert(p.width.contains(16 + (p.media_id % 64).toInt), p.toString)
-        assert(p.height.contains(16 + (p.media_id % 48).toInt), p.toString)
-      } else {
-        assert(p.format == "wav")
-        assert(p.sample_rate.contains(8000 + (p.media_id % 4).toInt * 8000), p.toString)
-        assert(p.channels.contains(1 + ((p.media_id / 2) % 2).toInt), p.toString)
+      (p.media_id % 3) match {
+        case 0 =>
+          assert(p.format == "png")
+          assert(p.width.contains(16 + (p.media_id % 64).toInt), p.toString)
+          assert(p.height.contains(16 + (p.media_id % 48).toInt), p.toString)
+        case 1 =>
+          assert(p.format == "wav")
+          assert(p.sample_rate.contains(8000 + (p.media_id % 4).toInt * 8000), p.toString)
+          assert(p.channels.contains(1 + ((p.media_id / 2) % 2).toInt), p.toString)
+        case _ =>
+          assert(p.format == "jpeg")
+          assert(p.width.contains(16 + (p.media_id % 96).toInt), p.toString)
+          assert(p.height.contains(16 + (p.media_id % 80).toInt), p.toString)
       }
     }
   }
