@@ -916,6 +916,69 @@ object Queries {
       .select(col("n"), round(col("r"), 6).as("r"))
   }
 
+  /** Weighted PageRank: edge weight = event support count per
+    * (user, event_type), so heavily-evidenced relations carry more rank;
+    * 3 iterations, 6 dp, unrolled-SQL oracle.
+    */
+  def pagerankWeighted(s: SparkSession, dir: String): DataFrame = {
+    val edges = t(s, dir, "events").groupBy(
+        concat(lit("u:"), col("user_id")).as("src"),
+        concat(lit("e:"), col("event_type")).as("dst"))
+      .agg(count(lit(1)).as("weight"))
+    graft.kg.GraphAlgos.pageRankWeighted(edges, iters = 3)
+      .select(col("n"), round(col("r"), 6).as("r"))
+  }
+
+  /** k-core membership (k=3) of the undirected user ↔ value-bucket
+    * bipartite graph (user degrees vary 2-4 here, so the peel genuinely
+    * cascades — the user ↔ event_type graph is complete-bipartite and
+    * never peels) — dumped as (node, core_deg) so the check gate's oracle
+    * can re-validate the core from the dump (rows-only itself).
+    */
+  def kcore(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val edges = ev.select(
+      concat(lit("u:"), col("user_id")).as("a"),
+      concat(lit("b:"), floor(col("value") / 100).cast("long")).as("b"))
+    graft.kg.GraphAlgos.kCore(edges, k = 3)
+  }
+
+  /** Self+oracle-verifying k-core gate: Spark asserts the two core
+    * invariants hold and emits (n_core, bad_core, bad_outside) = (count,
+    * 0, 0); the ORACLE recomputes all three IN SQL from the dumped
+    * membership against the raw edge table — (a) every member's
+    * within-core degree >= k and equal to the dumped core_deg, (b) no
+    * outside node has >= k core neighbors (else the core wasn't maximal).
+    * A wrong peel breaks the value match even though the oracle never
+    * runs the peeling itself.
+    */
+  def kcoreCheck(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val k = 3
+    val ev = t(s, dir, "events")
+    val directed = ev.select(
+      concat(lit("u:"), col("user_id")).as("a"),
+      concat(lit("b:"), floor(col("value") / 100).cast("long")).as("b")).distinct()
+    val und = directed.unionAll(directed.select(col("b").as("a"), col("a").as("b")))
+    val core = graft.kg.GraphAlgos.kCore(directed, k)
+    val nCore = core.count()
+    val inCoreDeg = und
+      .join(core.select(col("node").as("a")), Seq("a"), "left_semi")
+      .join(core.select(col("node").as("b")), Seq("b"), "left_semi")
+      .groupBy(col("a").as("node")).agg(count(lit(1)).as("d"))
+    val badCore = core.join(inCoreDeg, Seq("node"), "left_outer")
+      .filter(coalesce(col("d"), lit(0L)) < k || col("d") =!= col("core_deg"))
+      .count()
+    val badOutside = und
+      .join(core.select(col("node").as("a")), Seq("a"), "left_anti")
+      .join(core.select(col("node").as("b")), Seq("b"), "left_semi")
+      .groupBy("a").agg(count(lit(1)).as("d"))
+      .filter(col("d") >= k)
+      .count()
+    core.unpersist()
+    Seq((nCore, badCore, badOutside)).toDF("n_core", "bad_core", "bad_outside")
+  }
+
   /** Temporal-validity merge rules (minProps/maxProps): nodes merged in
     * TWO batches (event_id parity split) accumulate first_seen/last_seen
     * across merges — the interval must equal a single global min/max.

@@ -87,6 +87,9 @@ object SparkEntry {
     "q_neighbor_jaccard"     -> (Queries.neighborJacc _),
     "q_pagerank"             -> (Queries.pagerank _),
     "q_pagerank_personal"    -> (Queries.pagerankPersonal _),
+    "q_pagerank_weighted"    -> (Queries.pagerankWeighted _),
+    "q_kcore"                -> (Queries.kcore _),
+    "q_kcore_check"          -> (Queries.kcoreCheck _),
     "q_degrees"              -> (Queries.degrees _),
     // multimodal plumbing (stub kernel)
     "q_multimodal"           -> (Queries.multimodal _),
@@ -778,6 +781,65 @@ object SparkEntry {
         |               0.15 * tele.t + 0.85 * COALESCE(it3.c, 0) AS r
         |        FROM tele LEFT JOIN it3 ON tele.n = it3.n)
         |SELECT n, ROUND(r, 6) AS r FROM pr3""".stripMargin,
+
+    // weighted teleport-only model: contributions proportional to edge
+    // weight (support count) over the source's total out-weight
+    "q_pagerank_weighted" ->
+      """WITH ed AS (SELECT 'u:' || user_id AS src, 'e:' || event_type AS dst,
+        |                  CAST(count(*) AS DOUBLE) AS w
+        |           FROM events GROUP BY 1, 2),
+        |nodes AS (SELECT src AS n FROM ed UNION SELECT dst FROM ed),
+        |params AS (SELECT CAST(count(*) AS DOUBLE) AS nn FROM nodes),
+        |sw AS (SELECT src, SUM(w) AS sw FROM ed GROUP BY src),
+        |pr0 AS (SELECT n, 1.0 / (SELECT nn FROM params) AS r FROM nodes),
+        |it1 AS (SELECT e.dst AS n, SUM(p.r * e.w / o.sw) AS c
+        |        FROM ed e JOIN sw o ON e.src = o.src JOIN pr0 p ON p.n = e.src
+        |        GROUP BY e.dst),
+        |pr1 AS (SELECT nodes.n,
+        |               0.15 / (SELECT nn FROM params) + 0.85 * COALESCE(it1.c, 0) AS r
+        |        FROM nodes LEFT JOIN it1 ON nodes.n = it1.n),
+        |it2 AS (SELECT e.dst AS n, SUM(p.r * e.w / o.sw) AS c
+        |        FROM ed e JOIN sw o ON e.src = o.src JOIN pr1 p ON p.n = e.src
+        |        GROUP BY e.dst),
+        |pr2 AS (SELECT nodes.n,
+        |               0.15 / (SELECT nn FROM params) + 0.85 * COALESCE(it2.c, 0) AS r
+        |        FROM nodes LEFT JOIN it2 ON nodes.n = it2.n),
+        |it3 AS (SELECT e.dst AS n, SUM(p.r * e.w / o.sw) AS c
+        |        FROM ed e JOIN sw o ON e.src = o.src JOIN pr2 p ON p.n = e.src
+        |        GROUP BY e.dst),
+        |pr3 AS (SELECT nodes.n,
+        |               0.15 / (SELECT nn FROM params) + 0.85 * COALESCE(it3.c, 0) AS r
+        |        FROM nodes LEFT JOIN it3 ON nodes.n = it3.n)
+        |SELECT n, ROUND(r, 6) AS r FROM pr3""".stripMargin,
+
+    // two-table dump check (same pattern as q_simhash_pairs): the oracle
+    // re-validates the DUMPED k-core membership against the raw edge table
+    // in SQL — (a) every member's within-core degree >= 3 and equal to the
+    // dumped core_deg, (b) no outside node has >= 3 core neighbors (the
+    // core was maximal). A wrong peel breaks the value match without the
+    // oracle ever running the peeling.
+    "q_kcore_check" ->
+      """WITH ed AS (SELECT DISTINCT 'u:' || user_id AS a,
+        |                  'b:' || CAST(FLOOR(value / 100) AS BIGINT) AS b
+        |           FROM events),
+        |und AS (SELECT a, b FROM ed UNION ALL SELECT b, a FROM ed),
+        |core AS (SELECT node, core_deg
+        |         FROM read_parquet('__GRAFT_OUT__/q_kcore/*.parquet')),
+        |icd AS (SELECT u.a AS node, count(*) AS d
+        |        FROM und u
+        |        JOIN core c1 ON u.a = c1.node
+        |        JOIN core c2 ON u.b = c2.node
+        |        GROUP BY u.a),
+        |bc AS (SELECT count(*) AS v FROM core LEFT JOIN icd USING (node)
+        |       WHERE COALESCE(icd.d, 0) < 3 OR icd.d <> core.core_deg),
+        |bo AS (SELECT count(*) AS v FROM (
+        |         SELECT u.a, count(*) AS d
+        |         FROM und u JOIN core c ON u.b = c.node
+        |         WHERE u.a NOT IN (SELECT node FROM core)
+        |         GROUP BY u.a) WHERE d >= 3)
+        |SELECT (SELECT count(*) FROM core) AS n_core,
+        |       (SELECT v FROM bc) AS bad_core,
+        |       (SELECT v FROM bo) AS bad_outside""".stripMargin,
 
     "q_neighbor_jaccard" ->
       """WITH m AS (SELECT DISTINCT event_type AS n, user_id AS nb FROM events),

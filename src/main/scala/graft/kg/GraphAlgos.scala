@@ -180,6 +180,55 @@ object GraphAlgos {
     ranks
   }
 
+  /** k-core decomposition (membership for a fixed k): iteratively peel
+    * nodes of degree < k from the undirected graph until none remain — the
+    * unique maximal subgraph where every node keeps >= k neighbors. The
+    * KG consumer's "dense backbone" filter (drop entities without enough
+    * mutually-supported context).
+    *
+    * Loop discipline (same as [[ConnectedComponents]]/[[bfsReachable]]):
+    * per round one degree aggregation + one semi-join against the
+    * surviving node set, state is (node) / (x, y) edge pairs only,
+    * persisted + counted per round with the previous pin released, early
+    * exit at fixpoint. Rounds are bounded by the peeling depth (≤ the
+    * graph's degeneracy ordering length; in practice a handful).
+    *
+    * Returns (node, core_deg) — the surviving nodes with their
+    * within-core degree (all >= k by construction; the q_kcore_check gate
+    * has DuckDB re-validate both invariants from the dumped membership).
+    */
+  def kCore(edges: DataFrame, k: Int,
+            aCol: String = "a", bCol: String = "b"): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    var live = edges
+      .select(least(col(aCol), col(bCol)).as("x"), greatest(col(aCol), col(bCol)).as("y"))
+      .filter(col("x") =!= col("y")).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var nEdges = live.count()
+    var changed = true
+    while (changed && nEdges > 0) {
+      val deg = live.select(col("x").as("n")).unionAll(live.select(col("y").as("n")))
+        .groupBy("n").agg(count(lit(1)).as("d"))
+      val keep = deg.filter(col("d") >= k).select("n")
+      val next = live
+        .join(keep.withColumnRenamed("n", "x"), Seq("x"), "left_semi")
+        .join(keep.withColumnRenamed("n", "y"), Seq("y"), "left_semi")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val nNext = next.count()
+      changed = nNext != nEdges
+      live.unpersist()
+      live = next
+      nEdges = nNext
+    }
+    val out = live.select(col("x").as("n")).unionAll(live.select(col("y").as("n")))
+      .groupBy(col("n").as("node")).agg(count(lit(1)).as("core_deg"))
+      .filter(col("core_deg") >= k)
+    val matd = out.persist(StorageLevel.MEMORY_AND_DISK)
+    matd.count()
+    live.unpersist()
+    matd
+  }
+
   /** Personalized PageRank (random walk with restart): like [[pageRank]],
     * but the teleport mass returns to the SOURCE set instead of spreading
     * uniformly — the standard "relevance to these seed entities" ranking
@@ -236,6 +285,49 @@ object GraphAlgos {
     val out = ranks.select("n", "r")
     withTele.unpersist()
     out
+  }
+
+  /** Weighted PageRank: [[pageRank]] with per-edge weights — each node
+    * distributes its damped rank to successors IN PROPORTION to edge
+    * weight (w / Σ out-weights) instead of uniformly. The KG shape:
+    * edge support counts as weights, so heavily-evidenced relations carry
+    * more rank. Parallel (src,dst) duplicates are weight-SUMMED first.
+    * Same per-iteration (node, double) state + lineage discipline; same
+    * teleport-only dangling model, so an unrolled SQL oracle is exact.
+    */
+  def pageRankWeighted(edges: DataFrame, iters: Int, damping: Double = 0.85,
+                       srcCol: String = "src", dstCol: String = "dst",
+                       weightCol: String = "weight"): DataFrame = {
+    require(iters >= 0, s"iters must be >= 0, got $iters")
+    require(damping > 0 && damping < 1, s"damping must be in (0,1), got $damping")
+    val e = edges
+      .select(col(srcCol).as("src"), col(dstCol).as("dst"),
+        col(weightCol).cast("double").as("w"))
+      .groupBy("src", "dst").agg(sum("w").as("w"))
+    val nodes = e.select(col("src").as("n")).unionAll(e.select(col("dst").as("n")))
+      .distinct().persist(StorageLevel.MEMORY_AND_DISK)
+    val nN = nodes.count()
+    val eow = e.join(e.groupBy("src").agg(sum("w").as("sw")), "src")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var ranks = nodes.withColumn("r", lit(1.0 / nN))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    ranks.count()
+    var i = 0
+    while (i < iters) {
+      val contrib = eow.join(ranks, eow("src") === ranks("n"))
+        .groupBy("dst").agg(sum(col("r") * col("w") / col("sw")).as("c"))
+      val next = nodes.join(contrib, nodes("n") === contrib("dst"), "left_outer")
+        .select(col("n"),
+          (lit((1.0 - damping) / nN) + lit(damping) * coalesce(col("c"), lit(0.0))).as("r"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      next.count()
+      ranks.unpersist()
+      ranks = next
+      i += 1
+    }
+    eow.unpersist()
+    nodes.unpersist()
+    ranks
   }
 
   /** k-hop reachability (BFS): every node reachable from `sources` in at

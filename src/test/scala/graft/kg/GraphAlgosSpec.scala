@@ -165,6 +165,60 @@ class GraphAlgosSpec extends SparkSpec {
     assert(det("2") > 0.0 && det("4") > 0.0)
   }
 
+  test("pageRankWeighted matches a sequential weighted reference; uniform weights = pageRank") {
+    val es = Seq(("a", "b", 3.0), ("b", "c", 1.0), ("c", "a", 2.0), ("a", "c", 1.0), ("d", "a", 5.0))
+    val iters = 4; val d = 0.85
+    val ns = es.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+    val sw = es.groupBy(_._1).map { case (k, v) => k -> v.map(_._3).sum }
+    var r = ns.map(_ -> 1.0 / ns.size).toMap
+    for (_ <- 1 to iters) {
+      val c = es.groupBy(_._2).map { case (dst, in) =>
+        dst -> in.map(e => r(e._1) * e._3 / sw(e._1)).sum
+      }
+      r = ns.map(n => n -> ((1.0 - d) / ns.size + d * c.getOrElse(n, 0.0))).toMap
+    }
+    val got = GraphAlgos.pageRankWeighted(es.toDF("src", "dst", "weight"), iters, d)
+      .as[(String, Double)].collect().toMap
+    assert(got.keySet === r.keySet)
+    got.foreach { case (n, v) => assert(math.abs(v - r(n)) < 1e-12, s"$n: $v vs ${r(n)}") }
+    // uniform weights reduce to the unweighted operator exactly
+    val uni = es.map(e => (e._1, e._2, 1.0))
+    val gotU = GraphAlgos.pageRankWeighted(uni.toDF("src", "dst", "weight"), iters, d)
+      .as[(String, Double)].collect().toMap
+    val base = GraphAlgos.pageRank(uni.map(e => (e._1, e._2)).toDF("src", "dst"), iters, d)
+      .as[(String, Double)].collect().toMap
+    gotU.foreach { case (n, v) => assert(math.abs(v - base(n)) < 1e-12) }
+  }
+
+  test("kCore peels to the unique maximal k-core (brute-force reference)") {
+    // K4 {a,b,c,d} + a tail c-e, e-f: 3-core = K4 exactly; 2-core = K4 too
+    // (e has degree 2 only until f peels, then e peels)
+    val k4 = for (Seq(x, y) <- Seq("a", "b", "c", "d").combinations(2).toSeq) yield (x, y)
+    val es = (k4 ++ Seq(("c", "e"), ("e", "f"))).toDF("a", "b")
+    def peelRef(edges: Seq[(String, String)], k: Int): Set[String] = {
+      var live = edges
+      var done = false
+      while (!done) {
+        val deg = live.flatMap(e => Seq(e._1, e._2)).groupBy(identity).map { case (n, v) => n -> v.size }
+        val keep = deg.filter(_._2 >= k).keySet
+        val next = live.filter(e => keep(e._1) && keep(e._2))
+        done = next.size == live.size
+        live = next
+      }
+      live.flatMap(e => Seq(e._1, e._2)).toSet
+    }
+    val allEdges = k4 ++ Seq(("c", "e"), ("e", "f"))
+    for (k <- 1 to 4) {
+      val got = GraphAlgos.kCore(es, k).select("node").as[String].collect().toSet
+      assert(got === peelRef(allEdges, k), s"k=$k")
+    }
+    // core_deg is the within-core degree: in the 3-core (= K4) every node has 3
+    val degs = GraphAlgos.kCore(es, 3).as[(String, Long)].collect().toMap
+    assert(degs.values.forall(_ == 3L), degs.toString)
+    // k beyond the densest core → empty
+    assert(GraphAlgos.kCore(es, 4).count() === 0)
+  }
+
   test("minProps/maxProps merge rules accumulate a validity interval across merges") {
     val spec = NodeSpec(Seq("T"), Seq("k"),
       minProps = Seq("lo"), maxProps = Seq("hi"))
