@@ -27,7 +27,11 @@ object PlanCheck {
       "q_pack",            // sharded window — partitionBy present, no global sort
       "q_quota_topk",      // per-group window over ONE group-key shuffle
       "q_comention",       // within-group self-join: ONE group-key shuffle pair
-      "q_temporal_validity" // merge with min/max rules: one full-outer hash shuffle
+      "q_temporal_validity", // merge with min/max rules: one full-outer hash shuffle
+      "q_detach_delete",   // r3: deletes must be LeftAnti joins on id columns
+      "q_edge_delete",     // r3: LeftAnti on (src,dst,type) — keys only
+      "q_ngram_jaccard",   // r3: broadcast self-join WITH the size-ratio prefilter
+      "q_pagerank_weighted" // r3: per-iteration join+agg, no single-task funnels
     )
     for (name <- interesting) {
       println(s"\n================ $name ================")

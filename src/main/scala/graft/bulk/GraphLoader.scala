@@ -60,11 +60,36 @@ object GraphLoader {
         Some(chains.reduce(_.unionByName(_, allowMissingColumns = true)))
     }
 
+  /** Same move as [[loadNodes]] on the edge side: edge identity is
+    * (src, dst, REL TYPE), so on an INITIAL merge load, batches of
+    * different rel types can never match each other — chain merges only
+    * WITHIN a type and union across types. This is not only the redundant
+    * shuffle it was for nodes: each cross-type merge's full-outer join
+    * condition contains `'TYPE_A' <=> 'TYPE_B'`, which Catalyst
+    * constant-folds to FALSE, stripping every equi-key and planning a
+    * BroadcastNestedLoopJoin(FullOuter, condition=false) — a union
+    * executed as an O(n·m) pair scan. Harmless at fixture scale, fatal at
+    * 10^9 edges. Incremental loads (`into` existing state) keep the plain
+    * cascade: prior state can hold any type, so the join keys survive.
+    */
   private def loadEdges(target: Option[DataFrame], nodes: DataFrame,
                         batches: Seq[EdgeBatch], create: Boolean): Option[DataFrame] =
-    batches.foldLeft(target) { (acc, b) =>
-      Some(if (create) RelSetOps.create(acc, b.staged, nodes, b.spec)
-           else RelSetOps.merge(acc, b.staged, nodes, b.spec))
+    (create, target) match {
+      case (true, _) | (false, Some(_)) =>
+        batches.foldLeft(target) { (acc, b) =>
+          Some(if (create) RelSetOps.create(acc, b.staged, nodes, b.spec)
+               else RelSetOps.merge(acc, b.staged, nodes, b.spec))
+        }
+      case (false, None) if batches.isEmpty => target
+      case (false, None) =>
+        val typeOrder = batches.map(_.spec.relType).distinct
+        val byType = batches.groupBy(_.spec.relType)
+        val chains = typeOrder.map { t =>
+          byType(t).foldLeft(Option.empty[DataFrame]) { (acc, b) =>
+            Some(RelSetOps.merge(acc, b.staged, nodes, b.spec))
+          }.get
+        }
+        Some(chains.reduce(_.unionByName(_, allowMissingColumns = true)))
     }
 
   /** Cascade CREATE: blind-append node sets, then resolve + append edges. */
