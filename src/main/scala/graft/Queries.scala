@@ -713,6 +713,16 @@ object Queries {
     val (trN, trOk) = topkRecall(
       Similarity.ivfTopK(embs, queries, 5, nCells = 16, nProbe = 4, trainIters = 2),
       floor = 0.35)
+    // PQ: the approximate setting measures ≈ 0.78 here (m=16 4-dim
+    // subspaces on 64-d near-uniform vectors); floor 0.5 gates gross code /
+    // LUT / ADC regressions. Full overscan makes the rescore set the whole
+    // corpus → must reproduce brute force EXACTLY (floor 1.0): the second
+    // structural invariant.
+    val pqCb = graft.ops.Pq.train(embs, m = 16, ksub = 16, iters = 2)
+    val (pqN, pqOk) = topkRecall(
+      graft.ops.Pq.pqTopK(embs, queries, 5, pqCb, overscan = 4), floor = 0.5)
+    val (pqfN, pqfOk) = topkRecall(
+      graft.ops.Pq.pqTopK(embs, queries, 5, pqCb, overscan = 128), floor = 1.0)
 
     // LSH near-dup recall vs the exact global cosine >= 0.3 pair set
     // (threshold on the 6-dp-rounded cosine, the same boundary rule the
@@ -729,8 +739,20 @@ object Queries {
     val lshOk = lshHit.toDouble / nPairs >= 0.3
 
     Seq(("ivf_full_probe", fullN, fullOk), ("ivf", ivfN, ivfOk),
-        ("ivf_trained", trN, trOk), ("lsh_neardup", nPairs, lshOk))
+        ("ivf_trained", trN, trOk), ("lsh_neardup", nPairs, lshOk),
+        ("pq", pqN, pqOk), ("pq_full_overscan", pqfN, pqfOk))
       .toDF("variant", "n_ref", "recall_ok")
+  }
+
+  /** PQ ANN top-k (rows-only: codebooks are engine-specific floats;
+    * quality- and exactness-gated via q_ann_recall's pq rows).
+    */
+  def annPq(s: SparkSession, dir: String): DataFrame = {
+    val embs = t(s, dir, "embeddings")
+      .select(col("vec_id"), expr("transform(embedding, x -> cast(x as double))").as("embedding"))
+    val queries = embs.filter(col("vec_id") < 8)
+    val cb = graft.ops.Pq.train(embs, m = 16, ksub = 16, iters = 2)
+    graft.ops.Pq.pqTopK(embs, queries, 5, cb)
   }
 
   /** A11/B13 — deterministic artifact naming THROUGH the registry: specs

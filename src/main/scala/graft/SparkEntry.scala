@@ -58,6 +58,7 @@ object SparkEntry {
     "q_quantize"             -> (Queries.quantize _),
     "q_embed_neardup_lsh"    -> (Queries.embedNearDupLsh _),
     "q_ann_recall"           -> (Queries.annRecall _),
+    "q_ann_pq"               -> (Queries.annPq _),
     "q_naming"               -> (Queries.naming _),
     // text analysis
     "q_token_counts"         -> (Queries.tokenCounts _),
@@ -897,7 +898,9 @@ object SparkEntry {
         |SELECT 'ivf_full_probe' AS variant, CAST(40 AS BIGINT) AS n_ref, true AS recall_ok
         |UNION ALL SELECT 'ivf', 40, true
         |UNION ALL SELECT 'ivf_trained', 40, true
-        |UNION ALL SELECT 'lsh_neardup', (SELECT n FROM np), true""".stripMargin,
+        |UNION ALL SELECT 'lsh_neardup', (SELECT n FROM np), true
+        |UNION ALL SELECT 'pq', 40, true
+        |UNION ALL SELECT 'pq_full_overscan', 40, true""".stripMargin,
 
     // literal naming contract (nodeset.py:123-141, model.py:596):
     // registry-resolved specs must produce exactly these names/paths

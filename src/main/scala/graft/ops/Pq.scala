@@ -1,0 +1,168 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Product quantization (PQ) for the ANN scale path — the standard
+  * 10^9-vector architecture (IVF-PQ): split the D-dim space into `m`
+  * subspaces of d = D/m dims, learn a small per-subspace codebook (ksub
+  * centroids via Lloyd's), and store each vector as m small codes. At
+  * D=1024 float32 → m=64 byte codes that is a 64× compression of the scan,
+  * and query scoring needs only a per-query lookup table (ADC — asymmetric
+  * distance computation): score(item) = Σ_j lut[j][code_j].
+  *
+  * Spark shape, mirroring [[Similarity]]'s IVF conventions:
+  *  - codebooks are DRIVER-SIDE literals (m·ksub·d doubles — e.g.
+  *    8·16·8 = 1k values — the same scale as any broadcast side; MLlib
+  *    broadcasts its centers the same way);
+  *  - ENCODING is a zero-shuffle literal-argmin projection (no join
+  *    explode, no per-id window);
+  *  - the ADC scan is a broadcast join against queries carrying their
+  *    (flat) LUT column, scored by one `zip_with`/`aggregate` chain over
+  *    the m int codes — whole-stage codegen, no UDFs;
+  *  - exact-float rescore on the k×overscan candidate set only, so the
+  *    full-precision vectors never ride the scan.
+  *
+  * Cosine under PQ: subspaces are disjoint, so dot(q, x̂) = Σ_j dot(q_j,
+  * c_{j,code_j}) (the LUT sum) and |x̂|² = Σ_j |c_{j,code_j}|² — the
+  * reconstructed norm is a pure function of the codes, stored at encode
+  * time. Training/assignment use L2 (the PQ standard), via the identity
+  * argmin ||x−c||² = argmax (dot(x,c) − |c|²/2).
+  *
+  * Determinism: seeds are the ksub vectors whose ids hash lowest (same
+  * rule as [[Similarity.seedCentroidsDF]]), Lloyd updates are data-parallel
+  * sums, ties break on the lowest code — no RNG anywhere, so reruns and
+  * the driver gate see identical codes.
+  */
+object Pq {
+
+  /** cents(j)(c) = the d-dim centroid of code c in subspace j. */
+  final case class Codebook(m: Int, ksub: Int, d: Int, cents: Seq[Seq[Seq[Double]]]) {
+    require(cents.length == m && cents.forall(_.length == ksub) &&
+      cents.forall(_.forall(_.length == d)), "codebook shape mismatch")
+    /** |c|² per (subspace, code) — the L2-assignment correction term. */
+    def sqNorms: Seq[Seq[Double]] = cents.map(_.map(c => c.map(x => x * x).sum))
+  }
+
+  private def subvec(vec: Column, j: Int, d: Int): Column =
+    slice(vec, j * d + 1, d)
+
+  private def dotLit(sub: Column, cent: Seq[Double]): Column =
+    cent.zipWithIndex.map { case (cv, i) =>
+      element_at(sub, i + 1) * lit(cv)
+    }.reduce(_ + _)
+
+  /** Train per-subspace codebooks: deterministic seed pick (ksub
+    * lowest-id-hash vectors, sliced), then `iters` Lloyd rounds per
+    * subspace. Each round is ONE aggregation per subspace collecting ksub
+    * rows (count + d sums via element_at — no explode, corpus never
+    * shuffles); empty cells keep their previous centroid.
+    */
+  def train(embs: DataFrame, m: Int, ksub: Int, iters: Int,
+            idCol: String = "vec_id", vecCol: String = "embedding"): Codebook = {
+    val v = transform(col(vecCol), x => x.cast("double"))
+    val dim = embs.select(size(v)).head().getInt(0)
+    require(dim % m == 0, s"dim $dim not divisible by m=$m")
+    val d = dim / m
+    val seeds = embs.orderBy(xxhash64(col(idCol))).limit(ksub)
+      .select(v.as("v")).collect().map(_.getSeq[Double](0).toIndexedSeq)
+    require(seeds.length == ksub, s"need >= $ksub vectors to train, got ${seeds.length}")
+    var cents: Seq[Seq[Seq[Double]]] =
+      (0 until m).map(j => seeds.toSeq.map(s => s.slice(j * d, (j + 1) * d).toSeq))
+    for (_ <- 1 to iters) {
+      cents = (0 until m).map { j =>
+        val sub = subvec(v, j, d)
+        val assign = nearestCode(sub, cents(j))
+        val sumCols = (0 until d).map(i => sum(element_at(col("sv"), i + 1)).as(s"s$i"))
+        val means = embs.select(assign.as("c"), sub.as("sv"))
+          .groupBy("c").agg(count(lit(1)).as("n"), sumCols: _*)
+          .collect()
+          .map { r =>
+            val n = r.getLong(1).toDouble
+            (r.getInt(0), (0 until d).map(i => r.getDouble(i + 2) / n))
+          }.toMap
+        cents(j).zipWithIndex.map { case (old, c) => means.getOrElse(c, old) }
+      }
+    }
+    Codebook(m, ksub, d, cents)
+  }
+
+  /** Nearest code in ONE subspace by L2, as a literal-argmax projection
+    * (ties → lowest code): argmin ||x−c||² = argmax (dot − |c|²/2).
+    */
+  private def nearestCode(sub: Column, cents: Seq[Seq[Double]]): Column = {
+    val scored = array(cents.zipWithIndex.map { case (cv, c) =>
+      val sq = cv.map(x => x * x).sum
+      struct(
+        (dotLit(sub, cv) - lit(sq / 2.0)).as("score"),
+        lit(-c).as("negCode"))
+    }: _*)
+    (-array_max(scored).getField("negCode")).cast("int")
+  }
+
+  /** Encode the table: (id, codes array<int> of length m, recon_norm).
+    * One zero-shuffle projection; recon_norm = sqrt(Σ_j |c_{j,code_j}|²)
+    * is folded from the code literals in the same pass.
+    */
+  def encode(embs: DataFrame, cb: Codebook,
+             idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val v = transform(col(vecCol), x => x.cast("double"))
+    val codeCols = (0 until cb.m).map(j => nearestCode(subvec(v, j, cb.d), cb.cents(j)))
+    val codes = array(codeCols: _*)
+    val sq = cb.sqNorms
+    val reconSq = (0 until cb.m).map { j =>
+      // |c|² looked up from the code via a literal array
+      element_at(array(sq(j).map(lit): _*), element_at(codes, j + 1) + 1)
+    }.reduce(_ + _)
+    embs.select(col(idCol), codes.as("codes"), sqrt(reconSq).as("recon_norm"))
+  }
+
+  /** Per-query flat LUT: lut[j*ksub + c] = dot(q_j, c_{j,c}) — computed
+    * once per query row (the broadcast side), consumed by the ADC sum.
+    */
+  def lutFlat(qvec: Column, cb: Codebook): Column =
+    array((for (j <- 0 until cb.m; c <- 0 until cb.ksub)
+      yield dotLit(subvec(qvec, j, cb.d), cb.cents(j)(c))): _*)
+
+  /** ADC approximate cosine: Σ_j lut[j][code_j] / (|q| · recon_norm). */
+  private def adcCos(codes: Column, lut: Column, qnorm: Column, reconNorm: Column,
+                     ksub: Int): Column = {
+    val dots = zip_with(codes, sequence(lit(0), size(codes) - 1),
+      (code, j) => element_at(lut, j * ksub + code + 1))
+    aggregate(dots, lit(0.0d), (acc, x) => acc + x) / (qnorm * reconNorm)
+  }
+
+  /** PQ top-k: ADC scan over the (m-byte) code table, keep k×overscan
+    * candidates per query, exact-float rescore + re-rank. Compose with
+    * [[Similarity.ivfTopK]]'s cell pruning for the full IVF-PQ shape (the
+    * IVF probe bounds WHICH codes are scanned; PQ bounds the BYTES per
+    * scanned code — at 10^9 vectors both cuts are needed and independent).
+    */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, k: Int, cb: Codebook,
+             overscan: Int = 4,
+             idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val enc = encode(corpus, cb, idCol, vecCol)
+      .select(col(idCol).as("item_id"), col("codes"), col("recon_norm"))
+    val qv = transform(col(vecCol), x => x.cast("double"))
+    val q = queries.select(col(idCol).as("query_id"), qv.as("_qv"),
+      lutFlat(qv, cb).as("_lut"), Similarity.norm(qv).as("_qnorm"))
+    val approx = enc.join(broadcast(q), col("item_id") =!= col("query_id"))
+      .withColumn("acos",
+        adcCos(col("codes"), col("_lut"), col("_qnorm"), col("recon_norm"), cb.ksub))
+    val wA = Window.partitionBy(col("query_id")).orderBy(col("acos").desc, col("item_id"))
+    val cand = approx.withColumn("ark", row_number().over(wA))
+      .filter(col("ark") <= k * overscan)
+      .select("query_id", "item_id")
+    val c = corpus.select(col(idCol).as("item_id"),
+      transform(col(vecCol), x => x.cast("double")).as("_cv"))
+    val rescored = cand
+      .join(c, Seq("item_id"))
+      .join(broadcast(q.select(col("query_id"), col("_qv"))), Seq("query_id"))
+      .withColumn("cos", Similarity.cosine(col("_cv"), col("_qv")))
+    val wE = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("item_id"))
+    rescored.withColumn("rank", row_number().over(wE))
+      .filter(col("rank") <= k)
+      .select("query_id", "item_id", "rank", "cos")
+  }
+}

@@ -130,6 +130,44 @@ class SimilaritySpec extends SparkSpec {
     assert(exact.exceptAll(quant).count() == 0 && quant.exceptAll(exact).count() == 0)
   }
 
+  test("PQ: encoding is a zero-shuffle projection and codes reconstruct the clusters") {
+    val corpus = clusteredCorpus(200)
+    val cb = Pq.train(corpus, m = 4, ksub = 8, iters = 2)
+    assert(cb.cents.length == 4 && cb.cents.forall(_.length == 8))
+    val enc = Pq.encode(corpus, cb)
+    val plan = enc.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange") && !plan.contains("Join") && !plan.contains("Window"), plan)
+    // same-cluster vectors should share codes far more often than cross-cluster
+    val rows = enc.select("vec_id", "codes").collect()
+      .map(r => (r.getLong(0), r.getSeq[Int](1).toIndexedSeq)).toMap
+    val same = for (i <- 0L until 40L; j <- i + 8 until 200L by 8) yield
+      rows(i).zip(rows(j)).count { case (a, b) => a == b }
+    val diff = for (i <- 0L until 40L; j <- i + 1 until i + 8 if j < 200) yield
+      rows(i).zip(rows(j)).count { case (a, b) => a == b }
+    assert(same.sum.toDouble / same.size > diff.sum.toDouble / diff.size,
+      s"same-cluster code agreement ${same.sum.toDouble / same.size} <= cross ${diff.sum.toDouble / diff.size}")
+  }
+
+  test("PQ top-k recall@5 >= 0.9 on the clustered corpus (ADC + rescore)") {
+    val corpus = clusteredCorpus(200)
+    val queries = corpus.filter($"vec_id" < 10)
+    val cb = Pq.train(corpus, m = 4, ksub = 8, iters = 2)
+    def topSets(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1)))
+        .groupBy(_._1).map { case (q, xs) => q -> xs.map(_._2).toSet }
+    val exact = topSets(Similarity.bruteForceTopK(corpus, queries, 5))
+    val approx = topSets(Pq.pqTopK(corpus, queries, 5, cb))
+    val hits = exact.map { case (q, want) => (approx.getOrElse(q, Set.empty) & want).size }.sum
+    val recall = hits.toDouble / (exact.size * 5)
+    assert(recall >= 0.9, s"PQ recall@5 = $recall")
+    // full overscan makes the rescore set the whole corpus → EXACT result
+    val full = Pq.pqTopK(corpus, queries, 5, cb, overscan = 40)
+      .select("query_id", "item_id", "rank")
+    val exactDf = Similarity.bruteForceTopK(corpus, queries, 5)
+      .select("query_id", "item_id", "rank")
+    assert(exactDf.exceptAll(full).count() == 0 && full.exceptAll(exactDf).count() == 0)
+  }
+
   test("k-means keeps a previous centroid when its cell goes empty") {
     // 3 vectors, 3 cells: after one iteration each centroid is its own mean;
     // ask for more cells than distinct clusters to exercise the guard
