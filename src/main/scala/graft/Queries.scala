@@ -723,6 +723,15 @@ object Queries {
       graft.ops.Pq.pqTopK(embs, queries, 5, pqCb, overscan = 4), floor = 0.5)
     val (pqfN, pqfOk) = topkRecall(
       graft.ops.Pq.pqTopK(embs, queries, 5, pqCb, overscan = 128), floor = 1.0)
+    // composed IVF-PQ: recall multiplies the two approximations (≈ 0.40
+    // here at nProbe 4/16 × m=16 codes on near-uniform vectors; floor
+    // 0.25); probing every cell at full overscan must again be EXACT.
+    val (ipqN, ipqOk) = topkRecall(
+      graft.ops.Pq.ivfPqTopK(embs, queries, 5, pqCb, nCells = 16, nProbe = 4),
+      floor = 0.25)
+    val (ipqfN, ipqfOk) = topkRecall(
+      graft.ops.Pq.ivfPqTopK(embs, queries, 5, pqCb, nCells = 16, nProbe = 16,
+        overscan = 128), floor = 1.0)
 
     // LSH near-dup recall vs the exact global cosine >= 0.3 pair set
     // (threshold on the 6-dp-rounded cosine, the same boundary rule the
@@ -740,7 +749,8 @@ object Queries {
 
     Seq(("ivf_full_probe", fullN, fullOk), ("ivf", ivfN, ivfOk),
         ("ivf_trained", trN, trOk), ("lsh_neardup", nPairs, lshOk),
-        ("pq", pqN, pqOk), ("pq_full_overscan", pqfN, pqfOk))
+        ("pq", pqN, pqOk), ("pq_full_overscan", pqfN, pqfOk),
+        ("ivf_pq", ipqN, ipqOk), ("ivf_pq_full", ipqfN, ipqfOk))
       .toDF("variant", "n_ref", "recall_ok")
   }
 

@@ -900,7 +900,9 @@ object SparkEntry {
         |UNION ALL SELECT 'ivf_trained', 40, true
         |UNION ALL SELECT 'lsh_neardup', (SELECT n FROM np), true
         |UNION ALL SELECT 'pq', 40, true
-        |UNION ALL SELECT 'pq_full_overscan', 40, true""".stripMargin,
+        |UNION ALL SELECT 'pq_full_overscan', 40, true
+        |UNION ALL SELECT 'ivf_pq', 40, true
+        |UNION ALL SELECT 'ivf_pq_full', 40, true""".stripMargin,
 
     // literal naming contract (nodeset.py:123-141, model.py:596):
     // registry-resolved specs must produce exactly these names/paths

@@ -134,10 +134,10 @@ object Pq {
   }
 
   /** PQ top-k: ADC scan over the (m-byte) code table, keep k×overscan
-    * candidates per query, exact-float rescore + re-rank. Compose with
-    * [[Similarity.ivfTopK]]'s cell pruning for the full IVF-PQ shape (the
-    * IVF probe bounds WHICH codes are scanned; PQ bounds the BYTES per
-    * scanned code — at 10^9 vectors both cuts are needed and independent).
+    * candidates per query, exact-float rescore + re-rank. See [[ivfPqTopK]]
+    * for the composed IVF-PQ shape (the IVF probe bounds WHICH codes are
+    * scanned; PQ bounds the BYTES per scanned code — at 10^9 vectors both
+    * cuts are needed and independent).
     */
   def pqTopK(corpus: DataFrame, queries: DataFrame, k: Int, cb: Codebook,
              overscan: Int = 4,
@@ -164,5 +164,72 @@ object Pq {
     rescored.withColumn("rank", row_number().over(wE))
       .filter(col("rank") <= k)
       .select("query_id", "item_id", "rank", "cos")
+  }
+
+  /** The composed billion-vector layout — IVF-PQ: coarse cells prune WHICH
+    * vectors are scanned (nProbe/nCells of the corpus), PQ codes shrink the
+    * BYTES per scanned vector (~4·D/m ×). Dataflow: one zero-shuffle
+    * projection computes cell + codes + recon_norm per vector; queries
+    * (broadcast, carrying their LUT) join on the probed cells; ADC ranks
+    * k×overscan candidates; the exact rescore touches only those. In a
+    * production table the encode projection is written once (partitioned by
+    * cell — Iceberg partition pruning serves the probe) and every query
+    * batch reuses it.
+    */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, k: Int, cb: Codebook,
+                nCells: Int, nProbe: Int, overscan: Int = 4, trainIters: Int = 0,
+                idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val cents =
+      if (trainIters > 0) Similarity.kmeansCentroids(corpus, nCells, trainIters, idCol, vecCol)
+      else Similarity.seedCentroids(corpus, nCells, idCol, vecCol)
+    // cell + codes + recon_norm all fold into ONE zero-shuffle projection
+    // over the same scan — no join between the assign and the encode
+    val qv = transform(col(vecCol), x => x.cast("double"))
+    val encCells = corpus.select(col(idCol).as("item_id"),
+      array((0 until cb.m).map(j => encodeCode(qv, cb, j)): _*).as("codes"),
+      reconNormCol(qv, cb).as("recon_norm"),
+      Similarity.nearestCell(qv, cents).as("cell"))
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val centDf = cents.toDF("cell", "cv")
+    val q = queries.select(col(idCol).as("query_id"), qv.as("_qv"),
+      lutFlat(qv, cb).as("_lut"), Similarity.norm(qv).as("_qnorm"))
+    val probe = q.join(broadcast(centDf))
+      .withColumn("ccos", Similarity.cosine(col("_qv"), col("cv")))
+      .withColumn("crk", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("ccos").desc, col("cell"))))
+      .filter(col("crk") <= nProbe)
+      .select("query_id", "_qv", "_lut", "_qnorm", "cell")
+    val approx = encCells.join(probe, "cell")
+      .filter(col("item_id") =!= col("query_id"))
+      .withColumn("acos",
+        adcCos(col("codes"), col("_lut"), col("_qnorm"), col("recon_norm"), cb.ksub))
+    val wA = Window.partitionBy(col("query_id")).orderBy(col("acos").desc, col("item_id"))
+    val cand = approx.withColumn("ark", row_number().over(wA))
+      .filter(col("ark") <= k * overscan)
+      .select("query_id", "item_id")
+    val c = corpus.select(col(idCol).as("item_id"),
+      transform(col(vecCol), x => x.cast("double")).as("_cv"))
+    val rescored = cand
+      .join(c, Seq("item_id"))
+      .join(broadcast(q.select(col("query_id"), col("_qv"))), Seq("query_id"))
+      .withColumn("cos", Similarity.cosine(col("_cv"), col("_qv")))
+    val wE = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("item_id"))
+    rescored.withColumn("rank", row_number().over(wE))
+      .filter(col("rank") <= k)
+      .select("query_id", "item_id", "rank", "cos")
+  }
+
+  /** Code for subspace j — [[nearestCode]] over the sliced input. */
+  private def encodeCode(vec: Column, cb: Codebook, j: Int): Column =
+    nearestCode(subvec(vec, j, cb.d), cb.cents(j))
+
+  /** Reconstructed norm from the code literals (see [[encode]]). */
+  private def reconNormCol(vec: Column, cb: Codebook): Column = {
+    val codes = array((0 until cb.m).map(j => encodeCode(vec, cb, j)): _*)
+    val sq = cb.sqNorms
+    sqrt((0 until cb.m).map { j =>
+      element_at(array(sq(j).map(lit): _*), element_at(codes, j + 1) + 1)
+    }.reduce(_ + _))
   }
 }

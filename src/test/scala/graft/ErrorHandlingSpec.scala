@@ -109,6 +109,36 @@ class ErrorHandlingSpec extends SparkSpec {
     intercept[IllegalArgumentException](graft.ops.CorpusOps.decontaminate(docs, docs, 0))
   }
 
+  test("round-3 APIs reject nonsensical arguments at construction") {
+    val edges = Seq(("a", "b")).toDF("a", "b")
+    intercept[IllegalArgumentException](graft.kg.GraphAlgos.kCore(edges, 0))
+    intercept[IllegalArgumentException](
+      graft.kg.GraphAlgos.pageRankPersonalized(
+        edges.toDF("src", "dst"), Seq.empty[String].toDF("node"), 1))
+    intercept[IllegalArgumentException](
+      graft.kg.GraphAlgos.pageRankWeighted(
+        Seq(("a", "b", 1.0)).toDF("src", "dst", "weight"), -1))
+    val embs = Seq((0L, Seq(1.0, 0.0, 0.0))).toDF("vec_id", "embedding")
+    // dim 3 not divisible by m=2
+    intercept[IllegalArgumentException](graft.ops.Pq.train(embs, 2, 1, 1))
+    val wd = tmpDir("graft-err-merge")
+    val r = new graft.io.StageRunner(spark, wd)
+    try intercept[IllegalArgumentException](
+      r.mergeStage("s", "")(_ => Seq(1).toDF("x")))
+    finally r.close()
+    intercept[IllegalArgumentException](
+      graft.ops.Dedup.ngramJaccardPairs(
+        Seq((1L, "x", "en")).toDF("doc_id", "text", "lang"), "lang", 0.5,
+        maxBlockSize = 1))
+  }
+
+  test("empty inputs flow through the round-3 graph operators") {
+    val empty = Seq.empty[(String, String)].toDF("src", "dst")
+    assert(graft.kg.GraphAlgos.kCore(empty.toDF("a", "b"), 2).count() == 0)
+    assert(graft.kg.GraphAlgos.pageRankWeighted(
+      Seq.empty[(String, String, Double)].toDF("src", "dst", "weight"), 2).count() == 0)
+  }
+
   test("empty corpus: sampling, packing, corpus stats all yield empty, shaped output") {
     val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
     assert(graft.ops.Sampling.sampleByRate(empty, 0.5).count() == 0)

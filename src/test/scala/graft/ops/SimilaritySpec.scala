@@ -168,6 +168,27 @@ class SimilaritySpec extends SparkSpec {
     assert(exactDf.exceptAll(full).count() == 0 && full.exceptAll(exactDf).count() == 0)
   }
 
+  test("IVF-PQ: composed cell-pruned ADC search hits the quality bar; full settings exact") {
+    val corpus = clusteredCorpus(200)
+    val queries = corpus.filter($"vec_id" < 10)
+    val cb = Pq.train(corpus, m = 4, ksub = 8, iters = 2)
+    def topSets(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1)))
+        .groupBy(_._1).map { case (q, xs) => q -> xs.map(_._2).toSet }
+    val exact = topSets(Similarity.bruteForceTopK(corpus, queries, 5))
+    val approx = topSets(Pq.ivfPqTopK(corpus, queries, 5, cb,
+      nCells = 8, nProbe = 3, trainIters = 2))
+    val hits = exact.map { case (q, want) => (approx.getOrElse(q, Set.empty) & want).size }.sum
+    assert(hits.toDouble / (exact.size * 5) >= 0.9,
+      s"IVF-PQ recall@5 = ${hits.toDouble / (exact.size * 5)}")
+    // probe every cell + full overscan → exact brute-force result
+    val full = Pq.ivfPqTopK(corpus, queries, 5, cb, nCells = 8, nProbe = 8, overscan = 40)
+      .select("query_id", "item_id", "rank")
+    val exactDf = Similarity.bruteForceTopK(corpus, queries, 5)
+      .select("query_id", "item_id", "rank")
+    assert(exactDf.exceptAll(full).count() == 0 && full.exceptAll(exactDf).count() == 0)
+  }
+
   test("k-means keeps a previous centroid when its cell goes empty") {
     // 3 vectors, 3 cells: after one iteration each centroid is its own mean;
     // ask for more cells than distinct clusters to exercise the guard
