@@ -573,6 +573,24 @@ object Queries {
       .select("doc_id", "lang")
   }
 
+  /** Bloom-prefiltered decontamination — must be IDENTICAL to q_decontam
+    * (same oracle): the sketch only shrinks the probe input; the exact
+    * semi-join behind it kills every false positive.
+    */
+  def decontaminateBloom(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val bench = docs.filter(col("doc_id") % 97 === 0)
+    graft.ops.CorpusOps.decontaminateBloom(docs, bench, n = 5)
+      .select("doc_id", "lang")
+  }
+
+  /** Vocabulary size: exact distinct tokens + the HLL++ estimate bounded
+    * to 5% relative error (the sketch that replaces the exact count at
+    * 10^12 tokens, kept honest by the driver).
+    */
+  def vocabSize(s: SparkSession, dir: String): DataFrame =
+    graft.ops.CorpusOps.vocabSize(t(s, dir, "documents"))
+
   /** Sequence packing: documents assigned to 200-token packs within 4
     * deterministic shards (pack = shard * 2^32 + floor(offset/budget)).
     */
@@ -696,12 +714,18 @@ object Queries {
     import s.implicits._
     val embs = t(s, dir, "embeddings")
       .select(col("vec_id"), expr("transform(embedding, x -> cast(x as double))").as("embedding"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val queries = embs.filter(col("vec_id") < 8)
 
+    // the exact reference is shared by every top-k variant: compute + pin
+    // it ONCE (recomputing the cross-join + window per variant was the
+    // dominant cost of this gate)
+    val exact = Similarity.bruteForceTopK(embs, queries, 5)
+      .select(col("query_id"), col("item_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nRef = exact.count()
+
     def topkRecall(approx: DataFrame, floor: Double): (Long, Boolean) = {
-      val exact = Similarity.bruteForceTopK(embs, queries, 5)
-        .select(col("query_id"), col("item_id"))
-      val nRef = exact.count()
       val hit = exact.join(approx.select(col("query_id"), col("item_id")),
         Seq("query_id", "item_id"), "left_semi").count()
       (nRef, hit.toDouble / nRef >= floor)
@@ -713,25 +737,27 @@ object Queries {
     val (trN, trOk) = topkRecall(
       Similarity.ivfTopK(embs, queries, 5, nCells = 16, nProbe = 4, trainIters = 2),
       floor = 0.35)
-    // PQ: the approximate setting measures ≈ 0.78 here (m=16 4-dim
-    // subspaces on 64-d near-uniform vectors); floor 0.5 gates gross code /
-    // LUT / ADC regressions. Full overscan makes the rescore set the whole
-    // corpus → must reproduce brute force EXACTLY (floor 1.0): the second
-    // structural invariant.
-    val pqCb = graft.ops.Pq.train(embs, m = 16, ksub = 16, iters = 2)
+    // PQ: the approximate setting measures ≈ 0.6 here (m=8 8-dim subspaces
+    // on 64-d near-uniform vectors, overscan 8); floor 0.4 gates gross
+    // code / LUT / ADC regressions. Full overscan makes the rescore set
+    // the whole corpus → must reproduce brute force EXACTLY (floor 1.0):
+    // the second structural invariant. The codebook is memoized and shared
+    // with q_ann_pq — training is ~2·m driver-collect rounds of heavily
+    // codegen'd literal expressions, the expensive part of this gate.
+    val pqCb = pqCodebook(embs, dir)
     val (pqN, pqOk) = topkRecall(
-      graft.ops.Pq.pqTopK(embs, queries, 5, pqCb, overscan = 4), floor = 0.5)
+      graft.ops.Pq.pqTopK(embs, queries, 5, pqCb, overscan = 8), floor = 0.4)
     val (pqfN, pqfOk) = topkRecall(
       graft.ops.Pq.pqTopK(embs, queries, 5, pqCb, overscan = 128), floor = 1.0)
-    // composed IVF-PQ: recall multiplies the two approximations (≈ 0.40
-    // here at nProbe 4/16 × m=16 codes on near-uniform vectors; floor
-    // 0.25); probing every cell at full overscan must again be EXACT.
+    // composed IVF-PQ: recall multiplies the two approximations (floor
+    // 0.2); probing every cell at full overscan must again be EXACT.
     val (ipqN, ipqOk) = topkRecall(
-      graft.ops.Pq.ivfPqTopK(embs, queries, 5, pqCb, nCells = 16, nProbe = 4),
-      floor = 0.25)
+      graft.ops.Pq.ivfPqTopK(embs, queries, 5, pqCb, nCells = 16, nProbe = 4,
+        overscan = 8), floor = 0.2)
     val (ipqfN, ipqfOk) = topkRecall(
       graft.ops.Pq.ivfPqTopK(embs, queries, 5, pqCb, nCells = 16, nProbe = 16,
         overscan = 128), floor = 1.0)
+    exact.unpersist()
 
     // LSH near-dup recall vs the exact global cosine >= 0.3 pair set
     // (threshold on the 6-dp-rounded cosine, the same boundary rule the
@@ -746,6 +772,7 @@ object Queries {
     val nPairs = exactPairs.count()
     val lshHit = exactPairs.join(lshPairs, Seq("a", "b"), "left_semi").count()
     val lshOk = lshHit.toDouble / nPairs >= 0.3
+    embs.unpersist()
 
     Seq(("ivf_full_probe", fullN, fullOk), ("ivf", ivfN, ivfOk),
         ("ivf_trained", trN, trOk), ("lsh_neardup", nPairs, lshOk),
@@ -754,6 +781,16 @@ object Queries {
       .toDF("variant", "n_ref", "recall_ok")
   }
 
+  /** Memoized PQ codebook per sf dir (training is deterministic, so the
+    * gate queries sharing one codebook changes no result — it only stops
+    * q_ann_recall and q_ann_pq from paying the ~2·m collect-round training
+    * twice in one Verify run).
+    */
+  private val pqCbCache = scala.collection.concurrent.TrieMap.empty[String, graft.ops.Pq.Codebook]
+  private def pqCodebook(embs: DataFrame, dir: String): graft.ops.Pq.Codebook =
+    pqCbCache.getOrElseUpdate(dir,
+      graft.ops.Pq.train(embs, m = 8, ksub = 16, iters = 2))
+
   /** PQ ANN top-k (rows-only: codebooks are engine-specific floats;
     * quality- and exactness-gated via q_ann_recall's pq rows).
     */
@@ -761,8 +798,7 @@ object Queries {
     val embs = t(s, dir, "embeddings")
       .select(col("vec_id"), expr("transform(embedding, x -> cast(x as double))").as("embedding"))
     val queries = embs.filter(col("vec_id") < 8)
-    val cb = graft.ops.Pq.train(embs, m = 16, ksub = 16, iters = 2)
-    graft.ops.Pq.pqTopK(embs, queries, 5, cb)
+    graft.ops.Pq.pqTopK(embs, queries, 5, pqCodebook(embs, dir), overscan = 8)
   }
 
   /** A11/B13 — deterministic artifact naming THROUGH the registry: specs

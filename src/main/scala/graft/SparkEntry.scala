@@ -73,6 +73,8 @@ object SparkEntry {
     "q_vocab_topk"           -> (Queries.vocabTopk _),
     "q_corpus_stats"         -> (Queries.corpusStats _),
     "q_decontam"             -> (Queries.decontaminate _),
+    "q_decontam_bloom"       -> (Queries.decontaminateBloom _),
+    "q_vocab_size"           -> (Queries.vocabSize _),
     "q_pack"                 -> (Queries.packBySize _),
     // KG pipeline shapes + skew-aware agg + CC
     "q_kg_triples"           -> (Queries.kgTriples _),
@@ -482,6 +484,35 @@ object SparkEntry {
         |  JOIN bench USING (gr))
         |SELECT d.doc_id, d.lang FROM documents d
         |WHERE d.doc_id NOT IN (SELECT doc_id FROM hits)""".stripMargin,
+
+    // the bloom-prefiltered path must equal the exact path row-for-row —
+    // SAME oracle as q_decontam (false positives die in the exact verify;
+    // false negatives are impossible)
+    "q_decontam_bloom" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS w
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(w) < 5 THEN CAST([] AS VARCHAR[])
+        |         ELSE list_transform(range(1, len(w) - 3),
+        |                i -> array_to_string(w[i:i+4], ' ')) END AS gs
+        |  FROM t),
+        |bench AS (
+        |  SELECT DISTINCT unnest(gs) AS gr FROM g WHERE doc_id % 97 = 0),
+        |hits AS (
+        |  SELECT DISTINCT doc_id
+        |  FROM (SELECT doc_id, unnest(gs) AS gr FROM g) x
+        |  JOIN bench USING (gr))
+        |SELECT d.doc_id, d.lang FROM documents d
+        |WHERE d.doc_id NOT IN (SELECT doc_id FROM hits)""".stripMargin,
+
+    // exact side recomputed by the oracle; the HLL++ bound is the literal
+    // quality contract (the estimate itself is engine-specific)
+    "q_vocab_size" ->
+      """SELECT count(DISTINCT token) AS n_exact, true AS approx_ok
+        |FROM (SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS token
+        |      FROM documents)""".stripMargin,
 
     // round-trip check: Spark ENCODES real PNG/WAV/JPEG headers from
     // id-derived parameters and PARSES them back (marker-stream walk for

@@ -161,6 +161,15 @@ object functions {
   def minhashSig(c: Column, numHashes: Int): Column =
     call_function("graft_minhash_sig", c, lit(numHashes))
 
+  /** Bloom sketch over an xxhash64-long column (Spark's own
+    * BloomFilterAggregate, surfaced as a SQL function).
+    */
+  def bloomAgg(hashed: Column, estItems: Long, numBits: Long): Column =
+    call_function("graft_bloom_agg", hashed, lit(estItems), lit(numBits))
+
+  def mightContain(bloom: Column, hashed: Column): Column =
+    call_function("graft_might_contain", bloom, hashed)
+
   def simhash64(c: Column): Column =
     call_function("graft_simhash64", c)
 
@@ -193,6 +202,29 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(args.length == 2, "graft_regexp_groups(text, pattern)")
         require(args(1).foldable, "graft_regexp_groups: pattern must be a literal")
         RegexpGroups(args.head, args(1).eval().toString)
+      }))
+    // Spark ships BloomFilterAggregate/BloomFilterMightContain for its own
+    // runtime row-filtering but does not register them as SQL functions;
+    // exposing them gives the decontamination path a sketch prefilter with
+    // zero new code — the same codegen'd bloom the engine trusts internally.
+    ext.injectFunction((FunctionIdentifier("graft_bloom_agg"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate].getName,
+        "graft_bloom_agg"),
+      (args: Seq[Expression]) => {
+        require(args.length == 3, "graft_bloom_agg(xxhash64_long, estItems, numBits)")
+        require(args(1).foldable && args(2).foldable,
+          "graft_bloom_agg: estItems and numBits must be literals")
+        new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+          args(0), args(1), args(2)).toAggregateExpression()
+      }))
+    ext.injectFunction((FunctionIdentifier("graft_might_contain"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain].getName,
+        "graft_might_contain"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "graft_might_contain(bloom, xxhash64_long)")
+        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(args(0), args(1))
       }))
   }
 }

@@ -54,6 +54,60 @@ object CorpusOps {
     docs.join(contaminated, docs(idCol) === contaminated("_cid"), "left_anti")
   }
 
+  /** [[decontaminate]] with a Bloom-sketch prefilter — the 100 TB shape:
+    * the benchmark grams fold into ONE bloom filter (bytes, not a table),
+    * and the corpus-side gram stream drops non-members BEFORE the exact
+    * probe. Bloom filters have false POSITIVES only, and every survivor
+    * still passes through the exact distinct-gram semi-join, so the result
+    * is IDENTICAL to [[decontaminate]] (the driver gate checks both
+    * against the same oracle) — the sketch only shrinks the probe input
+    * (by ~the contamination rate). False negatives are impossible, so no
+    * contaminated document can slip through.
+    *
+    * `expectedGrams`/`numBits` size the sketch (defaults: 4M grams in
+    * 32Mbit ≈ 4 MB, ~1% FP); at real eval-set scale both knobs come from
+    * the benchmark's measured gram count.
+    */
+  def decontaminateBloom(docs: DataFrame, benchmark: DataFrame, n: Int = 8,
+                         idCol: String = "doc_id", textCol: String = "text",
+                         benchTextCol: String = "text",
+                         expectedGrams: Long = 1L << 22,
+                         numBits: Long = 1L << 25): DataFrame = {
+    require(n > 0, s"n-gram size must be positive, got $n")
+    val benchGrams = benchmark
+      .select(explode(gramHashes(col(benchTextCol), n)).as("g"))
+      .distinct()
+    // The sketch is built in ONE aggregation job and inlined as a binary
+    // literal: might_contain requires a constant bloom (it caches the
+    // deserialized filter per task), and a numBits/8-byte literal is the
+    // same driver payload as any broadcast build side.
+    val bloomBytes = benchGrams
+      .agg(graft.functions.functions.bloomAgg(col("g"), expectedGrams, numBits).as("bf"))
+      .head().getAs[Array[Byte]]("bf")
+    val contaminated = docs
+      .select(col(idCol).as("_cid"), explode(gramHashes(col(textCol), n)).as("g"))
+      .filter(graft.functions.functions.mightContain(lit(bloomBytes), col("g")))
+      .join(broadcast(benchGrams), "g") // exact verify kills false positives
+      .select("_cid").distinct()
+    docs.join(contaminated, docs(idCol) === contaminated("_cid"), "left_anti")
+  }
+
+  /** Corpus vocabulary size: the exact distinct-token count next to the
+    * mergeable HyperLogLog++ estimate (`approx_count_distinct`, the
+    * sketch that replaces the exact count at 10^12 tokens) and a bound on
+    * their relative error — the gate that keeps the sketch path honest.
+    */
+  def vocabSize(docs: DataFrame, maxRelErr: Double = 0.05,
+                textCol: String = "text"): DataFrame = {
+    val toks = docs.select(explode(split(lower(trim(col(textCol))), "\\s+")).as("token"))
+    toks.agg(
+        countDistinct(col("token")).as("n_exact"),
+        approx_count_distinct(col("token")).as("_n_approx"))
+      .select(col("n_exact"),
+        (abs(col("_n_approx") - col("n_exact")).cast("double") / col("n_exact")
+          <= maxRelErr).as("approx_ok"))
+  }
+
   /** Sequence packing — assign documents to fixed-token-budget packs, the
     * metadata pass of "concatenate and split at budget boundaries": a doc
     * belongs to the pack where its first token lands, i.e.

@@ -49,6 +49,28 @@ class CorpusOpsSpec extends SparkSpec {
     assert(out(8L) == 2L && out(10L) == 2L)
   }
 
+  test("bloom-prefiltered decontamination equals the exact path row-for-row") {
+    val docs = (1L to 60L).map { i =>
+      val base = s"alpha beta gamma delta epsilon zeta token$i extra words here"
+      (i, if (i % 7 == 0) s"$base shared contaminated five gram block" else base)
+    }.toDF("doc_id", "text")
+    val bench = docs.filter(col("doc_id") === 7L)
+    val exact = CorpusOps.decontaminate(docs, bench, n = 5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val bloom = CorpusOps.decontaminateBloom(docs, bench, n = 5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(bloom == exact)
+    // the contaminated multiples of 7 are gone from both
+    assert(!exact.contains(7L) && !exact.contains(14L))
+  }
+
+  test("vocabSize: exact count correct, HLL++ estimate within the bound") {
+    val docs = Seq((1L, "a b c a"), (2L, "c d e"), (3L, "e f")).toDF("doc_id", "text")
+    val row = CorpusOps.vocabSize(docs).head()
+    assert(row.getLong(0) == 6L) // a b c d e f
+    assert(row.getBoolean(1))
+  }
+
   test("packing is sharded: pack ids encode the shard and packs stay within shards") {
     val docs = (1L to 200L).map(i => (i, "one two three four five"))
       .toDF("doc_id", "text")
