@@ -984,6 +984,18 @@ object Queries {
       .select(col("n"), round(col("r"), 6).as("r"))
   }
 
+  /** HITS hubs/authorities over the directed user→event_type graph:
+    * 2 iterations of L1-normalized mutual reinforcement, 6 dp, unrolled
+    * SQL oracle.
+    */
+  def hitsScores(s: SparkSession, dir: String): DataFrame = {
+    val edges = t(s, dir, "events").select(
+      concat(lit("u:"), col("user_id")).as("src"),
+      concat(lit("e:"), col("event_type")).as("dst"))
+    graft.kg.GraphAlgos.hits(edges, iters = 2)
+      .select(col("n"), round(col("hub"), 6).as("hub"), round(col("auth"), 6).as("auth"))
+  }
+
   /** Weighted PageRank: edge weight = event support count per
     * (user, event_type), so heavily-evidenced relations carry more rank;
     * 3 iterations, 6 dp, unrolled-SQL oracle.

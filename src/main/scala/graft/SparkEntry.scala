@@ -91,6 +91,7 @@ object SparkEntry {
     "q_pagerank"             -> (Queries.pagerank _),
     "q_pagerank_personal"    -> (Queries.pagerankPersonal _),
     "q_pagerank_weighted"    -> (Queries.pagerankWeighted _),
+    "q_hits"                 -> (Queries.hitsScores _),
     "q_kcore"                -> (Queries.kcore _),
     "q_kcore_check"          -> (Queries.kcoreCheck _),
     "q_degrees"              -> (Queries.degrees _),
@@ -843,6 +844,32 @@ object SparkEntry {
         |               0.15 / (SELECT nn FROM params) + 0.85 * COALESCE(it3.c, 0) AS r
         |        FROM nodes LEFT JOIN it3 ON nodes.n = it3.n)
         |SELECT n, ROUND(r, 6) AS r FROM pr3""".stripMargin,
+
+    // HITS, L1-normalized half-steps (sum division — SQL-replicable
+    // exactly; rankings invariant under positive rescaling)
+    "q_hits" ->
+      """WITH ed AS (SELECT DISTINCT 'u:' || user_id AS src, 'e:' || event_type AS dst
+        |           FROM events),
+        |nodes AS (SELECT src AS n FROM ed UNION SELECT dst FROM ed),
+        |h0 AS (SELECT n, 1.0 AS h FROM nodes),
+        |a1r AS (SELECT e.dst AS n, SUM(h0.h) AS x
+        |        FROM ed e JOIN h0 ON h0.n = e.src GROUP BY e.dst),
+        |a1 AS (SELECT nodes.n, COALESCE(a1r.x, 0) / (SELECT SUM(x) FROM a1r) AS a
+        |       FROM nodes LEFT JOIN a1r ON nodes.n = a1r.n),
+        |h1r AS (SELECT e.src AS n, SUM(a1.a) AS x
+        |        FROM ed e JOIN a1 ON a1.n = e.dst GROUP BY e.src),
+        |h1 AS (SELECT nodes.n, COALESCE(h1r.x, 0) / (SELECT SUM(x) FROM h1r) AS h
+        |       FROM nodes LEFT JOIN h1r ON nodes.n = h1r.n),
+        |a2r AS (SELECT e.dst AS n, SUM(h1.h) AS x
+        |        FROM ed e JOIN h1 ON h1.n = e.src GROUP BY e.dst),
+        |a2 AS (SELECT nodes.n, COALESCE(a2r.x, 0) / (SELECT SUM(x) FROM a2r) AS a
+        |       FROM nodes LEFT JOIN a2r ON nodes.n = a2r.n),
+        |h2r AS (SELECT e.src AS n, SUM(a2.a) AS x
+        |        FROM ed e JOIN a2 ON a2.n = e.dst GROUP BY e.src),
+        |h2 AS (SELECT nodes.n, COALESCE(h2r.x, 0) / (SELECT SUM(x) FROM h2r) AS h
+        |       FROM nodes LEFT JOIN h2r ON nodes.n = h2r.n)
+        |SELECT h2.n, ROUND(h2.h, 6) AS hub, ROUND(a2.a, 6) AS auth
+        |FROM h2 JOIN a2 ON h2.n = a2.n""".stripMargin,
 
     // two-table dump check (same pattern as q_simhash_pairs): the oracle
     // re-validates the DUMPED k-core membership against the raw edge table

@@ -287,6 +287,63 @@ object GraphAlgos {
     out
   }
 
+  /** HITS (hubs & authorities), fixed iterations: authority = in-flow of
+    * hub scores, hub = out-flow of authority scores, each half-step
+    * L1-normalized (sum-to-1 — chosen over the classical L2 because an
+    * unrolled SQL oracle can replicate a plain SUM division exactly;
+    * rankings are identical under any positive rescaling). The KG reading:
+    * authorities = entities many well-connected sources point at, hubs =
+    * sources that point at many good authorities.
+    *
+    * Loop shape per iteration: two (join on one endpoint → aggregate →
+    * left-join back) rounds over (node, double) state, persisted + counted
+    * per half-step with the previous pin released — the [[pageRank]]
+    * discipline; the L1 sums are single-scalar aggregations.
+    */
+  def hits(edges: DataFrame, iters: Int,
+           srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst")).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nodes = e.select(col("src").as("n")).unionAll(e.select(col("dst").as("n")))
+      .distinct().persist(StorageLevel.MEMORY_AND_DISK)
+    if (nodes.count() == 0) {
+      e.unpersist(); nodes.unpersist()
+      return nodes.select(col("n"), lit(0.0).as("hub"), lit(0.0).as("auth"))
+    }
+    var hubs = nodes.withColumn("h", lit(1.0))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    hubs.count()
+    var auths: DataFrame = null
+    var i = 0
+    while (i < iters) {
+      val aRaw = e.join(hubs, e("src") === hubs("n"))
+        .groupBy("dst").agg(sum("h").as("x"))
+      val aSum = aRaw.agg(sum("x")).head().getDouble(0)
+      val nextA = nodes.join(aRaw, nodes("n") === aRaw("dst"), "left_outer")
+        .select(nodes("n"), (coalesce(col("x"), lit(0.0)) / aSum).as("a"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      nextA.count()
+      if (auths != null) auths.unpersist()
+      auths = nextA
+      val hRaw = e.join(auths, e("dst") === auths("n"))
+        .groupBy("src").agg(sum("a").as("x"))
+      val hSum = hRaw.agg(sum("x")).head().getDouble(0)
+      val nextH = nodes.join(hRaw, nodes("n") === hRaw("src"), "left_outer")
+        .select(nodes("n"), (coalesce(col("x"), lit(0.0)) / hSum).as("h"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      nextH.count()
+      hubs.unpersist()
+      hubs = nextH
+      i += 1
+    }
+    val out = hubs.join(auths, Seq("n"))
+      .select(col("n"), col("h").as("hub"), col("a").as("auth"))
+    e.unpersist()
+    nodes.unpersist()
+    out
+  }
+
   /** Weighted PageRank: [[pageRank]] with per-edge weights — each node
     * distributes its damped rank to successors IN PROPORTION to edge
     * weight (w / Σ out-weights) instead of uniformly. The KG shape:

@@ -190,6 +190,33 @@ class GraphAlgosSpec extends SparkSpec {
     gotU.foreach { case (n, v) => assert(math.abs(v - base(n)) < 1e-12) }
   }
 
+  test("hits matches a sequential reference; hubs/authorities land where expected") {
+    // a,b,c all point at z (authority); a also points at y; w isolated-ish
+    val es = Seq(("a", "z"), ("b", "z"), ("c", "z"), ("a", "y"), ("w", "y"))
+    val iters = 3
+    val ns = es.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+    var h = ns.map(_ -> 1.0).toMap
+    var a = Map.empty[String, Double]
+    for (_ <- 1 to iters) {
+      val ar = ns.map(n => n -> es.filter(_._2 == n).map(e => h(e._1)).sum).toMap
+      val as = ar.values.sum
+      a = ar.map { case (k, v) => k -> v / as }
+      val hr = ns.map(n => n -> es.filter(_._1 == n).map(e => a(e._2)).sum).toMap
+      val hs = hr.values.sum
+      h = hr.map { case (k, v) => k -> v / hs }
+    }
+    val got = GraphAlgos.hits(es.toDF("src", "dst"), iters)
+      .as[(String, Double, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got.keySet === ns.toSet)
+    got.foreach { case (n, (hub, auth)) =>
+      assert(math.abs(hub - h(n)) < 1e-12, s"$n hub: $hub vs ${h(n)}")
+      assert(math.abs(auth - a(n)) < 1e-12, s"$n auth: $auth vs ${a(n)}")
+    }
+    // z is the dominant authority; a the dominant hub (points at both)
+    assert(got("z")._2 > got("y")._2 && got("z")._2 > got("a")._2)
+    assert(got("a")._1 > got("b")._1 && got("a")._1 > got("w")._1)
+  }
+
   test("kCore peels to the unique maximal k-core (brute-force reference)") {
     // K4 {a,b,c,d} + a tail c-e, e-f: 3-core = K4 exactly; 2-core = K4 too
     // (e has degree 2 only until f peels, then e peels)
