@@ -228,6 +228,44 @@ final case class Graph(nodes: DataFrame, edges: DataFrame) {
       .drop("_node_id", "node")
   }
 
+  /** Per-node degree statistics over this graph's edges (optionally one
+    * rel type), keyed back to node rows — [[graft.kg.GraphAlgos.degrees]].
+    */
+  def degrees(mergeKeys: Seq[String], relType: Option[String] = None): DataFrame = {
+    val e = relType.fold(edges)(t => edges.filter(col(RelSetOps.RelType) === t))
+    val d = graft.kg.GraphAlgos.degrees(e, RelSetOps.SrcId, RelSetOps.DstId)
+    RelSetOps.withNodeId(nodes, mergeKeys)
+      .join(d, col("_node_id") === d("node"))
+      .drop("_node_id", "node")
+  }
+
+  /** Fixed-iteration PageRank over this graph's edges, ranks joined back
+    * to node rows — [[graft.kg.GraphAlgos.pageRank]]. Nodes without any
+    * (typed) edge carry no rank row, matching the operator's node universe.
+    */
+  def pageRank(mergeKeys: Seq[String], iters: Int, damping: Double = 0.85,
+               relType: Option[String] = None): DataFrame = {
+    val e = relType.fold(edges)(t => edges.filter(col(RelSetOps.RelType) === t))
+    val pr = graft.kg.GraphAlgos.pageRank(e, iters, damping,
+      RelSetOps.SrcId, RelSetOps.DstId)
+    RelSetOps.withNodeId(nodes, mergeKeys)
+      .join(pr, col("_node_id") === pr("n"))
+      .drop("_node_id", "n")
+      .withColumnRenamed("r", "pagerank")
+  }
+
+  /** k-core membership of (the undirected view of) this graph's edges,
+    * joined back to node rows — [[graft.kg.GraphAlgos.kCore]].
+    */
+  def kCore(mergeKeys: Seq[String], k: Int, relType: Option[String] = None): DataFrame = {
+    val e = relType.fold(edges)(t => edges.filter(col(RelSetOps.RelType) === t))
+    val core = graft.kg.GraphAlgos.kCore(
+      e.select(col(RelSetOps.SrcId).as("a"), col(RelSetOps.DstId).as("b")), k)
+    RelSetOps.withNodeId(nodes, mergeKeys)
+      .join(core, col("_node_id") === core("node"))
+      .drop("_node_id", "node")
+  }
+
   /** B10 — point delete with DETACH semantics: remove matching nodes AND
     * every edge touching them.
     *

@@ -75,6 +75,20 @@ class GraphSpec extends SparkSpec {
     assert(tri === Map("alice" -> 1L, "bob" -> 1L, "carol" -> 1L))
   }
 
+  test("analytics faces: degrees, pageRank, kCore join back to node rows") {
+    val g = graph // alice→bob, alice→carol, bob→dave
+    val deg = g.degrees(Seq("name"))
+      .select("name", "out_deg", "in_deg").as[(String, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(deg("alice") == ((2L, 0L)) && deg("bob") == ((1L, 1L)) && deg("dave") == ((0L, 1L)))
+    val pr = g.pageRank(Seq("name"), iters = 3)
+      .select("name", "pagerank").as[(String, Double)].collect().toMap
+    assert(pr.size == 4 && pr("dave") > pr("alice")) // sink accumulates rank
+    // 1-core of the undirected view = every connected node; 2-core empty (tree)
+    assert(g.kCore(Seq("name"), 1).count() == 4)
+    assert(g.kCore(Seq("name"), 2).count() == 0)
+  }
+
   test("1-hop traversal with source anchor + rel filter (test_model.py:583-665)") {
     val g = graph
     val out = g.traverse(
