@@ -558,6 +558,13 @@ object Queries {
       round(expr("percentile(size(split(trim(text), '\\\\s+')), 0.5)"), 6).as("p50_tokens"),
       round(expr("percentile(size(split(trim(text), '\\\\s+')), 0.9)"), 6).as("p90_tokens"))
 
+  /** Exact vs t-digest percentiles per language with a 10% bound — the
+    * sketch that replaces the exact percentile at corpus scale, kept
+    * honest by the driver (the q_corpus_stats footnote as a gate).
+    */
+  def corpusPercentiles(s: SparkSession, dir: String): DataFrame =
+    graft.ops.CorpusOps.tokenPercentiles(t(s, dir, "documents"))
+
   /** Corpus vocabulary: top 50 tokens by frequency (ties → lexicographic). */
   def vocabTopk(s: SparkSession, dir: String): DataFrame =
     graft.ops.CorpusOps.topTokens(t(s, dir, "documents"), 50)

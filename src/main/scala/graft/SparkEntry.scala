@@ -75,6 +75,7 @@ object SparkEntry {
     "q_decontam"             -> (Queries.decontaminate _),
     "q_decontam_bloom"       -> (Queries.decontaminateBloom _),
     "q_vocab_size"           -> (Queries.vocabSize _),
+    "q_corpus_pctl"          -> (Queries.corpusPercentiles _),
     "q_pack"                 -> (Queries.packBySize _),
     // KG pipeline shapes + skew-aware agg + CC
     "q_kg_triples"           -> (Queries.kgTriples _),
@@ -507,6 +508,17 @@ object SparkEntry {
         |  JOIN bench USING (gr))
         |SELECT d.doc_id, d.lang FROM documents d
         |WHERE d.doc_id NOT IN (SELECT doc_id FROM hits)""".stripMargin,
+
+    // exact percentiles recomputed by the oracle; the t-digest bound is
+    // the literal quality contract (the sketch itself is engine-specific)
+    "q_corpus_pctl" ->
+      """SELECT lang,
+        |  round(percentile_cont(0.5) WITHIN GROUP
+        |    (ORDER BY len(regexp_split_to_array(trim(text), '\s+'))), 6) AS p50_exact,
+        |  round(percentile_cont(0.9) WITHIN GROUP
+        |    (ORDER BY len(regexp_split_to_array(trim(text), '\s+'))), 6) AS p90_exact,
+        |  true AS approx_ok
+        |FROM documents GROUP BY lang""".stripMargin,
 
     // exact side recomputed by the oracle; the HLL++ bound is the literal
     // quality contract (the estimate itself is engine-specific)

@@ -108,6 +108,30 @@ object CorpusOps {
           <= maxRelErr).as("approx_ok"))
   }
 
+  /** Per-language token-length percentiles: the exact interpolated
+    * `percentile` (which buffers per-group values) next to the mergeable
+    * t-digest `approx_percentile` that replaces it at corpus scale, with a
+    * relative-error bound per group — the q_corpus_stats footnote made a
+    * kept-honest contract. `accuracy` is Spark's t-digest knob (10000 ≈
+    * default).
+    */
+  def tokenPercentiles(docs: DataFrame, maxRelErr: Double = 0.1,
+                       groupCol: String = "lang", textCol: String = "text",
+                       accuracy: Int = 10000): DataFrame = {
+    val toks = size(split(trim(col(textCol)), "\\s+"))
+    docs.groupBy(groupCol).agg(
+        expr(s"percentile(size(split(trim($textCol), '\\\\s+')), 0.5)").as("p50_exact"),
+        expr(s"percentile(size(split(trim($textCol), '\\\\s+')), 0.9)").as("p90_exact"),
+        percentile_approx(toks, lit(0.5), lit(accuracy)).as("_p50_a"),
+        percentile_approx(toks, lit(0.9), lit(accuracy)).as("_p90_a"))
+      .select(col(groupCol),
+        round(col("p50_exact"), 6).as("p50_exact"),
+        round(col("p90_exact"), 6).as("p90_exact"),
+        (abs(col("_p50_a") - col("p50_exact")) / col("p50_exact") <= maxRelErr &&
+          abs(col("_p90_a") - col("p90_exact")) / col("p90_exact") <= maxRelErr)
+          .as("approx_ok"))
+  }
+
   /** Sequence packing — assign documents to fixed-token-budget packs, the
     * metadata pass of "concatenate and split at budget boundaries": a doc
     * belongs to the pack where its first token lands, i.e.

@@ -71,6 +71,17 @@ class CorpusOpsSpec extends SparkSpec {
     assert(row.getBoolean(1))
   }
 
+  test("tokenPercentiles: exact interpolated values, t-digest within the bound") {
+    // 5 docs of 10..50 tokens in one group: p50 = 30, p90 interpolated = 46
+    val docs = (1 to 5).map(i => (i.toLong, "en", Seq.fill(i * 10)("w").mkString(" ")))
+      .toDF("doc_id", "lang", "text")
+    val row = CorpusOps.tokenPercentiles(docs).head()
+    assert(row.getString(0) == "en")
+    assert(math.abs(row.getDouble(1) - 30.0) < 1e-9)
+    assert(math.abs(row.getDouble(2) - 46.0) < 1e-9)
+    assert(row.getBoolean(3))
+  }
+
   test("packing is sharded: pack ids encode the shard and packs stay within shards") {
     val docs = (1L to 200L).map(i => (i, "one two three four five"))
       .toDF("doc_id", "text")
