@@ -31,7 +31,9 @@ object PlanCheck {
       "q_detach_delete",   // r3: deletes must be LeftAnti joins on id columns
       "q_edge_delete",     // r3: LeftAnti on (src,dst,type) — keys only
       "q_ngram_jaccard",   // r3: broadcast self-join WITH the size-ratio prefilter
-      "q_pagerank_weighted" // r3: per-iteration join+agg, no single-task funnels
+      "q_pagerank_weighted", // r3: per-iteration join+agg, no single-task funnels
+      "q_ann_ivfpq_mat"    // r4: materialized IVF-PQ — scan must show
+                           // PartitionFilters: cell IN (probed...) pruning
     )
     for (name <- interesting) {
       println(s"\n================ $name ================")
@@ -47,9 +49,14 @@ object PlanCheck {
       // acceptable when its input is already bounded (e.g. TakeOrdered's
       // driver merge); flag every occurrence for eyeballing
       val singleExchanges = "Exchange SinglePartition".r.findAllIn(plan).size
+      // partition-level pruning (materialized layouts): a non-empty
+      // PartitionFilters means unprobed partitions are never even listed
+      val partFilters = "PartitionFilters: \\[[^\\]]*[A-Za-z][^\\]]*\\]".r.findAllIn(plan).toList
       println(s"[plancheck] $name pushedFilters=${pushed.size} " +
         s"joins=${joins.mkString(",")} readSchemas=${schemas.size} " +
-        s"singlePartitionExchanges=$singleExchanges")
+        s"singlePartitionExchanges=$singleExchanges " +
+        s"partitionFilters=${partFilters.size}")
+      partFilters.foreach(s => println(s"[plancheck]   $s"))
       schemas.foreach(s => println(s"[plancheck]   $s"))
     }
     spark.stop()

@@ -59,6 +59,8 @@ object SparkEntry {
     "q_embed_neardup_lsh"    -> (Queries.embedNearDupLsh _),
     "q_ann_recall"           -> (Queries.annRecall _),
     "q_ann_pq"               -> (Queries.annPq _),
+    "q_ann_ivfpq"            -> (Queries.annIvfPq _),
+    "q_ann_ivfpq_mat"        -> (Queries.annIvfPqMat _),
     "q_naming"               -> (Queries.naming _),
     // text analysis
     "q_token_counts"         -> (Queries.tokenCounts _),
@@ -93,12 +95,17 @@ object SparkEntry {
     "q_pagerank_personal"    -> (Queries.pagerankPersonal _),
     "q_pagerank_weighted"    -> (Queries.pagerankWeighted _),
     "q_hits"                 -> (Queries.hitsScores _),
+    "q_communities"          -> (Queries.communities _),
     "q_kcore"                -> (Queries.kcore _),
     "q_kcore_check"          -> (Queries.kcoreCheck _),
     "q_degrees"              -> (Queries.degrees _),
     // multimodal plumbing (stub kernel)
+    "q_incremental"          -> (Queries.incremental _),
+    "q_incremental_edges"    -> (Queries.incrementalEdges _),
+
     "q_multimodal"           -> (Queries.multimodal _),
-    "q_media_meta"           -> (Queries.mediaMeta _)
+    "q_media_meta"           -> (Queries.mediaMeta _),
+    "q_pixel_stats"          -> (Queries.pixelStats _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -542,6 +549,55 @@ object SparkEntry {
         |  CASE WHEN id % 3 = 1 THEN CAST(1 + (id // 2) % 2 AS INTEGER) END AS channels
         |FROM range(300) t(id)""".stripMargin,
 
+    // materialized-layout parity: q_ann_ivfpq_mat serves IVF-PQ from the
+    // cell-partitioned encode TABLE (partition-pruned probe); its oracle is
+    // the in-memory path's dump — the production layout must reproduce it
+    // row-for-row (two-table-dump pattern; quality itself is gated by
+    // q_ann_recall's ivf_pq_full exactness floor)
+    "q_ann_ivfpq_mat" ->
+      """SELECT query_id, item_id, rank, cos
+        |FROM read_parquet('__GRAFT_OUT__/q_ann_ivfpq/*.parquet')""".stripMargin,
+
+    // streaming incremental-merge gates: Spark runs a REAL checkpointed
+    // Structured Streaming job (3 one-file micro-batches, AvailableNow,
+    // maxFilesPerTrigger=1) merging events-derived triples through
+    // batch-id-idempotent snapshot commits, then replays batch 1 (must
+    // skip); the oracle is the equivalent ONE-SHOT batch merge — any
+    // double-count, dropped batch, or update-wins on the sum-accumulated
+    // props breaks the value match
+    "q_incremental" ->
+      """WITH trip AS (
+        |  SELECT 'user:' || user_id AS subj, event_type AS pred,
+        |         'bucket:' || CAST(FLOOR(value / 100) AS BIGINT) AS obj
+        |  FROM events)
+        |SELECT name, count(*) AS mention_count
+        |FROM (SELECT subj AS name FROM trip UNION ALL SELECT obj AS name FROM trip)
+        |GROUP BY 1""".stripMargin,
+
+    "q_incremental_edges" ->
+      """SELECT 'user:' || user_id AS start_name,
+        |       'bucket:' || CAST(FLOOR(value / 100) AS BIGINT) AS end_name,
+        |       event_type AS pred, count(*) AS support
+        |FROM events GROUP BY 1, 2, 3""".stripMargin,
+
+    // PNG pixel-decode gate: Spark ENCODES 120 real PNGs (zlib IDAT, CRCs,
+    // per-row filter = row % 5) from the closed-form pixel formula, DECODES
+    // them back pure-JVM, and aggregates per-channel stats; the oracle
+    // recomputes the same stats from the formula alone — the codec never
+    // runs in DuckDB, so a wrong unfilter/inflate/stride breaks the hash
+    "q_pixel_stats" ->
+      """WITH ids AS (SELECT range AS id FROM range(0, 120)),
+        |xs AS (SELECT range AS x FROM range(0, 17)),
+        |ys AS (SELECT range AS y FROM range(0, 15)),
+        |cs AS (SELECT range AS c FROM range(0, 3)),
+        |img AS (SELECT id, 8 + id % 9 AS w, 8 + id % 7 AS h FROM ids),
+        |px AS (SELECT id, c, (3 * x + 5 * y + 7 * id + 11 * c) % 256 AS v
+        |       FROM img, xs, ys, cs WHERE x < w AND y < h)
+        |SELECT id AS media_id, CAST(c AS INTEGER) AS channel,
+        |       count(*) AS n_px, ROUND(AVG(v), 6) AS mean,
+        |       CAST(MIN(v) AS INTEGER) AS vmin, CAST(MAX(v) AS INTEGER) AS vmax
+        |FROM px GROUP BY 1, 2""".stripMargin,
+
     "q_pack" ->
       """WITH base AS (
         |  SELECT doc_id,
@@ -882,6 +938,28 @@ object SparkEntry {
         |       FROM nodes LEFT JOIN h2r ON nodes.n = h2r.n)
         |SELECT h2.n, ROUND(h2.h, 6) AS hub, ROUND(a2.a, 6) AS auth
         |FROM h2 JOIN a2 ON h2.n = a2.n""".stripMargin,
+
+    // synchronous LPA, unrolled (2 rounds, min-label ties — deterministic
+    // by construction, so the SQL replays the exact same rounds)
+    "q_communities" ->
+      """WITH ed AS (SELECT DISTINCT 'u:' || user_id AS a,
+        |                  'b:' || CAST(FLOOR(value / 100) AS BIGINT) AS b
+        |           FROM events),
+        |canon AS (SELECT LEAST(a, b) AS x, GREATEST(a, b) AS y FROM ed
+        |          WHERE a <> b GROUP BY 1, 2),
+        |nbr AS (SELECT x AS n, y AS m FROM canon UNION ALL SELECT y, x FROM canon),
+        |l0 AS (SELECT DISTINCT n, n AS lbl FROM nbr),
+        |c1 AS (SELECT nbr.n, l0.lbl, count(*) AS c
+        |       FROM nbr JOIN l0 ON l0.n = nbr.m GROUP BY 1, 2),
+        |l1 AS (SELECT n, lbl FROM (
+        |         SELECT n, lbl, row_number() OVER (PARTITION BY n ORDER BY c DESC, lbl) AS rk
+        |         FROM c1) WHERE rk = 1),
+        |c2 AS (SELECT nbr.n, l1.lbl, count(*) AS c
+        |       FROM nbr JOIN l1 ON l1.n = nbr.m GROUP BY 1, 2),
+        |l2 AS (SELECT n, lbl FROM (
+        |         SELECT n, lbl, row_number() OVER (PARTITION BY n ORDER BY c DESC, lbl) AS rk
+        |         FROM c2) WHERE rk = 1)
+        |SELECT n AS node, lbl AS community FROM l2""".stripMargin,
 
     // two-table dump check (same pattern as q_simhash_pairs): the oracle
     // re-validates the DUMPED k-core membership against the raw edge table

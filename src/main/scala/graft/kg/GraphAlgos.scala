@@ -42,6 +42,56 @@ object GraphAlgos {
       .agg(countDistinct(col("l.g")).as("n_groups"))
   }
 
+  /** Community detection via SYNCHRONOUS label propagation (LPA) over the
+    * undirected view, fully deterministic: every node starts with its own
+    * id as label; each round every node adopts the most frequent label
+    * among its neighbors, ties broken by the SMALLEST label. Synchronous
+    * rounds + a total tie order make the result a pure function of (graph,
+    * iters) — no RNG, no visit order — so an unrolled SQL oracle replicates
+    * it exactly (the classic async LPA is deliberately traded away: its
+    * update order dependence is exactly what a distributed engine cannot
+    * reproduce run-to-run).
+    *
+    * Scale shape per round: one shuffle of the (neighbor → label) join on
+    * node id, one (node, label) count aggregation, one windowed argmax per
+    * node — all keyed on node id, state is (node, label) only, persisted +
+    * counted per round with the previous pin released (the [[pageRank]]
+    * lineage discipline). Hot hubs skew the count aggregation, not the
+    * join — AQE's skew split covers it.
+    */
+  def labelPropagation(edges: DataFrame, iters: Int,
+                       aCol: String = "a", bCol: String = "b"): DataFrame = {
+    require(iters >= 0, s"iters must be >= 0, got $iters")
+    val canon = edges
+      .select(least(col(aCol), col(bCol)).as("x"), greatest(col(aCol), col(bCol)).as("y"))
+      .filter(col("x") =!= col("y")).distinct()
+    val nbr = canon.select(col("x").as("n"), col("y").as("m"))
+      .unionAll(canon.select(col("y").as("n"), col("x").as("m")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = nbr.select(col("n")).distinct().withColumn("lbl", col("n"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    labels.count()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("n").orderBy(col("c").desc, col("lbl"))
+    var i = 0
+    while (i < iters) {
+      val next = nbr
+        .join(labels.select(col("n").as("m"), col("lbl")), "m")
+        .groupBy("n", "lbl").agg(count(lit(1)).as("c"))
+        .withColumn("_rk", row_number().over(w))
+        .filter(col("_rk") === 1)
+        .select("n", "lbl")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      next.count()
+      labels.unpersist()
+      labels = next
+      i += 1
+    }
+    val out = labels.select(col("n").as("node"), col("lbl").as("community"))
+    nbr.unpersist()
+    out
+  }
+
   /** Per-node triangle participation counts over an undirected graph.
     *
     * Edges are canonicalized (unordered pair once), then ORIENTED from the
@@ -316,21 +366,26 @@ object GraphAlgos {
     hubs.count()
     var auths: DataFrame = null
     var i = 0
+    // The L1 sum rides the SAME job as the normalize join: the one-row
+    // aggregate is cross-joined (broadcast — Catalyst plans a 1-row
+    // BroadcastNestedLoopJoin) instead of `.head()`-ing it first, so each
+    // half-step is ONE action (persist+count), not a separate driver
+    // round-trip + full lineage re-walk per sum.
     while (i < iters) {
       val aRaw = e.join(hubs, e("src") === hubs("n"))
         .groupBy("dst").agg(sum("h").as("x"))
-      val aSum = aRaw.agg(sum("x")).head().getDouble(0)
       val nextA = nodes.join(aRaw, nodes("n") === aRaw("dst"), "left_outer")
-        .select(nodes("n"), (coalesce(col("x"), lit(0.0)) / aSum).as("a"))
+        .crossJoin(broadcast(aRaw.agg(sum("x").as("_tot"))))
+        .select(nodes("n"), (coalesce(col("x"), lit(0.0)) / col("_tot")).as("a"))
         .persist(StorageLevel.MEMORY_AND_DISK)
       nextA.count()
       if (auths != null) auths.unpersist()
       auths = nextA
       val hRaw = e.join(auths, e("dst") === auths("n"))
         .groupBy("src").agg(sum("a").as("x"))
-      val hSum = hRaw.agg(sum("x")).head().getDouble(0)
       val nextH = nodes.join(hRaw, nodes("n") === hRaw("src"), "left_outer")
-        .select(nodes("n"), (coalesce(col("x"), lit(0.0)) / hSum).as("h"))
+        .crossJoin(broadcast(hRaw.agg(sum("x").as("_tot"))))
+        .select(nodes("n"), (coalesce(col("x"), lit(0.0)) / col("_tot")).as("h"))
         .persist(StorageLevel.MEMORY_AND_DISK)
       nextH.count()
       hubs.unpersist()

@@ -266,6 +266,68 @@ final case class Graph(nodes: DataFrame, edges: DataFrame) {
       .drop("_node_id", "node")
   }
 
+  /** Community detection (deterministic synchronous label propagation)
+    * over the undirected view of this graph's edges, memberships joined
+    * back to node rows — [[graft.kg.GraphAlgos.labelPropagation]].
+    */
+  def communities(mergeKeys: Seq[String], iters: Int, relType: Option[String] = None): DataFrame = {
+    val e = relType.fold(edges)(t => edges.filter(col(RelSetOps.RelType) === t))
+    val lp = graft.kg.GraphAlgos.labelPropagation(
+      e.select(col(RelSetOps.SrcId).as("a"), col(RelSetOps.DstId).as("b")), iters)
+    RelSetOps.withNodeId(nodes, mergeKeys)
+      .join(lp, col("_node_id") === lp("node"))
+      .drop("_node_id", "node")
+  }
+
+  /** HITS hubs/authorities over this graph's edges (optionally one rel
+    * type), both scores joined back to node rows —
+    * [[graft.kg.GraphAlgos.hits]].
+    */
+  def hits(mergeKeys: Seq[String], iters: Int, relType: Option[String] = None): DataFrame = {
+    val e = relType.fold(edges)(t => edges.filter(col(RelSetOps.RelType) === t))
+    val ha = graft.kg.GraphAlgos.hits(e, iters, RelSetOps.SrcId, RelSetOps.DstId)
+    RelSetOps.withNodeId(nodes, mergeKeys)
+      .join(ha, col("_node_id") === ha("n"))
+      .drop("_node_id", "n")
+  }
+
+  /** Personalized PageRank seeded at the nodes matching `filters` (random
+    * walk with restart to the seed set), ranks joined back to node rows —
+    * [[graft.kg.GraphAlgos.pageRankPersonalized]].
+    */
+  def pageRankPersonalized(labels: Seq[String], mergeKeys: Seq[String], iters: Int,
+                           filters: FieldFilter*): DataFrame =
+    pageRankPersonalized(labels, mergeKeys, iters, 0.85, None, filters: _*)
+
+  def pageRankPersonalized(labels: Seq[String], mergeKeys: Seq[String], iters: Int,
+                           damping: Double, relType: Option[String],
+                           filters: FieldFilter*): DataFrame = {
+    val sources = RelSetOps.withNodeId(matchNodes(labels, filters: _*), mergeKeys)
+      .select(col("_node_id").as("node"))
+    val e = relType.fold(edges)(t => edges.filter(col(RelSetOps.RelType) === t))
+    val pr = graft.kg.GraphAlgos.pageRankPersonalized(e, sources, iters, damping,
+      RelSetOps.SrcId, RelSetOps.DstId)
+    RelSetOps.withNodeId(nodes, mergeKeys)
+      .join(pr, col("_node_id") === pr("n"))
+      .drop("_node_id", "n")
+      .withColumnRenamed("r", "pagerank")
+  }
+
+  /** Weighted PageRank with an edge PROPERTY as the weight (e.g. a merged
+    * `support` count — heavily-evidenced relations carry more rank), ranks
+    * joined back to node rows — [[graft.kg.GraphAlgos.pageRankWeighted]].
+    */
+  def pageRankWeighted(mergeKeys: Seq[String], iters: Int, weightProp: String,
+                       damping: Double = 0.85, relType: Option[String] = None): DataFrame = {
+    val e = relType.fold(edges)(t => edges.filter(col(RelSetOps.RelType) === t))
+    val pr = graft.kg.GraphAlgos.pageRankWeighted(e, iters, damping,
+      RelSetOps.SrcId, RelSetOps.DstId, weightProp)
+    RelSetOps.withNodeId(nodes, mergeKeys)
+      .join(pr, col("_node_id") === pr("n"))
+      .drop("_node_id", "n")
+      .withColumnRenamed("r", "pagerank")
+  }
+
   /** B10 — point delete with DETACH semantics: remove matching nodes AND
     * every edge touching them.
     *
@@ -277,6 +339,14 @@ final case class Graph(nodes: DataFrame, edges: DataFrame) {
     * filtered subset of itself. This is also exactly the
     * `DELETE FROM nodes WHERE _node_id IN (...)` lowering the Iceberg path
     * wants (SURVEY §2 B10).
+    *
+    * ASSUMES id-unique node tables (the MERGE-maintained invariant: one row
+    * per (labels, mergeKeys) identity). On a table holding duplicate-identity
+    * rows (possible only via the blind-append CREATE path), a non-key
+    * property filter matching ONE of the duplicates dooms every row sharing
+    * that id — id-level deletion is the semantic here, by design: edges are
+    * resolved per id, so leaving a same-id sibling row behind would strand
+    * edges pointing at a "deleted" identity.
     */
   def detachDeleteNodes(labels: Seq[String], mergeKeys: Seq[String], filters: FieldFilter*): Graph = {
     val doomed = matchNodes(labels, filters: _*)

@@ -8,10 +8,14 @@ import org.apache.spark.sql.types._
   * `binary` columns with a typed metadata struct; decode/feature steps are
   * per-partition batch transforms.
   *
-  * The actual codec work (JPEG decode, resampling, frame sampling) requires
-  * native libraries that are NOT in this container — those kernels are
-  * STUBBED with a deterministic fake (clearly marked below). Everything
-  * Spark-side is real and tested: the schema contract, the partitioning
+  * Codec status: PNG is decoded FOR REAL, pixels included (pure JVM —
+  * zlib/CRC32 via java.util.zip, all five scanline filters; see
+  * [[decodePng]]), and PNG/WAV/JPEG headers are parsed for real. Only the
+  * non-PNG PIXEL kernels (JPEG entropy decode, audio resampling, video
+  * frame decode) need native libraries that are NOT in this container —
+  * that one kernel is STUBBED with a deterministic fake (clearly marked
+  * below). Everything Spark-side is real and tested: the schema contract,
+  * the partitioning
   * (payloads are large → size-based repartition before the decode stage so
   * one task doesn't get 10 GB of video), the batched per-partition execution
   * shape (the Scala twin of `mapInPandas`: `mapPartitions` over an iterator,
@@ -93,12 +97,14 @@ object Multimodal {
       .drop("_pid", "_ord", "_bytes", "_offset", "_cum", "_bucket")
   }
 
-  /** ===== STUBBED KERNEL =====
+  /** ===== STUBBED KERNEL (non-PNG codecs only) =====
     * Real implementation decodes payload with an image/audio codec and runs
-    * a feature extractor. This container has no codec libs, so the kernel
-    * is a deterministic fake: checksum + an 8-dim feature derived from the
-    * bytes. The mapPartitions shape (batch iterator, per-partition setup
-    * happening ONCE before the loop) is the real contract.
+    * a feature extractor. For PNG that decode EXISTS — see [[decodePixels]];
+    * for JPEG scans / audio / video this container has no codec libs, so
+    * this generic kernel is a deterministic fake: checksum + an 8-dim
+    * feature derived from the bytes. The mapPartitions shape (batch
+    * iterator, per-partition setup happening ONCE before the loop) is the
+    * real contract.
     */
   def extractFeatures(media: DataFrame): Dataset[MediaFeature] = {
     val spark = media.sparkSession
@@ -220,17 +226,228 @@ object Multimodal {
   private def parseJpegSof(id: Long, b: Array[Byte]): ParsedMedia = {
     var i = 2
     while (i + 3 < b.length && (b(i) & 0xFF) == 0xFF) {
-      val m = b(i + 1) & 0xFF
-      if (m >= 0xC0 && m <= 0xC3) {
-        if (i + 8 < b.length)
-          return ParsedMedia(id, "jpeg",
-            Some(readBe16(b, i + 7)), Some(readBe16(b, i + 5)), None, None)
-        else return ParsedMedia(id, "unknown", None, None, None, None)
+      // 0xFF fill (padding) bytes may precede any marker: the marker byte is
+      // the first non-0xFF after the run, so advance over the run instead of
+      // mis-reading the second 0xFF as a marker id.
+      if ((b(i + 1) & 0xFF) == 0xFF) { i += 1 }
+      else {
+        val m = b(i + 1) & 0xFF
+        if (m >= 0xC0 && m <= 0xC3) {
+          if (i + 8 < b.length)
+            return ParsedMedia(id, "jpeg",
+              Some(readBe16(b, i + 7)), Some(readBe16(b, i + 5)), None, None)
+          else return ParsedMedia(id, "unknown", None, None, None, None)
+        }
+        // EOI ends the stream; SOS starts entropy-coded data, which a
+        // segment-length walk cannot cross — both mean "no SOF found".
+        if (m == 0xD9 || m == 0xDA)
+          return ParsedMedia(id, "unknown", None, None, None, None)
+        if (m == 0x01 || (m >= 0xD0 && m <= 0xD8)) i += 2
+        else i += 2 + readBe16(b, i + 2)
       }
-      if (m == 0x01 || (m >= 0xD0 && m <= 0xD8)) i += 2
-      else i += 2 + readBe16(b, i + 2)
     }
     ParsedMedia(id, "unknown", None, None, None, None)
+  }
+
+  // ===== REAL PIXEL CODEC: PNG (pure JVM — zlib + CRC32 are java.util.zip) =====
+  // Closes the former pixel-decode stub for the PNG format: a complete
+  // encoder (real chunk CRCs, Deflater-compressed IDAT, per-row filters) and
+  // decoder (chunk walk + CRC verify, Inflater, all five scanline unfilters:
+  // None/Sub/Up/Average/Paeth). 8-bit, non-interlaced, color types 0 (grey),
+  // 2 (RGB), 6 (RGBA). Other PNG flavors (palette, 16-bit, interlaced) and
+  // non-PNG codecs (JPEG entropy decode) degrade to None — malformed or
+  // unsupported media must skip, not kill the job.
+
+  final case class PngImage(width: Int, height: Int, channels: Int,
+                            pixels: Array[Byte])
+
+  private def pngChannels(colorType: Int): Int = colorType match {
+    case 0 => 1; case 2 => 3; case 6 => 4; case _ => -1
+  }
+
+  private def chunk(ctype: String, data: Array[Byte]): Array[Byte] = {
+    val body = ctype.getBytes("US-ASCII") ++ data
+    val crc = new java.util.zip.CRC32
+    crc.update(body)
+    be32(data.length) ++ body ++ be32(crc.getValue.toInt)
+  }
+
+  /** Encode a complete, spec-valid PNG. `pixels` is row-major interleaved
+    * (channels per [[pngChannels]]); the scanline filter VARIES per row
+    * (row % 5) so every filter type appears in the stream — a decoder that
+    * gets any unfilter wrong cannot round-trip these bytes.
+    */
+  def pngBytes(img: PngImage): Array[Byte] = {
+    val colorType = img.channels match {
+      case 1 => 0; case 3 => 2; case 4 => 6
+      case c => throw new IllegalArgumentException(s"unsupported channel count $c")
+    }
+    require(img.pixels.length == img.width * img.height * img.channels,
+      s"pixel buffer ${img.pixels.length} != ${img.width}x${img.height}x${img.channels}")
+    val bpp = img.channels
+    val stride = img.width * bpp
+    val raw = new Array[Byte](img.height * (stride + 1))
+    var y = 0
+    while (y < img.height) {
+      val f = y % 5
+      raw(y * (stride + 1)) = f.toByte
+      var i = 0
+      while (i < stride) {
+        val cur = img.pixels(y * stride + i) & 0xFF
+        val left = if (i >= bpp) img.pixels(y * stride + i - bpp) & 0xFF else 0
+        val up = if (y > 0) img.pixels((y - 1) * stride + i) & 0xFF else 0
+        val ul = if (y > 0 && i >= bpp) img.pixels((y - 1) * stride + i - bpp) & 0xFF else 0
+        val pred = f match {
+          case 0 => 0
+          case 1 => left
+          case 2 => up
+          case 3 => (left + up) / 2
+          case 4 => paeth(left, up, ul)
+        }
+        raw(y * (stride + 1) + 1 + i) = ((cur - pred) & 0xFF).toByte
+        i += 1
+      }
+      y += 1
+    }
+    val deflater = new java.util.zip.Deflater(java.util.zip.Deflater.DEFAULT_COMPRESSION)
+    deflater.setInput(raw); deflater.finish()
+    val buf = new java.io.ByteArrayOutputStream()
+    val tmp = new Array[Byte](8192)
+    while (!deflater.finished()) buf.write(tmp, 0, deflater.deflate(tmp))
+    deflater.end()
+    val ihdr = be32(img.width) ++ be32(img.height) ++
+      Array[Byte](8, colorType.toByte, 0, 0, 0)
+    PngSig ++ chunk("IHDR", ihdr) ++ chunk("IDAT", buf.toByteArray) ++
+      chunk("IEND", Array.empty)
+  }
+
+  private def paeth(a: Int, b: Int, c: Int): Int = {
+    val p = a + b - c
+    val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
+    if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+  }
+
+  /** Decode a PNG payload: chunk walk (CRC-verified), concatenated-IDAT
+    * Inflater, per-scanline unfilter. Returns None for anything outside the
+    * supported envelope (8-bit non-interlaced grey/RGB/RGBA) or corrupt
+    * bytes.
+    */
+  def decodePng(payload: Array[Byte]): Option[PngImage] = {
+    try {
+      val b = if (payload == null) Array.empty[Byte] else payload
+      if (b.length < 8 || !b.take(8).sameElements(PngSig)) return None
+      var i = 8
+      var width = -1; var height = -1; var channels = -1
+      val idat = new java.io.ByteArrayOutputStream()
+      var sawEnd = false
+      while (!sawEnd && i + 8 <= b.length) {
+        val len = readBe32(b, i)
+        if (len < 0 || i + 12 + len > b.length) return None
+        val ctype = new String(b.slice(i + 4, i + 8), "US-ASCII")
+        val crc = new java.util.zip.CRC32
+        crc.update(b, i + 4, 4 + len)
+        if (crc.getValue.toInt != readBe32(b, i + 8 + len)) return None
+        ctype match {
+          case "IHDR" =>
+            if (len != 13) return None
+            width = readBe32(b, i + 8); height = readBe32(b, i + 12)
+            val bitDepth = b(i + 16) & 0xFF
+            channels = pngChannels(b(i + 17) & 0xFF)
+            val interlace = b(i + 20) & 0xFF
+            if (bitDepth != 8 || channels < 0 || interlace != 0 ||
+                width <= 0 || height <= 0) return None
+          case "IDAT" => idat.write(b, i + 8, len)
+          case "IEND" => sawEnd = true
+          case _ => () // ancillary chunks skipped
+        }
+        i += 12 + len
+      }
+      if (width < 0 || !sawEnd || idat.size == 0) return None
+      val bpp = channels
+      val stride = width * bpp
+      val raw = new Array[Byte](height * (stride + 1))
+      val inflater = new java.util.zip.Inflater()
+      inflater.setInput(idat.toByteArray)
+      var off = 0
+      while (off < raw.length && !inflater.finished()) {
+        val n = inflater.inflate(raw, off, raw.length - off)
+        if (n == 0 && inflater.needsInput()) return None // truncated stream
+        off += n
+      }
+      inflater.end()
+      if (off != raw.length) return None
+      val px = new Array[Byte](height * stride)
+      var y = 0
+      while (y < height) {
+        val f = raw(y * (stride + 1)) & 0xFF
+        if (f > 4) return None
+        var j = 0
+        while (j < stride) {
+          val filt = raw(y * (stride + 1) + 1 + j) & 0xFF
+          val left = if (j >= bpp) px(y * stride + j - bpp) & 0xFF else 0
+          val up = if (y > 0) px((y - 1) * stride + j) & 0xFF else 0
+          val ul = if (y > 0 && j >= bpp) px((y - 1) * stride + j - bpp) & 0xFF else 0
+          val pred = f match {
+            case 0 => 0
+            case 1 => left
+            case 2 => up
+            case 3 => (left + up) / 2
+            case 4 => paeth(left, up, ul)
+          }
+          px(y * stride + j) = ((filt + pred) & 0xFF).toByte
+          j += 1
+        }
+        y += 1
+      }
+      Some(PngImage(width, height, channels, px))
+    } catch { case _: Exception => None }
+  }
+
+  /** Deterministic synthetic PNG table with REAL pixel content:
+    * w = 8 + id%9, h = 8 + id%7, RGB, pixel(x,y,c) = (3x + 5y + 7·id +
+    * 11c) mod 256 — closed-form, so an oracle can recompute every pixel
+    * statistic without decoding anything.
+    */
+  def syntheticPngMedia(spark: SparkSession, n: Long): DataFrame = {
+    import spark.implicits._
+    spark.range(n).map { id =>
+      val w = 8 + (id % 9).toInt; val h = 8 + (id % 7).toInt
+      val px = new Array[Byte](w * h * 3)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          var c = 0
+          while (c < 3) {
+            px((y * w + x) * 3 + c) =
+              (((3L * x + 5L * y + 7L * id + 11L * c) % 256).toInt & 0xFF).toByte
+            c += 1
+          }
+          x += 1
+        }
+        y += 1
+      }
+      (id, pngBytes(PngImage(w, h, 3, px)))
+    }.toDF("media_id", "payload")
+  }
+
+  final case class DecodedPixels(media_id: Long, width: Int, height: Int,
+                                 channels: Int, pixels: Array[Int])
+
+  /** The decode KERNEL face over a media table — [[extractFeatures]]' batch
+    * shape with the real PNG codec: mapPartitions, per-row decode, pixels
+    * emitted unsigned so downstream Spark aggregation (stats, hashing,
+    * feature pooling) runs on plain int columns. Undecodable rows drop.
+    */
+  def decodePixels(media: DataFrame): Dataset[DecodedPixels] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        decodePng(bytes).map(img => DecodedPixels(id, img.width, img.height,
+          img.channels, img.pixels.map(_ & 0xFF)))
+      })
   }
 
   /** Deterministic synthetic media with REAL encoded headers: ids cycle

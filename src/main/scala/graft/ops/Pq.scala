@@ -54,10 +54,13 @@ object Pq {
     }.reduce(_ + _)
 
   /** Train per-subspace codebooks: deterministic seed pick (ksub
-    * lowest-id-hash vectors, sliced), then `iters` Lloyd rounds per
-    * subspace. Each round is ONE aggregation per subspace collecting ksub
-    * rows (count + d sums via element_at — no explode, corpus never
-    * shuffles); empty cells keep their previous centroid.
+    * lowest-id-hash vectors, sliced), then `iters` Lloyd rounds. Each round
+    * is ONE job for ALL m subspaces: every row explodes into m slim
+    * (subspace, code, subvector) structs over the same scan, one
+    * groupBy(subspace, code) computes every count + d-dim sum, and the
+    * driver collects m·ksub rows — so training cost is `iters` jobs total,
+    * not `iters·m` driver round-trips (the thing that dominates at a
+    * production m=64). Empty cells keep their previous centroid.
     */
   def train(embs: DataFrame, m: Int, ksub: Int, iters: Int,
             idCol: String = "vec_id", vecCol: String = "embedding"): Codebook = {
@@ -71,19 +74,21 @@ object Pq {
     var cents: Seq[Seq[Seq[Double]]] =
       (0 until m).map(j => seeds.toSeq.map(s => s.slice(j * d, (j + 1) * d).toSeq))
     for (_ <- 1 to iters) {
-      cents = (0 until m).map { j =>
+      val pieces = array((0 until m).map { j =>
         val sub = subvec(v, j, d)
-        val assign = nearestCode(sub, cents(j))
-        val sumCols = (0 until d).map(i => sum(element_at(col("sv"), i + 1)).as(s"s$i"))
-        val means = embs.select(assign.as("c"), sub.as("sv"))
-          .groupBy("c").agg(count(lit(1)).as("n"), sumCols: _*)
-          .collect()
-          .map { r =>
-            val n = r.getLong(1).toDouble
-            (r.getInt(0), (0 until d).map(i => r.getDouble(i + 2) / n))
-          }.toMap
-        cents(j).zipWithIndex.map { case (old, c) => means.getOrElse(c, old) }
-      }
+        struct(lit(j).as("j"), nearestCode(sub, cents(j)).as("c"), sub.as("sv"))
+      }: _*)
+      val sumCols = (0 until d).map(i => sum(element_at(col("sv"), i + 1)).as(s"s$i"))
+      val means = embs.select(explode(pieces).as("p"))
+        .select(col("p.j").as("j"), col("p.c").as("c"), col("p.sv").as("sv"))
+        .groupBy("j", "c").agg(count(lit(1)).as("n"), sumCols: _*)
+        .collect()
+        .map { r =>
+          val n = r.getLong(2).toDouble
+          ((r.getInt(0), r.getInt(1)), (0 until d).map(i => r.getDouble(i + 3) / n))
+        }.toMap
+      cents = (0 until m).map(j =>
+        cents(j).zipWithIndex.map { case (old, c) => means.getOrElse((j, c), old) })
     }
     Codebook(m, ksub, d, cents)
   }
@@ -201,6 +206,73 @@ object Pq {
       .filter(col("crk") <= nProbe)
       .select("query_id", "_qv", "_lut", "_qnorm", "cell")
     val approx = encCells.join(probe, "cell")
+      .filter(col("item_id") =!= col("query_id"))
+      .withColumn("acos",
+        adcCos(col("codes"), col("_lut"), col("_qnorm"), col("recon_norm"), cb.ksub))
+    val wA = Window.partitionBy(col("query_id")).orderBy(col("acos").desc, col("item_id"))
+    val cand = approx.withColumn("ark", row_number().over(wA))
+      .filter(col("ark") <= k * overscan)
+      .select("query_id", "item_id")
+    val c = corpus.select(col(idCol).as("item_id"),
+      transform(col(vecCol), x => x.cast("double")).as("_cv"))
+    val rescored = cand
+      .join(c, Seq("item_id"))
+      .join(broadcast(q.select(col("query_id"), col("_qv"))), Seq("query_id"))
+      .withColumn("cos", Similarity.cosine(col("_cv"), col("_qv")))
+    val wE = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("item_id"))
+    rescored.withColumn("rank", row_number().over(wE))
+      .filter(col("rank") <= k)
+      .select("query_id", "item_id", "rank", "cos")
+  }
+
+  /** Materialize the IVF-PQ encode projection as a cell-PARTITIONED table —
+    * the production layout the [[ivfPqTopK]] doc promises: the (item_id,
+    * codes, recon_norm) projection is written ONCE, partitioned by coarse
+    * cell, and every query batch serves its probe from it with PARTITION
+    * PRUNING doing the nProbe/nCells cut at the file-listing level (no scan
+    * of unprobed cells at all — in production this is the Iceberg
+    * partition-pruned read). One zero-shuffle projection + one write.
+    */
+  def writeEncoded(corpus: DataFrame, cb: Codebook, cents: Seq[(Long, Seq[Double])],
+                   path: String,
+                   idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+    val v = transform(col(vecCol), x => x.cast("double"))
+    corpus.select(col(idCol).as("item_id"),
+        array((0 until cb.m).map(j => encodeCode(v, cb, j)): _*).as("codes"),
+        reconNormCol(v, cb).as("recon_norm"),
+        Similarity.nearestCell(v, cents).as("cell"))
+      .write.partitionBy("cell").mode("overwrite").parquet(path)
+  }
+
+  /** IVF-PQ top-k served FROM the materialized table written by
+    * [[writeEncoded]]: the probe ranks cells per query against the (tiny,
+    * driver-literal) centroid set, the UNION of probed cells becomes a
+    * static `cell IN (...)` filter — visible as PartitionFilters on the
+    * scan, so unprobed cells are never read — and the ADC/overscan/rescore
+    * pipeline is identical to the in-memory path (value-identical results).
+    */
+  def ivfPqTopKFromTable(encPath: String, corpus: DataFrame, queries: DataFrame,
+                         k: Int, cb: Codebook, cents: Seq[(Long, Seq[Double])],
+                         nProbe: Int, overscan: Int = 4,
+                         idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val qv = transform(col(vecCol), x => x.cast("double"))
+    val centDf = cents.toDF("cell", "cv")
+    val q = queries.select(col(idCol).as("query_id"), qv.as("_qv"),
+      lutFlat(qv, cb).as("_lut"), Similarity.norm(qv).as("_qnorm"))
+    val probe = q.join(broadcast(centDf))
+      .withColumn("ccos", Similarity.cosine(col("_qv"), col("cv")))
+      .withColumn("crk", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("ccos").desc, col("cell"))))
+      .filter(col("crk") <= nProbe)
+      .select("query_id", "_qv", "_lut", "_qnorm", "cell")
+    // the probed-cell union is nQueries×nProbe longs — collecting it is how
+    // a STATIC partition filter is fed to the scan (file-level pruning)
+    val probedCells = probe.select("cell").distinct().as[Long].collect().toSeq
+    val enc = spark.read.parquet(encPath)
+      .filter(col("cell").isin(probedCells: _*))
+    val approx = enc.join(probe, "cell")
       .filter(col("item_id") =!= col("query_id"))
       .withColumn("acos",
         adcCos(col("codes"), col("_lut"), col("_qnorm"), col("recon_norm"), cb.ksub))

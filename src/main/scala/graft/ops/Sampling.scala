@@ -49,6 +49,14 @@ object Sampling {
     * independence a train/val/test split implies. Two coprime folds
     * collide only for ids congruent mod FoldPrime·FoldPrime2 ≈ 1e12, which
     * pushes the aliasing horizon past the 10^12-row design scale.
+    *
+    * HASH VERSION 2 (the double-fold above). Version 1 was the single
+    * fold-multiply round; adding the second round changed every bucket /
+    * split / pack assignment. Splits PERSISTED under v1 do not match v2
+    * assignments — downstream consumers of stored train/val/test membership
+    * must either re-derive their splits or keep reading the stored
+    * membership columns rather than recomputing them. (All in-repo oracles,
+    * tests, and gates compute v2.)
     */
   def bucket(id: Column, salt: Long): Column =
     pmod(

@@ -116,6 +116,30 @@ object IncrementalPipeline {
     def edges: Option[DataFrame] = runner.readLatest(EdgesStage)
   }
 
+  /** Durable stream over PRE-EXTRACTED triples (subj, pred, obj) — the
+    * face for pipelines whose extraction already happened upstream (or in a
+    * different system): each micro-batch MERGEs through the same
+    * batch-id-idempotent snapshot commits as [[startDurable]].
+    */
+  def startDurableTriples(spark: SparkSession, inputDir: String, checkpointDir: String,
+                          state: DurableGraphState,
+                          maxFilesPerTrigger: Option[Int] = Some(1)): StreamingQuery = {
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("subj", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("pred", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("obj", org.apache.spark.sql.types.StringType)))
+    val reader = spark.readStream.schema(schema)
+    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+    val stream = reader.parquet(inputDir)
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        state.mergeBatch(batch, batchId)
+      }
+      .start()
+  }
+
   /** The durable stream: same source/trigger contract as [[start]], but
     * micro-batches merge through snapshot commits keyed by the streaming
     * batch id (stable across checkpoint restarts).

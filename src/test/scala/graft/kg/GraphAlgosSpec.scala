@@ -217,6 +217,28 @@ class GraphAlgosSpec extends SparkSpec {
     assert(got("a")._1 > got("b")._1 && got("a")._1 > got("w")._1)
   }
 
+  test("labelPropagation: two cliques with a bridge settle into two communities") {
+    // clique A {1,2,3,4}, clique B {11,12,13,14}, bridge 4-11
+    val cliqueEdges = (for {
+      g <- Seq(Seq(1L, 2L, 3L, 4L), Seq(11L, 12L, 13L, 14L))
+      i <- g; j <- g if i < j
+    } yield (i, j)) :+ ((4L, 11L))
+    val e = cliqueEdges.toDF("a", "b")
+    val out = GraphAlgos.labelPropagation(e, iters = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(out.size == 8)
+    assert(Seq(1L, 2L, 3L, 4L).forall(out(_) == 1L), out.toString)
+    assert(Seq(11L, 12L, 13L, 14L).forall(out(_) == 11L), out.toString)
+    // iters = 0 → every node keeps its own label
+    val self = GraphAlgos.labelPropagation(e, iters = 0)
+      .as[(Long, Long)].collect().toMap
+    assert(self.forall { case (n, l) => n == l })
+    // synchronous determinism: a rerun produces the identical labeling
+    val rerun = GraphAlgos.labelPropagation(e, iters = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(rerun == out)
+  }
+
   test("kCore peels to the unique maximal k-core (brute-force reference)") {
     // K4 {a,b,c,d} + a tail c-e, e-f: 3-core = K4 exactly; 2-core = K4 too
     // (e has degree 2 only until f peels, then e peels)

@@ -89,6 +89,28 @@ class GraphSpec extends SparkSpec {
     assert(g.kCore(Seq("name"), 2).count() == 0)
   }
 
+  test("analytics faces: hits, personalized + weighted pageRank join back to node rows") {
+    val g = graph // alice→bob(90), alice→carol(50), bob→dave(70)
+    val ha = g.hits(Seq("name"), iters = 2)
+      .select("name", "hub", "auth").as[(String, Double, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(ha.size == 4)
+    assert(ha("alice")._1 > ha("dave")._1) // alice is the hub, dave points nowhere
+    assert(ha("bob")._2 > ha("alice")._2)  // bob is pointed at; alice is not
+    // personalized: restart at dave → rank concentrates on dave, alice gets 0
+    val ppr = g.pageRankPersonalized(Seq("Person"), Seq("name"), iters = 3,
+        filters = FieldFilter("name", FilterOp.Eq, "dave"))
+      .select("name", "pagerank").as[(String, Double)].collect().toMap
+    assert(ppr.size == 4 && ppr("dave") > ppr("bob") && ppr("alice") == 0.0)
+    // weighted: boost alice→carol (score 50 vs 90) — with weight=score,
+    // bob gets 90/140 of alice's outflow vs 1/2 uniform, so bob's rank rises
+    val uni = g.pageRank(Seq("name"), iters = 3)
+      .select("name", "pagerank").as[(String, Double)].collect().toMap
+    val wtd = g.pageRankWeighted(Seq("name"), iters = 3, weightProp = "score")
+      .select("name", "pagerank").as[(String, Double)].collect().toMap
+    assert(wtd.size == 4 && wtd("bob") > uni("bob") && wtd("carol") < uni("carol"))
+  }
+
   test("1-hop traversal with source anchor + rel filter (test_model.py:583-665)") {
     val g = graph
     val out = g.traverse(

@@ -92,6 +92,50 @@ class MultimodalSpec extends SparkSpec {
       Multimodal.jpegHeaderBytes(8, 8).dropRight(12)).format == "unknown")
   }
 
+  test("PNG pixel codec round-trips grey/RGB/RGBA through all five filters") {
+    for (ch <- Seq(1, 3, 4)) {
+      val w = 13; val h = 11 // h > 5 → every filter type 0-4 appears
+      val px = Array.tabulate(w * h * ch)(i => ((i * 37 + ch * 101) % 256).toByte)
+      val img = Multimodal.PngImage(w, h, ch, px)
+      val decoded = Multimodal.decodePng(Multimodal.pngBytes(img))
+      assert(decoded.isDefined, s"channels=$ch failed to decode")
+      val d = decoded.get
+      assert(d.width == w && d.height == h && d.channels == ch)
+      assert(d.pixels.sameElements(px), s"channels=$ch pixel mismatch")
+    }
+  }
+
+  test("PNG decode degrades on corrupt, truncated, or unsupported bytes") {
+    val good = Multimodal.pngBytes(Multimodal.PngImage(4, 4, 3,
+      Array.tabulate(48)(_.toByte)))
+    assert(Multimodal.decodePng(good).isDefined)
+    // flipped byte inside IDAT → CRC mismatch → None, not garbage pixels
+    val corrupt = good.clone(); corrupt(good.length - 20) = (corrupt(good.length - 20) ^ 0x5A).toByte
+    assert(Multimodal.decodePng(corrupt).isEmpty)
+    assert(Multimodal.decodePng(good.dropRight(8)).isEmpty)    // truncated
+    assert(Multimodal.decodePng(Array[Byte](1, 2, 3)).isEmpty) // not a PNG
+    assert(Multimodal.decodePng(null).isEmpty)
+    // header-only PNG (CRC zeroed, no IDAT) parses as header but not pixels
+    assert(Multimodal.decodePng(Multimodal.pngHeaderBytes(8, 8)).isEmpty)
+  }
+
+  test("distributed pixel decode matches the closed-form pixel formula") {
+    val media = Multimodal.syntheticPngMedia(spark, 30)
+    val out = Multimodal.decodePixels(media).collect()
+    assert(out.length == 30)
+    out.foreach { d =>
+      val id = d.media_id
+      assert(d.width == 8 + (id % 9).toInt && d.height == 8 + (id % 7).toInt && d.channels == 3)
+      var i = 0
+      while (i < d.pixels.length) {
+        val c = i % 3; val x = (i / 3) % d.width; val y = i / (3 * d.width)
+        assert(d.pixels(i) == ((3L * x + 5L * y + 7L * id + 11L * c) % 256).toInt,
+          s"id=$id x=$x y=$y c=$c")
+        i += 1
+      }
+    }
+  }
+
   test("distributed header parse recovers every generated parameter") {
     val media = Multimodal.syntheticEncodedMedia(spark, 100)
     val parsed = Multimodal.parseHeaders(media).collect()

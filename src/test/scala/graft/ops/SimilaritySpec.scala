@@ -189,6 +189,23 @@ class SimilaritySpec extends SparkSpec {
     assert(exactDf.exceptAll(full).count() == 0 && full.exceptAll(exactDf).count() == 0)
   }
 
+  test("materialized IVF-PQ table reproduces the in-memory path with partition pruning") {
+    val corpus = clusteredCorpus(200)
+    val queries = corpus.filter($"vec_id" < 10)
+    val cb = Pq.train(corpus, m = 4, ksub = 8, iters = 2)
+    val cents = Similarity.seedCentroids(corpus, 8)
+    val encPath = tmpDir("graft-ivfpq-enc-spec")
+    Pq.writeEncoded(corpus, cb, cents, encPath)
+    val mem = Pq.ivfPqTopK(corpus, queries, 5, cb, nCells = 8, nProbe = 3)
+    val mat = Pq.ivfPqTopKFromTable(encPath, corpus, queries, 5, cb, cents, nProbe = 3)
+    assert(mem.exceptAll(mat).count() == 0 && mat.exceptAll(mem).count() == 0)
+    // the scan must carry a partition filter on cell — unprobed cells are
+    // pruned at the file-listing level, not scanned-and-filtered
+    val plan = mat.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert("PartitionFilters: \\[[^\\]]*cell[^\\]]*\\]".r.findFirstIn(plan).isDefined, plan)
+  }
+
   test("k-means keeps a previous centroid when its cell goes empty") {
     // 3 vectors, 3 cells: after one iteration each centroid is its own mean;
     // ask for more cells than distinct clusters to exercise the guard
