@@ -525,6 +525,15 @@ object Queries {
   /** Deterministic train/val/test split assignment (80/10/10) — every row
     * lands in exactly one split on every rerun and every engine.
     */
+  /** Temperature-balanced mix (alpha = 0.5, ~200 target rows): rare
+    * languages keep a larger fraction than abundant ones (∝ sqrt of the
+    * stratum count). Integer-threshold formula → value-exact SQL oracle.
+    */
+  def sampleTemperature(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Sampling.sampleTemperature(t(s, dir, "documents"), "lang",
+        alpha = 0.5, targetRows = 200, salt = 5)
+      .select("doc_id", "lang")
+
   def splitAssign(s: SparkSession, dir: String): DataFrame =
     graft.ops.Sampling.splitAssign(
         t(s, dir, "documents"), Seq("train", "val", "test"), Seq(0.8, 0.1, 0.1), salt = 3L)

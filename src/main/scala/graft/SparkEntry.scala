@@ -68,6 +68,7 @@ object SparkEntry {
     "q_quality"              -> (Queries.quality _),
     "q_fingerprint"          -> (Queries.fingerprint _),
     "q_sample_stratified"    -> (Queries.sampleStratified _),
+    "q_sample_temperature"   -> (Queries.sampleTemperature _),
     "q_split"                -> (Queries.splitAssign _),
     "q_quota_topk"           -> (Queries.quotaTopk _),
     "q_repetition"           -> (Queries.repetition _),
@@ -405,6 +406,22 @@ object SparkEntry {
         |WHERE (((((doc_id + 7) % 1000003) * 2654435761 + 7) % 1000000)
         |       + ((((doc_id + 7) % 999983) * 2246822518) % 1000000)) % 1000000 <
         |      (CASE WHEN lang = 'en' THEN 300000 ELSE 800000 END)""".stripMargin,
+
+    // temperature mix (alpha = 0.5): weight = floor(sqrt(n)) is exact in
+    // IEEE doubles on both engines, everything after is integer arithmetic
+    // (floor division) — membership reproduces bit-for-bit
+    "q_sample_temperature" ->
+      """WITH cnt AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
+        |wt AS (SELECT lang, n,
+        |         GREATEST(1, CAST(FLOOR(SQRT(n)) AS BIGINT)) AS w FROM cnt),
+        |z AS (SELECT CAST(SUM(w) AS BIGINT) AS z FROM wt),
+        |thr AS (SELECT lang,
+        |          LEAST(1000000, (1000000 * 200 * w) // (z.z * n)) AS t
+        |        FROM wt, z)
+        |SELECT d.doc_id, d.lang
+        |FROM documents d JOIN thr USING (lang)
+        |WHERE (((((doc_id + 5) % 1000003) * 2654435761 + 5) % 1000000)
+        |       + ((((doc_id + 5) % 999983) * 2246822518) % 1000000)) % 1000000 < thr.t""".stripMargin,
 
     "q_split" ->
       """SELECT doc_id,

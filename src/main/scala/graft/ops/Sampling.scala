@@ -110,6 +110,49 @@ object Sampling {
     df.withColumn(splitCol, assign)
   }
 
+  /** Temperature-balanced mix sampling — the multilingual-LM rebalance:
+    * keep stratum s with probability ∝ n_s^alpha (alpha < 1 flattens the
+    * head, boosts the tail), targeting ~`targetRows` kept rows overall.
+    *
+    * Two passes: (1) one small aggregation collects the per-stratum counts
+    * (strata are human-scale — languages, sources); (2) the per-stratum
+    * keep thresholds are inlined as a LITERAL map over the deterministic
+    * [[bucket]], so the sweep over the corpus is a single codegen'd filter
+    * with zero shuffles — same 10^12-row shape as [[sampleStratified]].
+    *
+    * Engine-portable determinism: the threshold math is INTEGER once the
+    * weight w_s = floor(n_s^alpha) is fixed — threshold_s = min(Buckets,
+    * Buckets·T·w_s / (Z·n_s) in integer division) — and for alpha = 0.5
+    * the weight uses sqrt, which IEEE 754 rounds correctly in every engine
+    * (floor(sqrt) is exact for n < 1e14), so an external SQL oracle
+    * reproduces membership bit-for-bit. Other alphas use pow, which may
+    * differ in the last ulp across engines: fine for production, not for a
+    * value-exact cross-engine gate.
+    */
+  def sampleTemperature(df: DataFrame, strataCol: String, alpha: Double,
+                        targetRows: Long, idCol: String = "doc_id",
+                        salt: Long = 0L): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"alpha must be in (0,1], got $alpha")
+    require(targetRows > 0, s"targetRows must be positive, got $targetRows")
+    val counts = df.groupBy(col(strataCol)).agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
+    val weights = counts.map { case (k, n) =>
+      val w = if (alpha == 0.5) math.floor(math.sqrt(n.toDouble)).toLong
+              else math.floor(math.pow(n.toDouble, alpha)).toLong
+      (k, n, math.max(1L, w))
+    }
+    val z = weights.map(_._3).sum
+    val entries = weights.flatMap { case (k, n, w) =>
+      // integer arithmetic after the weight: floor(Buckets·T·w / (Z·n)),
+      // capped at Buckets (a tail stratum whose quota exceeds its size is
+      // kept whole). Buckets·T·w stays < 2^63 for T·w < 9e12.
+      val thr = math.min(Buckets, Buckets * targetRows * w / (z * n))
+      Seq(lit(k), lit(thr))
+    }
+    df.filter(bucket(col(idCol), salt) <
+      coalesce(element_at(map(entries.toIndexedSeq: _*), col(strataCol)), lit(0L)))
+  }
+
   /** Exact top-`n` rows per group by an explicit ordering — the per-domain
     * quality quota: "keep the N best documents per language/source". The
     * ordering must be made total by the caller (tiebreak on the id) so

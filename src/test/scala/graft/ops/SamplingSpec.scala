@@ -45,6 +45,31 @@ class SamplingSpec extends SparkSpec {
     assert(out.count() == 200)
   }
 
+  test("temperature sampling flattens the mix: rare strata keep a larger fraction") {
+    // en:800, es:200 → sqrt weights ~28:14 → es quota per doc is 2× en's
+    val kept = Sampling.sampleTemperature(docs, "lang", alpha = 0.5,
+        targetRows = 300, salt = 2L)
+      .groupBy("lang").count().collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val enFrac = kept.getOrElse("en", 0L).toDouble / 800
+    val esFrac = kept.getOrElse("es", 0L).toDouble / 200
+    assert(esFrac > enFrac * 1.5, s"es frac $esFrac should be ~2x en frac $enFrac")
+    val total = kept.values.sum
+    assert(math.abs(total - 300L) < 90, s"kept $total of ~300")
+    // deterministic: rerun picks the identical rows
+    val a = Sampling.sampleTemperature(docs, "lang", 0.5, 300, salt = 2L)
+      .collect().map(_.getLong(0)).toSet
+    val b = Sampling.sampleTemperature(docs, "lang", 0.5, 300, salt = 2L)
+      .collect().map(_.getLong(0)).toSet
+    assert(a == b)
+    // alpha = 1 reduces to proportional (uniform rate across strata)
+    val prop = Sampling.sampleTemperature(docs, "lang", alpha = 1.0,
+        targetRows = 300, salt = 2L)
+      .groupBy("lang").count().collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val pEn = prop.getOrElse("en", 0L).toDouble / 800
+    val pEs = prop.getOrElse("es", 0L).toDouble / 200
+    assert(math.abs(pEn - pEs) < 0.12, s"alpha=1 should be ~proportional: $pEn vs $pEs")
+  }
+
   test("split assignment partitions every row into exactly one split") {
     val out = Sampling.splitAssign(docs, Seq("train", "val", "test"),
       Seq(0.8, 0.1, 0.1), salt = 3L)
