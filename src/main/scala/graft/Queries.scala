@@ -1263,4 +1263,26 @@ object Queries {
       .agg(count(lit(1)).as("n_px"), round(avg(col("v")), 6).as("mean"),
         min(col("v")).as("vmin"), max(col("v")).as("vmax"))
   }
+
+  /** WAV sample-decode gate — the audio half of the former decode stub made
+    * real and VALUE-exact: encode 90 deterministic PCM16 WAVs (mono and
+    * stereo, word-aligned ancillary chunks on every fourth file), decode
+    * them back with the pure-JVM codec, and aggregate per-(file, channel)
+    * sample statistics with Spark SQL. The sample formula is closed-form in
+    * (id, frame, channel), so the DuckDB oracle recomputes every
+    * count/mean/min/max/power without touching a codec — any endianness
+    * slip, chunk-walk bug, or de-interleave error breaks the hash.
+    */
+  def audioStats(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Multimodal
+    val media = Multimodal.syntheticWavMedia(s, 90)
+    Multimodal.decodeSamples(media).toDF()
+      .select(col("media_id"), col("sample_rate"), col("channels"),
+        posexplode(col("samples")).as(Seq("pos", "v")))
+      .groupBy(col("media_id"), col("sample_rate"),
+        pmod(col("pos"), col("channels")).cast("int").as("channel"))
+      .agg(count(lit(1)).as("n_samp"), round(avg(col("v")), 6).as("mean"),
+        min(col("v")).as("vmin"), max(col("v")).as("vmax"),
+        round(avg(col("v") * col("v")), 6).as("mean_sq"))
+  }
 }

@@ -106,7 +106,8 @@ object SparkEntry {
 
     "q_multimodal"           -> (Queries.multimodal _),
     "q_media_meta"           -> (Queries.mediaMeta _),
-    "q_pixel_stats"          -> (Queries.pixelStats _)
+    "q_pixel_stats"          -> (Queries.pixelStats _),
+    "q_audio_stats"          -> (Queries.audioStats _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -614,6 +615,24 @@ object SparkEntry {
         |       count(*) AS n_px, ROUND(AVG(v), 6) AS mean,
         |       CAST(MIN(v) AS INTEGER) AS vmin, CAST(MAX(v) AS INTEGER) AS vmax
         |FROM px GROUP BY 1, 2""".stripMargin,
+
+    // WAV sample decode: the oracle recomputes the closed-form PCM samples
+    // (integer arithmetic; AVG sums stay exact in doubles) — the codec
+    // itself never runs in DuckDB
+    "q_audio_stats" ->
+      """WITH ids AS (SELECT range AS id FROM range(0, 90)),
+        |fs AS (SELECT range AS f FROM range(0, 100)),
+        |chs AS (SELECT range AS c FROM range(0, 2)),
+        |au AS (SELECT id, CAST(8000 + (id % 3) * 4000 AS INTEGER) AS sample_rate,
+        |              1 + id % 2 AS nch, 50 + id % 50 AS nframes FROM ids),
+        |smp AS (SELECT id, sample_rate, c,
+        |               ((13 * f + 7 * id + 17 * c) % 4001) - 2000 AS v
+        |        FROM au, fs, chs WHERE f < nframes AND c < nch)
+        |SELECT id AS media_id, sample_rate, CAST(c AS INTEGER) AS channel,
+        |       count(*) AS n_samp, ROUND(AVG(v), 6) AS mean,
+        |       CAST(MIN(v) AS INTEGER) AS vmin, CAST(MAX(v) AS INTEGER) AS vmax,
+        |       ROUND(AVG(v * v), 6) AS mean_sq
+        |FROM smp GROUP BY 1, 2, 3""".stripMargin,
 
     "q_pack" ->
       """WITH base AS (

@@ -10,11 +10,11 @@ import org.apache.spark.sql.types._
   *
   * Codec status: PNG is decoded FOR REAL, pixels included (pure JVM —
   * zlib/CRC32 via java.util.zip, all five scanline filters; see
-  * [[decodePng]]), and PNG/WAV/JPEG headers are parsed for real. Only the
-  * non-PNG PIXEL kernels (JPEG entropy decode, audio resampling, video
-  * frame decode) need native libraries that are NOT in this container —
-  * that one kernel is STUBBED with a deterministic fake (clearly marked
-  * below). Everything Spark-side is real and tested: the schema contract,
+  * [[decodePng]]), WAV PCM16 samples are decoded for real (RIFF chunk
+  * walk; see [[decodeWav]]), and PNG/WAV/JPEG headers are parsed for
+  * real. Only the JPEG ENTROPY decode and video frame kernels need codec
+  * libraries that are NOT in this container — that one kernel is STUBBED
+  * with a deterministic fake (clearly marked below). Everything Spark-side is real and tested: the schema contract,
   * the partitioning
   * (payloads are large → size-based repartition before the decode stage so
   * one task doesn't get 10 GB of video), the batched per-partition execution
@@ -97,11 +97,12 @@ object Multimodal {
       .drop("_pid", "_ord", "_bytes", "_offset", "_cum", "_bucket")
   }
 
-  /** ===== STUBBED KERNEL (non-PNG codecs only) =====
+  /** ===== STUBBED KERNEL (JPEG-scan / video codecs only) =====
     * Real implementation decodes payload with an image/audio codec and runs
-    * a feature extractor. For PNG that decode EXISTS — see [[decodePixels]];
-    * for JPEG scans / audio / video this container has no codec libs, so
-    * this generic kernel is a deterministic fake: checksum + an 8-dim
+    * a feature extractor. For PNG pixels that decode EXISTS — see
+    * [[decodePixels]] — and for WAV samples see [[decodeSamples]]; for JPEG
+    * entropy scans / video this container has no codec libs, so this
+    * generic kernel is a deterministic fake: checksum + an 8-dim
     * feature derived from the bytes. The mapPartitions shape (batch
     * iterator, per-partition setup happening ONCE before the loop) is the
     * real contract.
@@ -447,6 +448,139 @@ object Multimodal {
       .mapPartitions(_.flatMap { case (id, bytes) =>
         decodePng(bytes).map(img => DecodedPixels(id, img.width, img.height,
           img.channels, img.pixels.map(_ & 0xFF)))
+      })
+  }
+
+  // ===== REAL SAMPLE CODEC: WAV PCM16 (pure JVM — RIFF is plain bytes) =====
+  // Closes the former sample-decode stub for the WAV format: a complete
+  // encoder (RIFF/fmt/data with word-aligned ancillary chunks) and decoder
+  // (chunk walk, PCM16 little-endian samples). Non-PCM format codes,
+  // non-16-bit depths, truncated or misaligned payloads degrade to None —
+  // malformed media must skip, not kill the job.
+
+  final case class WavAudio(sampleRate: Int, channels: Int,
+                            samples: Array[Short])
+
+  /** Encode a complete, spec-valid WAV file. `samples` is frame-major
+    * interleaved PCM16; `ancillary` chunks (e.g. `cue `, `LIST`) are
+    * emitted between `fmt ` and `data`, padded to word alignment as the
+    * RIFF spec requires — a decoder that forgets the pad byte cannot
+    * round-trip an odd-length chunk.
+    */
+  def wavBytes(audio: WavAudio,
+               ancillary: Seq[(String, Array[Byte])] = Nil): Array[Byte] = {
+    require(audio.channels > 0, "channels must be positive")
+    require(audio.samples.length % audio.channels == 0,
+      s"sample count ${audio.samples.length} not a multiple of ${audio.channels} channels")
+    val data = new Array[Byte](audio.samples.length * 2)
+    var i = 0
+    while (i < audio.samples.length) {
+      val v = audio.samples(i)
+      data(2 * i) = (v & 0xFF).toByte
+      data(2 * i + 1) = ((v >> 8) & 0xFF).toByte
+      i += 1
+    }
+    val fmt = le16(1) ++ le16(audio.channels) ++ le32(audio.sampleRate) ++
+      le32(audio.sampleRate * audio.channels * 2) ++
+      le16(audio.channels * 2) ++ le16(16)
+    def ck(id: String, d: Array[Byte]): Array[Byte] =
+      id.getBytes("US-ASCII") ++ le32(d.length) ++ d ++
+        (if (d.length % 2 == 1) Array[Byte](0) else Array.empty[Byte])
+    val body = ck("fmt ", fmt) ++
+      ancillary.toArray.flatMap { case (id, d) => ck(id, d) } ++ ck("data", data)
+    "RIFF".getBytes("US-ASCII") ++ le32(4 + body.length) ++
+      "WAVE".getBytes("US-ASCII") ++ body
+  }
+
+  /** Decode a WAV payload: RIFF chunk walk (ancillary chunks skipped by
+    * their padded length), `fmt ` validation, `data` → interleaved PCM16
+    * samples. Returns None outside the supported envelope (PCM format
+    * code 1, 16-bit) or for corrupt/truncated bytes.
+    */
+  def decodeWav(payload: Array[Byte]): Option[WavAudio] = {
+    try {
+      val b = if (payload == null) Array.empty[Byte] else payload
+      if (b.length < 12 || new String(b.take(4), "US-ASCII") != "RIFF" ||
+          new String(b.slice(8, 12), "US-ASCII") != "WAVE") return None
+      var i = 12
+      var rate = -1; var channels = -1
+      var data: Array[Byte] = null
+      while (i + 8 <= b.length) {
+        val ctype = new String(b.slice(i, i + 4), "US-ASCII")
+        val len = readLe32(b, i + 4)
+        if (len < 0 || i + 8 + len > b.length) return None
+        ctype match {
+          case "fmt " =>
+            if (len < 16) return None
+            val audioFormat = readLe16(b, i + 8)
+            channels = readLe16(b, i + 10)
+            rate = readLe32(b, i + 12)
+            val bits = readLe16(b, i + 22)
+            if (audioFormat != 1 || bits != 16 || channels <= 0 || rate <= 0)
+              return None
+          case "data" => data = b.slice(i + 8, i + 8 + len)
+          case _ => () // ancillary chunks skipped
+        }
+        i += 8 + len + (len & 1) // chunks are word-aligned
+      }
+      if (rate < 0 || data == null || data.length % 2 != 0) return None
+      val samples = new Array[Short](data.length / 2)
+      var j = 0
+      while (j < samples.length) {
+        samples(j) = ((data(2 * j) & 0xFF) | (data(2 * j + 1) << 8)).toShort
+        j += 1
+      }
+      if (samples.length % channels != 0) return None
+      Some(WavAudio(rate, channels, samples))
+    } catch { case _: Exception => None }
+  }
+
+  /** Deterministic synthetic WAV table with REAL sample content:
+    * rate = 8000 + (id%3)·4000, channels = 1 + id%2, frames = 50 + id%50,
+    * sample(f, c) = ((13f + 7·id + 17c) mod 4001) − 2000 — closed-form, so
+    * an oracle can recompute every sample statistic without decoding
+    * anything. Every fourth payload carries an odd-length ancillary chunk
+    * to exercise the word-aligned chunk walk.
+    */
+  def syntheticWavMedia(spark: SparkSession, n: Long): DataFrame = {
+    import spark.implicits._
+    spark.range(n).map { id =>
+      val rate = 8000 + (id % 3).toInt * 4000
+      val nch = 1 + (id % 2).toInt
+      val frames = 50 + (id % 50).toInt
+      val samples = new Array[Short](frames * nch)
+      var f = 0
+      while (f < frames) {
+        var c = 0
+        while (c < nch) {
+          samples(f * nch + c) =
+            (((13L * f + 7L * id + 17L * c) % 4001) - 2000).toShort
+          c += 1
+        }
+        f += 1
+      }
+      val extra = if (id % 4 == 0) Seq(("cue ", Array[Byte](1, 2, 3))) else Nil
+      (id, wavBytes(WavAudio(rate, nch, samples), extra))
+    }.toDF("media_id", "payload")
+  }
+
+  final case class DecodedSamples(media_id: Long, sample_rate: Int,
+                                  channels: Int, samples: Array[Int])
+
+  /** The audio decode KERNEL face over a media table — the same
+    * mapPartitions batch shape as [[decodePixels]], with the real WAV
+    * codec. Samples come out as plain ints so downstream Spark aggregation
+    * (loudness stats, silence trims, resample planning) runs on codegen'd
+    * int columns. Undecodable rows drop.
+    */
+  def decodeSamples(media: DataFrame): Dataset[DecodedSamples] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        decodeWav(bytes).map(a => DecodedSamples(id, a.sampleRate, a.channels,
+          a.samples.map(_.toInt)))
       })
   }
 

@@ -136,6 +136,64 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("WAV sample codec round-trips mono and stereo PCM16, incl. extremes") {
+    for (nch <- Seq(1, 2)) {
+      val samples = Array.tabulate(40 * nch)(i =>
+        ((i * 1733 - 20000) % 32768).toShort) ++
+        Array[Short](Short.MinValue, Short.MaxValue)
+      val aligned = samples.take(samples.length - samples.length % nch)
+      val audio = Multimodal.WavAudio(16000, nch, aligned)
+      val decoded = Multimodal.decodeWav(Multimodal.wavBytes(audio))
+      assert(decoded.isDefined, s"channels=$nch failed to decode")
+      val d = decoded.get
+      assert(d.sampleRate == 16000 && d.channels == nch)
+      assert(d.samples.sameElements(aligned), s"channels=$nch sample mismatch")
+    }
+    // odd-length ancillary chunk: the word-alignment pad must be skipped
+    val withExtra = Multimodal.wavBytes(
+      Multimodal.WavAudio(8000, 1, Array[Short](1, -2, 3)),
+      Seq(("cue ", Array[Byte](9, 9, 9)), ("LIST", Array[Byte](1, 2, 3, 4))))
+    assert(Multimodal.decodeWav(withExtra).exists(_.samples.sameElements(
+      Array[Short](1, -2, 3))))
+  }
+
+  test("WAV decode degrades on corrupt, truncated, or unsupported bytes") {
+    val good = Multimodal.wavBytes(Multimodal.WavAudio(8000, 1,
+      Array.tabulate(10)(_.toShort)))
+    assert(Multimodal.decodeWav(good).isDefined)
+    assert(Multimodal.decodeWav(good.dropRight(3)).isEmpty)     // truncated data
+    assert(Multimodal.decodeWav(Array[Byte](1, 2, 3)).isEmpty)  // not RIFF
+    assert(Multimodal.decodeWav(null).isEmpty)
+    // non-PCM format code (e.g. 3 = IEEE float) degrades
+    val floatFmt = good.clone(); floatFmt(20) = 3
+    assert(Multimodal.decodeWav(floatFmt).isEmpty)
+    // 8-bit depth degrades (only PCM16 supported)
+    val bits8 = good.clone(); bits8(34) = 8
+    assert(Multimodal.decodeWav(bits8).isEmpty)
+    // the legacy header-only builder still decodes as valid empty audio
+    assert(Multimodal.decodeWav(Multimodal.wavHeaderBytes(8000, 1))
+      .exists(_.samples.isEmpty))
+  }
+
+  test("distributed sample decode matches the closed-form sample formula") {
+    val media = Multimodal.syntheticWavMedia(spark, 30)
+    val out = Multimodal.decodeSamples(media).collect()
+    assert(out.length == 30)
+    out.foreach { d =>
+      val id = d.media_id
+      val nch = 1 + (id % 2).toInt
+      assert(d.sample_rate == 8000 + (id % 3).toInt * 4000 && d.channels == nch)
+      assert(d.samples.length == (50 + (id % 50).toInt) * nch)
+      var i = 0
+      while (i < d.samples.length) {
+        val f = i / nch; val c = i % nch
+        assert(d.samples(i) == ((13L * f + 7L * id + 17L * c) % 4001).toInt - 2000,
+          s"id=$id f=$f c=$c")
+        i += 1
+      }
+    }
+  }
+
   test("distributed header parse recovers every generated parameter") {
     val media = Multimodal.syntheticEncodedMedia(spark, 100)
     val parsed = Multimodal.parseHeaders(media).collect()
