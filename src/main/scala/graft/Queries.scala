@@ -1153,6 +1153,25 @@ object Queries {
       .select("uid", "first_seen", "last_seen", "n_events")
   }
 
+  /** As-of join — the leakage-free point-in-time lookup: every purchase
+    * event picks up the latest signup event of the same user at-or-before
+    * its timestamp (backward inclusive), unmatched purchases keep nulls.
+    * The oracle is DuckDB's native ASOF LEFT JOIN — an independent
+    * implementation of the same semantics, so the union+running-last
+    * window shape is cross-checked engine-to-engine, value-exact.
+    */
+  def asof(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    graft.ops.Temporal.asofJoin(
+        ev.filter(col("event_type") === "purchase")
+          .select("event_id", "user_id", "ts"),
+        ev.filter(col("event_type") === "signup"),
+        keys = Seq("user_id"), leftTime = "ts", rightTime = "ts",
+        rightCols = Seq("event_id", "value"))
+      .select(col("event_id"), col("user_id"), col("ts"),
+        col("asof_event_id"), col("asof_value"))
+  }
+
   /** Multimodal plumbing (stubbed decode kernel) — rows-only smoke. */
   def multimodal(s: SparkSession, dir: String): DataFrame = {
     import graft.ops.Multimodal

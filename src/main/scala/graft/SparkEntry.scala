@@ -90,6 +90,7 @@ object SparkEntry {
     "q_comention"            -> (Queries.comention _),
     "q_khop"                 -> (Queries.khop _),
     "q_temporal_validity"    -> (Queries.temporalValidity _),
+    "q_asof"                 -> (Queries.asof _),
     "q_triangles"            -> (Queries.triangles _),
     "q_neighbor_jaccard"     -> (Queries.neighborJacc _),
     "q_pagerank"             -> (Queries.pagerank _),
@@ -837,6 +838,15 @@ object SparkEntry {
       """SELECT user_id AS uid, min(ts) AS first_seen, max(ts) AS last_seen,
         |       count(*) AS n_events
         |FROM events GROUP BY 1""".stripMargin,
+
+    // as-of join: DuckDB's NATIVE ASOF LEFT JOIN is an independent
+    // implementation of the backward-inclusive point-in-time semantics
+    "q_asof" ->
+      """SELECT l.event_id, l.user_id, l.ts,
+        |       r.event_id AS asof_event_id, r.value AS asof_value
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') l
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') r
+        |  ON l.user_id = r.user_id AND l.ts >= r.ts""".stripMargin,
 
     "q_triangles" ->
       """WITH ge AS (SELECT DISTINCT user_id AS g, event_type AS e FROM events),

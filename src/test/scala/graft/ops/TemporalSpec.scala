@@ -1,0 +1,71 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class TemporalSpec extends SparkSpec {
+
+  private def leftDf = {
+    import spark.implicits._
+    Seq(
+      (1L, "a", 100L, "p1"),
+      (2L, "a", 205L, "p2"),
+      (3L, "a", 300L, "p3"), // ties a right row's ts exactly → inclusive
+      (4L, "b", 50L, "p4"),  // before any right row → null match
+      (5L, "c", 500L, "p5")  // key with no right rows at all → null match
+    ).toDF("id", "k", "t", "payload")
+  }
+
+  private def rightDf = {
+    import spark.implicits._
+    Seq(
+      (10L, "a", 90L, 1.5),
+      (11L, "a", 200L, 2.5),
+      (12L, "a", 300L, 3.5),
+      (13L, "b", 60L, 4.5)
+    ).toDF("rid", "k", "rt", "rv")
+  }
+
+  test("as-of join picks the latest right row at-or-before each left time") {
+    val out = Temporal.asofJoin(leftDf, rightDf, Seq("k"), "t", "rt",
+        Seq("rid", "rv"))
+      .collect().map(r => (r.getLong(2), Option(r.get(4)), Option(r.get(5))))
+      .sortBy(_._1).toSeq
+    // columns: k, t, id, payload, asof_rid, asof_rv
+    assert(out == Seq(
+      (1L, Some(10L), Some(1.5)),   // t=100 → rt=90
+      (2L, Some(11L), Some(2.5)),   // t=205 → rt=200
+      (3L, Some(12L), Some(3.5)),   // t=300 ties rt=300 → inclusive
+      (4L, None, None),             // t=50 precedes b's only row at 60
+      (5L, None, None)              // key c has no right rows
+    ))
+  }
+
+  test("as-of join with tolerance nulls out stale matches") {
+    val out = Temporal.asofJoin(leftDf, rightDf, Seq("k"), "t", "rt",
+        Seq("rid"), tolerance = Some(lit(10L)))
+      .collect().map(r => (r.getLong(2), Option(r.get(4)))).sortBy(_._1).toSeq
+    assert(out == Seq(
+      (1L, Some(10L)), // age 10 == tolerance → kept
+      (2L, Some(11L)), // age 5
+      (3L, Some(12L)), // age 0
+      (4L, None), (5L, None)))
+  }
+
+  test("as-of join never multiplies left rows and keeps left payloads") {
+    val out = Temporal.asofJoin(leftDf, rightDf, Seq("k"), "t", "rt", Seq("rv"))
+    assert(out.count() == 5)
+    assert(out.columns.toSeq == Seq("k", "t", "id", "payload", "asof_rv"))
+    assert(out.filter(col("payload").isNull).count() == 0)
+  }
+
+  test("as-of plan is one exchange on the keys, no nested-loop join") {
+    val out = Temporal.asofJoin(leftDf, rightDf, Seq("k"), "t", "rt", Seq("rv"))
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    // the union feeds a single window sort — count the shuffles
+    val exchanges = "Exchange".r.findAllIn(plan).length
+    assert(exchanges <= 2, s"expected at most one exchange per side:\n$plan")
+  }
+}
