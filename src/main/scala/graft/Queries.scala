@@ -1153,6 +1153,14 @@ object Queries {
       .select("uid", "first_seen", "last_seen", "n_events")
   }
 
+  /** Sliding-window chunking (maxTokens=32, overlap=8): every document
+    * splits into context-length windows sharing 8 tokens — chunk text is
+    * compared byte-for-byte against the oracle's recomputation.
+    */
+  def chunk(s: SparkSession, dir: String): DataFrame =
+    graft.ops.TextOps.chunkDocuments(t(s, dir, "documents"),
+      maxTokens = 32, overlap = 8)
+
   /** As-of join — the leakage-free point-in-time lookup: every purchase
     * event picks up the latest signup event of the same user at-or-before
     * its timestamp (backward inclusive), unmatched purchases keep nulls.

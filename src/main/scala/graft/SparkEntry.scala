@@ -91,6 +91,7 @@ object SparkEntry {
     "q_khop"                 -> (Queries.khop _),
     "q_temporal_validity"    -> (Queries.temporalValidity _),
     "q_asof"                 -> (Queries.asof _),
+    "q_chunk"                -> (Queries.chunk _),
     "q_triangles"            -> (Queries.triangles _),
     "q_neighbor_jaccard"     -> (Queries.neighborJacc _),
     "q_pagerank"             -> (Queries.pagerank _),
@@ -838,6 +839,22 @@ object SparkEntry {
       """SELECT user_id AS uid, min(ts) AS first_seen, max(ts) AS last_seen,
         |       count(*) AS n_events
         |FROM events GROUP BY 1""".stripMargin,
+
+    // sliding-window chunking: stride 24 = maxTokens 32 − overlap 8; the
+    // chunk text itself is value-compared, so any off-by-one in the
+    // window math or slice bounds breaks the hash
+    "q_chunk" ->
+      """WITH base AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+        |  FROM documents WHERE len(trim(text)) > 0),
+        |n AS (SELECT doc_id, toks, len(toks) AS n FROM base),
+        |k AS (SELECT doc_id, toks, n,
+        |        unnest(generate_series(0, GREATEST(0, CAST((n - 32 + 23) // 24 AS BIGINT)))) AS chunk_idx
+        |      FROM n)
+        |SELECT doc_id, CAST(chunk_idx AS INTEGER) AS chunk_idx,
+        |       array_to_string(toks[(chunk_idx * 24 + 1):(chunk_idx * 24 + 32)], ' ') AS chunk_text,
+        |       CAST(len(toks[(chunk_idx * 24 + 1):(chunk_idx * 24 + 32)]) AS INTEGER) AS n_tok
+        |FROM k""".stripMargin,
 
     // as-of join: DuckDB's NATIVE ASOF LEFT JOIN is an independent
     // implementation of the backward-inclusive point-in-time semantics

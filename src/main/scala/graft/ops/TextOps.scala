@@ -163,6 +163,43 @@ object TextOps {
       (acc, t) => pmod(acc * lit(31L) + tokenHash(t), lit(FpMod))
     )
 
+  /** Sliding-window document chunking — the context-length splitter: each
+    * document's whitespace tokens become windows of `maxTokens` starting
+    * every `maxTokens - overlap` tokens, so consecutive chunks share
+    * `overlap` tokens and no token is dropped. Emits (doc_id, chunk_idx,
+    * chunk_text, n_tok); documents with no tokens emit nothing. Windows
+    * stop advancing once one reaches the final token, so the last window
+    * may be short but is never redundant (a document at most `maxTokens`
+    * long is exactly one chunk).
+    *
+    * Shape: a zero-shuffle codegen'd projection — split, a `sequence` of
+    * window starts, `posexplode`, `slice`, `concat_ws`. At 10^12 documents
+    * this is scan → flatMap, embarrassingly parallel; output size is
+    * input·(1 + overlap/stride) and nothing ever leaves its partition.
+    */
+  def chunkDocuments(docs: DataFrame, maxTokens: Int, overlap: Int,
+                     idCol: String = "doc_id",
+                     textCol: String = "text"): DataFrame = {
+    require(maxTokens > 0, "maxTokens must be positive")
+    require(overlap >= 0 && overlap < maxTokens,
+      s"overlap must be in [0, maxTokens), got $overlap")
+    val stride = maxTokens - overlap
+    docs
+      .filter(length(trim(col(textCol))) > 0)
+      .select(col(idCol), split(trim(col(textCol)), "\\s+").as("_toks"))
+      .select(col(idCol), col("_toks"),
+        // last window index = ceil((n - maxTokens) / stride), floored at 0
+        explode(sequence(lit(0),
+          greatest(lit(0L), floor((size(col("_toks")) - maxTokens + stride - 1)
+            / lit(stride))).cast("int"))).as("chunk_idx"))
+      .select(col(idCol), col("chunk_idx"),
+        concat_ws(" ",
+          slice(col("_toks"), col("chunk_idx") * stride + 1, lit(maxTokens)))
+          .as("chunk_text"),
+        size(slice(col("_toks"), col("chunk_idx") * stride + 1, lit(maxTokens)))
+          .as("n_tok"))
+  }
+
   /** Convenience: annotate a documents frame with all text metrics. */
   def annotate(docs: DataFrame, textCol: String = "text"): DataFrame =
     docs

@@ -109,4 +109,35 @@ class TextOpsSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), plan)
   }
+
+  test("chunking windows overlap, cover every token, and skip empty docs") {
+    // 10 tokens, maxTokens=4, overlap=2 → stride 2 → starts 0,2,4,6
+    // (the window reaching the last token is the final one)
+    val docs = Seq(
+      (1L, "t0 t1 t2 t3 t4 t5 t6 t7 t8 t9"),
+      (2L, "a b c"),    // shorter than one window → single short chunk
+      (3L, "   "),      // whitespace-only → no chunks
+      (4L, "solo"),
+      (5L, "u0 u1 u2 u3 u4")  // n=5: starts 0,2 → last chunk short
+    ).toDF("doc_id", "text")
+    val out = TextOps.chunkDocuments(docs, maxTokens = 4, overlap = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getInt(3)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    assert(out == Seq(
+      (1L, 0, "t0 t1 t2 t3", 4), (1L, 1, "t2 t3 t4 t5", 4),
+      (1L, 2, "t4 t5 t6 t7", 4), (1L, 3, "t6 t7 t8 t9", 4),
+      (2L, 0, "a b c", 3),
+      (4L, 0, "solo", 1),
+      (5L, 0, "u0 u1 u2 u3", 4), (5L, 1, "u2 u3 u4", 3)))
+    // every token of doc 1 appears in some chunk, consecutive chunks share 2
+    val c1 = out.filter(_._1 == 1L).map(_._3.split(" ").toSeq)
+    c1.sliding(2).foreach { case Seq(a, b) => assert(a.takeRight(2) == b.take(2)) }
+  }
+
+  test("chunking is a zero-shuffle projection") {
+    val docs = Seq((1L, "a b c d e f")).toDF("doc_id", "text")
+    val plan = TextOps.chunkDocuments(docs, 4, 1)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
 }
