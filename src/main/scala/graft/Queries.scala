@@ -1161,6 +1161,21 @@ object Queries {
     graft.ops.TextOps.chunkDocuments(t(s, dir, "documents"),
       maxTokens = 32, overlap = 8)
 
+  /** Trailing 24h rolling window per user: at every event, the count and
+    * integer-cents sum of that user's events in the preceding 24 hours
+    * (inclusive). RANGE frame on epoch micros; integer aggregates keep the
+    * comparison order-insensitive, so the gate is value-exact.
+    */
+  def rolling(s: SparkSession, dir: String): DataFrame = {
+    val w = graft.ops.Temporal.trailingWindow(Seq("user_id"), "ts",
+      24L * 3600 * 1000 * 1000)
+    t(s, dir, "events")
+      .withColumn("_cents", round(col("value") * 100, 0).cast("long"))
+      .select(col("event_id"), col("user_id"),
+        count(lit(1)).over(w).as("n_24h"),
+        sum(col("_cents")).over(w).as("cents_24h"))
+  }
+
   /** As-of join — the leakage-free point-in-time lookup: every purchase
     * event picks up the latest signup event of the same user at-or-before
     * its timestamp (backward inclusive), unmatched purchases keep nulls.

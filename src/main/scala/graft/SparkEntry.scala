@@ -92,6 +92,7 @@ object SparkEntry {
     "q_temporal_validity"    -> (Queries.temporalValidity _),
     "q_asof"                 -> (Queries.asof _),
     "q_chunk"                -> (Queries.chunk _),
+    "q_rolling"              -> (Queries.rolling _),
     "q_triangles"            -> (Queries.triangles _),
     "q_neighbor_jaccard"     -> (Queries.neighborJacc _),
     "q_pagerank"             -> (Queries.pagerank _),
@@ -839,6 +840,16 @@ object SparkEntry {
       """SELECT user_id AS uid, min(ts) AS first_seen, max(ts) AS last_seen,
         |       count(*) AS n_events
         |FROM events GROUP BY 1""".stripMargin,
+
+    // trailing 24h RANGE frame on epoch micros; integer cents keep the
+    // sum order-insensitive (float sums accumulate in frame order)
+    "q_rolling" ->
+      """SELECT event_id, user_id,
+        |  COUNT(*) OVER w AS n_24h,
+        |  CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) OVER w AS BIGINT) AS cents_24h
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+        |             RANGE BETWEEN 86400000000 PRECEDING AND CURRENT ROW)""".stripMargin,
 
     // sliding-window chunking: stride 24 = maxTokens 32 − overlap 8; the
     // chunk text itself is value-compared, so any off-by-one in the

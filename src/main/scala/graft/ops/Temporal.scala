@@ -11,6 +11,31 @@ import org.apache.spark.sql.functions._
   */
 object Temporal {
 
+  /** Trailing time-range window over keyed events — "state of the last N
+    * hours at every event" (rate limiting, burst detection, rolling
+    * feature aggregates). Returns a WindowSpec partitioned by the keys and
+    * RANGE-framed on epoch MICROseconds `[t − trailingMicros, t]`
+    * inclusive, so frame membership is exact at the timestamp's native
+    * resolution (a seconds-granularity cast would silently widen the
+    * frame). Apply any aggregate over it:
+    * `df.withColumn("n_24h", count(lit(1)).over(Temporal.trailingWindow(...)))`.
+    *
+    * One shuffle on the keys + a per-partition sort; Spark evaluates the
+    * sliding range frame incrementally, so prefer order-insensitive
+    * aggregates (counts, integer sums, min/max) for cross-engine-exact
+    * results — float sums accumulate in frame order on every engine.
+    */
+  def trailingWindow(keys: Seq[String], timeCol: String,
+                     trailingMicros: Long): org.apache.spark.sql.expressions.WindowSpec = {
+    require(keys.nonEmpty, "trailingWindow needs at least one key column")
+    require(trailingMicros >= 0, "trailingMicros must be non-negative")
+    Window.partitionBy(keys.map(col): _*)
+      // NTZ columns (parquet default) cast through the session zone (UTC
+      // in every graft session) so unix_micros accepts either flavor
+      .orderBy(unix_micros(col(timeCol).cast("timestamp")))
+      .rangeBetween(-trailingMicros, 0)
+  }
+
   /** As-of join, backward and inclusive: attach to every left row the
     * chosen columns of the LATEST right row sharing `keys` whose
     * `rightTime` is <= the left row's `leftTime` (and, with `tolerance`,

@@ -59,6 +59,27 @@ class TemporalSpec extends SparkSpec {
     assert(out.filter(col("payload").isNull).count() == 0)
   }
 
+  test("trailing window frames exactly [t - N, t] at microsecond resolution") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    // micros: 0, 999_999, 1_000_000, 2_000_001 — a 1s (=1e6 µs) trailing
+    // window at the 3rd event includes µs 0 (boundary inclusive); at the
+    // 4th it includes nothing earlier (2_000_001 - 1e6 = 1_000_001 > 1e6)
+    def ts(us: Long) = {
+      val t = new Timestamp(us / 1000000 * 1000)
+      t.setNanos(((us % 1000000) * 1000).toInt)
+      t
+    }
+    val df = Seq(
+      (1L, "u", ts(0L)), (2L, "u", ts(999999L)),
+      (3L, "u", ts(1000000L)), (4L, "u", ts(2000001L))
+    ).toDF("id", "k", "t")
+    val w = Temporal.trailingWindow(Seq("k"), "t", 1000000L)
+    val out = df.select(col("id"), count(lit(1)).over(w).as("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    assert(out == Seq((1L, 1L), (2L, 2L), (3L, 3L), (4L, 1L)))
+  }
+
   test("as-of plan is one exchange on the keys, no nested-loop join") {
     val out = Temporal.asofJoin(leftDf, rightDf, Seq("k"), "t", "rt", Seq("rv"))
     val plan = out.queryExecution.executedPlan.toString
