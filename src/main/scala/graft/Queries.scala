@@ -1098,6 +1098,22 @@ object Queries {
     graft.kg.GraphAlgos.labelPropagation(edges, iters = 2)
   }
 
+  /** Bounded-hop weighted shortest paths (3 Bellman-Ford rounds) from
+    * user node u:1 over the undirected user ↔ value-bucket graph with
+    * edge weight = per-pair event support. Integer weights make the
+    * distances exact; oracle = the same 3 rounds unrolled in SQL.
+    */
+  def sssp(s: SparkSession, dir: String): DataFrame = {
+    val ed = t(s, dir, "events").groupBy(
+        concat(lit("u:"), col("user_id")).as("a"),
+        concat(lit("b:"), floor(col("value") / 100).cast("long")).as("b"))
+      .agg(count(lit(1)).as("w"))
+    val sym = ed.select(col("a").as("src"), col("b").as("dst"), col("w").as("weight"))
+      .unionByName(ed.select(col("b").as("src"), col("a").as("dst"), col("w").as("weight")))
+    val sources = s.range(1).select(lit("u:1").as("node"))
+    graft.kg.GraphAlgos.sssp(sym, sources, iters = 3)
+  }
+
   /** Self+oracle-verifying k-core gate: Spark asserts the two core
     * invariants hold and emits (n_core, bad_core, bad_outside) = (count,
     * 0, 0); the ORACLE recomputes all three IN SQL from the dumped
@@ -1326,5 +1342,54 @@ object Queries {
       .agg(count(lit(1)).as("n_samp"), round(avg(col("v")), 6).as("mean"),
         min(col("v")).as("vmin"), max(col("v")).as("vmax"),
         round(avg(col("v") * col("v")), 6).as("mean_sq"))
+  }
+
+  /** BM25 top-20 for the fixed query {hash, join, vector} over the
+    * documents table — the postings probe + broadcast-df + one doc-keyed
+    * score shuffle of [[graft.ops.Search.bm25TopK]]. The oracle recomputes
+    * Okapi BM25 in SQL from the same whitespace tokenization; scores are
+    * 6-dp-rounded on both sides and the (score DESC, doc_id) order is
+    * total, so the cut at 20 is deterministic.
+    */
+  def bm25(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Search.bm25TopK(t(s, dir, "documents"),
+      Seq("hash", "join", "vector"), k = 20)
+
+  /** Adamic–Adar link prediction on the customer ↔ part co-purchase
+    * bipartite graph (membership = distinct (part, customer) via
+    * orders ⋈ lineitem): top-100 unlinked-pair scores. Integer shared
+    * counts plus a ≤49-term 1/ln(deg) float sum, 6-dp-rounded — the
+    * (score DESC, a, b) order is total, so the cut is deterministic.
+    */
+  def adamicAdar(s: SparkSession, dir: String): DataFrame = {
+    val m = t(s, dir, "lineitem").join(t(s, dir, "orders"),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_partkey").as("part"), col("o_custkey").as("cust"))
+    graft.kg.GraphAlgos.adamicAdar(m, nodeCol = "cust", neighborCol = "part")
+      .select(col("a"), col("b"), col("common"),
+        round(col("aa_score"), 6).as("score"))
+      .orderBy(col("score").desc, col("a"), col("b"))
+      .limit(100)
+  }
+
+  /** Banded interval join gate: every event joined to the 2-hour
+    * purchase windows of the SAME user that contain it (inclusive ends),
+    * aggregated per event. Band width = 1 h, so each window lands in ≤ 3
+    * bands and the join is a plain (user_id, band) equi-join — the oracle
+    * is the naive SQL BETWEEN join, so any band-boundary slip (an event
+    * exactly on a window edge, a window straddling a band cut) breaks
+    * the value match.
+    */
+  def intervalJoinAgg(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val windows = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("w_start"),
+        (col("ts") + expr("INTERVAL 2 HOURS")).as("w_end"),
+        col("event_id").as("w_id"))
+    graft.ops.Temporal.intervalJoin(ev, windows, Seq("user_id"), "ts",
+        "w_start", "w_end", Seq("w_id"), bandMicros = 3600L * 1000000L)
+      .groupBy("event_id")
+      .agg(count(lit(1)).as("n_win"), min(col("iv_w_id")).as("first_win"),
+        max(col("iv_w_id")).as("last_win"))
   }
 }

@@ -91,6 +91,9 @@ object SparkEntry {
     "q_khop"                 -> (Queries.khop _),
     "q_temporal_validity"    -> (Queries.temporalValidity _),
     "q_asof"                 -> (Queries.asof _),
+    "q_interval_join"        -> (Queries.intervalJoinAgg _),
+    "q_bm25"                 -> (Queries.bm25 _),
+    "q_adamic_adar"          -> (Queries.adamicAdar _),
     "q_chunk"                -> (Queries.chunk _),
     "q_rolling"              -> (Queries.rolling _),
     "q_triangles"            -> (Queries.triangles _),
@@ -101,6 +104,7 @@ object SparkEntry {
     "q_hits"                 -> (Queries.hitsScores _),
     "q_communities"          -> (Queries.communities _),
     "q_kcore"                -> (Queries.kcore _),
+    "q_sssp"                 -> (Queries.sssp _),
     "q_kcore_check"          -> (Queries.kcoreCheck _),
     "q_degrees"              -> (Queries.degrees _),
     // multimodal plumbing (stub kernel)
@@ -876,6 +880,55 @@ object SparkEntry {
         |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') r
         |  ON l.user_id = r.user_id AND l.ts >= r.ts""".stripMargin,
 
+    // the naive BETWEEN range join — the banded equi-join must reproduce
+    // it exactly, band-boundary rows included
+    "q_interval_join" ->
+      """WITH w AS (SELECT user_id, ts AS ws, ts + INTERVAL 2 HOUR AS we,
+        |                  event_id AS wid
+        |           FROM events WHERE event_type = 'purchase')
+        |SELECT e.event_id, count(*) AS n_win,
+        |       min(w.wid) AS first_win, max(w.wid) AS last_win
+        |FROM events e JOIN w ON e.user_id = w.user_id
+        |                    AND e.ts >= w.ws AND e.ts <= w.we
+        |GROUP BY e.event_id""".stripMargin,
+
+    // Okapi BM25 recomputed from the same whitespace tokenization;
+    // 6-dp rounding + (score DESC, doc_id) total order on both sides
+    "q_bm25" ->
+      """WITH post AS (
+        |  SELECT doc_id, term, count(*) AS tf
+        |  FROM (SELECT doc_id,
+        |          unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS term
+        |        FROM documents)
+        |  WHERE term IN ('hash', 'join', 'vector')
+        |  GROUP BY doc_id, term),
+        |dl AS (SELECT doc_id,
+        |         CAST(len(regexp_split_to_array(lower(trim(text)), '\s+')) AS DOUBLE) AS dl
+        |       FROM documents),
+        |stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM dl),
+        |dft AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM post GROUP BY term)
+        |SELECT doc_id, round(sum(
+        |         ln(1 + (s.n_docs - f.df + 0.5) / (f.df + 0.5)) *
+        |         p.tf * 2.2 / (p.tf + 1.2 * (0.25 + 0.75 * d.dl / s.avgdl))
+        |       ), 6) AS score
+        |FROM post p JOIN dft f USING (term) JOIN dl d USING (doc_id)
+        |CROSS JOIN stats s
+        |GROUP BY doc_id
+        |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+
+    // Adamic–Adar over the customer ↔ part co-purchase membership:
+    // shared-neighbor 1/ln(deg) sums, 6-dp-rounded, total-ordered cut
+    "q_adamic_adar" ->
+      """WITH m AS (SELECT DISTINCT l_partkey AS p, o_custkey AS c
+        |           FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |deg AS (SELECT p, count(*) AS d FROM m GROUP BY p)
+        |SELECT l.c AS a, r.c AS b, count(*) AS common,
+        |       round(sum(1.0 / ln(deg.d)), 6) AS score
+        |FROM m l JOIN m r ON l.p = r.p AND l.c < r.c
+        |JOIN deg ON deg.p = l.p
+        |GROUP BY l.c, r.c
+        |ORDER BY score DESC, a, b LIMIT 100""".stripMargin,
+
     "q_triangles" ->
       """WITH ge AS (SELECT DISTINCT user_id AS g, event_type AS e FROM events),
         |ed AS (SELECT DISTINCT l.e AS x, r.e AS y
@@ -1041,6 +1094,33 @@ object SparkEntry {
     // dumped core_deg, (b) no outside node has >= 3 core neighbors (the
     // core was maximal). A wrong peel breaks the value match without the
     // oracle ever running the peeling.
+    // 3 Bellman-Ford rounds unrolled: each d_k relaxes d_{k-1} over the
+    // weighted symmetric edges; integer weights → exact distances
+    "q_sssp" ->
+      """WITH ed AS (SELECT 'u:' || user_id AS a,
+        |                   'b:' || CAST(FLOOR(value / 100) AS BIGINT) AS b,
+        |                   CAST(count(*) AS BIGINT) AS w
+        |            FROM events GROUP BY 1, 2),
+        |sym AS (SELECT a AS s, b AS d, w FROM ed
+        |        UNION ALL SELECT b, a, w FROM ed),
+        |d0 AS (SELECT 'u:1' AS n, CAST(0 AS BIGINT) AS dist),
+        |d1 AS (SELECT n, MIN(dist) AS dist FROM (
+        |         SELECT n, dist FROM d0
+        |         UNION ALL
+        |         SELECT sym.d, d0.dist + sym.w FROM d0 JOIN sym ON d0.n = sym.s)
+        |       GROUP BY 1),
+        |d2 AS (SELECT n, MIN(dist) AS dist FROM (
+        |         SELECT n, dist FROM d1
+        |         UNION ALL
+        |         SELECT sym.d, d1.dist + sym.w FROM d1 JOIN sym ON d1.n = sym.s)
+        |       GROUP BY 1),
+        |d3 AS (SELECT n, MIN(dist) AS dist FROM (
+        |         SELECT n, dist FROM d2
+        |         UNION ALL
+        |         SELECT sym.d, d2.dist + sym.w FROM d2 JOIN sym ON d2.n = sym.s)
+        |       GROUP BY 1)
+        |SELECT n AS node, CAST(dist AS BIGINT) AS dist FROM d3""".stripMargin,
+
     "q_kcore_check" ->
       """WITH ed AS (SELECT DISTINCT 'u:' || user_id AS a,
         |                  'b:' || CAST(FLOOR(value / 100) AS BIGINT) AS b

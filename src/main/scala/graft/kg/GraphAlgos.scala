@@ -168,6 +168,40 @@ object GraphAlgos {
           .as("jaccard"))
   }
 
+  /** Link prediction over a bipartite membership table: for every node
+    * pair sharing at least one neighbor, the Adamic–Adar score
+    * Σ_{n ∈ N(a)∩N(b)} 1 / ln(deg(n)), where deg(n) counts the distinct
+    * nodes attached to shared neighbor n — rare shared neighbors count
+    * more than ubiquitous hubs, the classic fix for raw common-neighbor
+    * counts. A SHARED neighbor has deg ≥ 2 by construction, so ln(deg) is
+    * never 0: deg-1 neighbors simply form no pairs.
+    *
+    * Dataflow mirrors [[coMentionEdges]]: distinct (neighbor, node)
+    * membership → per-neighbor degree via one keyed window count (the
+    * same pass that applies the `maxNeighborhood` hub gate — a neighbor
+    * attached to 100k nodes contributes ~1/ln(100k)≈0.09 per pair but
+    * 5·10^9 pairs; past the gate that fan-out is boilerplate, not
+    * signal) → equi-self-join on neighbor with `a < b` → per-pair SUM of
+    * the precomputed 1/ln(deg) weights plus the shared count. Pairs form
+    * WITHIN a neighbor's attachment set only — never across the corpus —
+    * and every shuffle is keyed on the neighbor or the pair, carrying
+    * (neighbor, node, weight) rows only.
+    */
+  def adamicAdar(df: DataFrame, nodeCol: String, neighborCol: String,
+                 maxNeighborhood: Int = 10000): DataFrame = {
+    require(maxNeighborhood > 1, s"maxNeighborhood must be > 1, got $maxNeighborhood")
+    val m = df.select(col(neighborCol).as("nb"), col(nodeCol).as("e")).distinct()
+    val sized = m
+      .withColumn("_d", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("nb")))
+      .filter(col("_d") <= maxNeighborhood)
+      .withColumn("_w", lit(1.0) / log(col("_d").cast("double")))
+    val l = sized.alias("l"); val r = sized.alias("r")
+    l.join(r, col("l.nb") === col("r.nb") && col("l.e") < col("r.e"))
+      .groupBy(col("l.e").as("a"), col("r.e").as("b"))
+      .agg(count(lit(1)).as("common"), sum(col("l._w")).as("aa_score"))
+  }
+
   /** Per-node degree statistics over directed edges: out-degree, in-degree
     * and total, with distinct parallel edges collapsed first. One shuffle
     * per direction (map-side partial counts), full outer combined — every
@@ -459,6 +493,51 @@ object GraphAlgos {
     * nodes; maxHops bounds the rounds, so worst case is maxHops shuffles
     * of (id, int) pairs.
     */
+  /** Bounded-round single-source shortest paths — Bellman-Ford relaxation
+    * over a weighted directed edge list (pass the symmetrized union for an
+    * undirected graph). After `iters` rounds, dist(n) is the minimum total
+    * weight over paths from any source using at most `iters` edges; nodes
+    * not reachable within that budget are absent. With integer weights the
+    * result is a pure function of (graph, sources, iters) — no float
+    * summation order — so an unrolled SQL oracle reproduces it exactly.
+    *
+    * Scale shape per round: ONE shuffle joining the current distance
+    * table to the edges on the source endpoint + one min-aggregation on
+    * the node id; state is (node, dist) only, persisted + counted per
+    * round with the parent pin released (the [[pageRank]] lineage
+    * discipline). Parallel edges collapse to their cheapest copy up
+    * front, so the per-round join fan-out is the true out-degree.
+    */
+  def sssp(edges: DataFrame, sources: DataFrame, iters: Int,
+           srcCol: String = "src", dstCol: String = "dst",
+           wCol: String = "weight", nodeCol: String = "node"): DataFrame = {
+    require(iters >= 0, s"iters must be >= 0, got $iters")
+    val e = edges.select(col(srcCol).as("_s"), col(dstCol).as("_d"),
+        col(wCol).cast("long").as("_w"))
+      .groupBy("_s", "_d").agg(min("_w").as("_w"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var dist = sources.select(col(nodeCol).as("node")).distinct()
+      .withColumn("dist", lit(0L))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    dist.count()
+    val retired = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    var i = 0
+    while (i < iters) {
+      val relaxed = dist.join(e, dist("node") === e("_s"))
+        .select(col("_d").as("node"), (col("dist") + col("_w")).as("dist"))
+        .unionByName(dist.select("node", "dist"))
+        .groupBy("node").agg(min("dist").as("dist"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      relaxed.count() // materialize BEFORE unpersisting the parent
+      retired += dist
+      dist = relaxed
+      i += 1
+    }
+    retired.foreach(_.unpersist())
+    e.unpersist()
+    dist
+  }
+
   def bfsReachable(edges: DataFrame, sources: DataFrame, maxHops: Int,
                    srcCol: String = "src", dstCol: String = "dst",
                    nodeCol: String = "node", reverse: Boolean = false): DataFrame = {

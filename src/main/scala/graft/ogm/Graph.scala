@@ -266,6 +266,32 @@ final case class Graph(nodes: DataFrame, edges: DataFrame) {
       .drop("_node_id", "node")
   }
 
+  /** Bounded-round weighted shortest paths from the nodes matching
+    * `filters` over this graph's edges — unit weight per edge unless
+    * `weightProp` names an edge property — distances joined back to node
+    * rows; [[graft.kg.GraphAlgos.sssp]]. Nodes unreachable within `iters`
+    * edges are absent.
+    */
+  def shortestPaths(labels: Seq[String], mergeKeys: Seq[String], iters: Int,
+                    filters: FieldFilter*): DataFrame =
+    shortestPaths(labels, mergeKeys, iters, None, None, filters: _*)
+
+  def shortestPaths(labels: Seq[String], mergeKeys: Seq[String], iters: Int,
+                    weightProp: Option[String],
+                    relType: Option[String],
+                    filters: FieldFilter*): DataFrame = {
+    val sources = RelSetOps.withNodeId(matchNodes(labels, filters: _*), mergeKeys)
+      .select(col("_node_id").as("node"))
+    val e = relType.fold(edges)(t => edges.filter(col(RelSetOps.RelType) === t))
+    val weighted = weightProp.fold(e.withColumn("_w", lit(1L)))(w =>
+      e.withColumn("_w", col(w).cast("long")))
+    val d = graft.kg.GraphAlgos.sssp(weighted, sources, iters,
+      RelSetOps.SrcId, RelSetOps.DstId, "_w")
+    RelSetOps.withNodeId(nodes, mergeKeys)
+      .join(d, col("_node_id") === d("node"))
+      .drop("_node_id", "node")
+  }
+
   /** Community detection (deterministic synchronous label propagation)
     * over the undirected view of this graph's edges, memberships joined
     * back to node rows — [[graft.kg.GraphAlgos.labelPropagation]].

@@ -1,0 +1,76 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Full-text relevance search over a document corpus, expressed as
+  * dataflow: the inverted index IS the postings table ((term, doc, tf)
+  * rows — a groupBy away from the raw text), and a query is a probe of
+  * that table restricted to the query's terms. No serving data structure
+  * is materialized; at 100 TB the postings table is the thing you would
+  * persist bucketed by term, at which point a query touches only the
+  * buckets its terms hash to.
+  *
+  * The reference has no search surface (graphio builds graphs, not
+  * indexes); this module is part of the training-data toolbox built
+  * alongside it — corpus-scale relevance scoring for filtering and
+  * curriculum selection.
+  */
+object Search {
+
+  /** Whitespace-token postings: one row per (doc, term) with its term
+    * frequency. One explode + one (doc_id, term)-keyed aggregation with
+    * map-side partials; text leaves the scan as tokens and never
+    * shuffles whole.
+    */
+  def postings(docs: DataFrame, idCol: String = "doc_id",
+               textCol: String = "text"): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+        explode(split(lower(trim(col(textCol))), "\\s+")).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+
+  /** BM25 top-k: score every document containing at least one query term
+    * with Okapi BM25 (`idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl))`,
+    * idf = ln(1 + (N−df+0.5)/(df+0.5))) and return the k best as
+    * (doc_id, score) with score rounded to 6 dp, ordered by
+    * (rounded score DESC, doc_id) — a total order, so the cut at k is
+    * deterministic.
+    *
+    * Shape: the postings probe filters to the query's terms FIRST (at
+    * corpus scale, a term-bucketed postings table prunes to the terms'
+    * buckets), so everything downstream — the per-term df aggregate
+    * (≤ |query| rows, broadcast), the doc-length join, the per-doc score
+    * sum — runs on matching postings only, never the corpus. The global
+    * (N, avgdl) pair rides a broadcast one-row cross join, not a driver
+    * `.head()`. Scoring is one shuffle keyed on doc_id; the final top-k
+    * is a TakeOrdered (per-partition heads + one driver merge of k·p
+    * rows), never a full sort.
+    */
+  def bm25TopK(docs: DataFrame, query: Seq[String], k: Int,
+               k1: Double = 1.2, b: Double = 0.75,
+               idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(query.nonEmpty, "bm25TopK needs at least one query term")
+    require(k > 0, s"k must be positive, got $k")
+    val terms = query.map(_.toLowerCase.trim).filter(_.nonEmpty).distinct
+    val post = postings(docs, idCol, textCol)
+      .filter(col("term").isInCollection(terms))
+    val dl = docs.select(col(idCol).as("doc_id"),
+      size(split(lower(trim(col(textCol))), "\\s+")).cast("double").as("dl"))
+    val stats = dl.agg(count(lit(1)).cast("double").as("n_docs"),
+      avg(col("dl")).as("avgdl"))
+    val dft = post.groupBy("term").agg(count(lit(1)).cast("double").as("df"))
+    val idf = log(lit(1.0) +
+      (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    val tfNorm = col("tf").cast("double") * lit(k1 + 1.0) /
+      (col("tf").cast("double") +
+        lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl")))
+    post
+      .join(broadcast(dft), Seq("term"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(stats))
+      .groupBy("doc_id").agg(sum(idf * tfNorm).as("_s"))
+      .select(col("doc_id"), round(col("_s"), 6).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+  }
+}

@@ -36,6 +36,53 @@ object Temporal {
       .rangeBetween(-trailingMicros, 0)
   }
 
+  /** Banded interval (range-containment) join: one output row per
+    * (left, right) pair sharing `keys` where the left row's `leftTime`
+    * falls INSIDE the right row's `[startCol, endCol]` interval —
+    * inclusive on both ends, matching SQL `BETWEEN`. Right intervals
+    * with end < start are dropped as malformed.
+    *
+    * Spark-first shape: a raw `l.t >= r.s AND l.t <= r.e` join condition
+    * has no equi-key, so Catalyst falls back to a
+    * BroadcastNestedLoopJoin — an O(n·m) pair scan. Instead both sides
+    * are BANDED on time: a left row lands in the single band
+    * ⌊t/W⌋; a right interval explodes to every band it overlaps
+    * (⌊s/W⌋..⌊e/W⌋, `sequence` + explode). The join is then a plain
+    * equi-join on (keys…, band) with the exact containment predicate as
+    * a post-filter. Because a left row occupies exactly ONE band, each
+    * qualifying pair matches exactly once — no dedup pass. Cost: one
+    * hash shuffle per side on (keys, band); right-side fan-out is
+    * span/W + 1 rows per interval, so pick `bandMicros` near the typical
+    * interval length (fan-out ~2) — wider bands trade fewer duplicate
+    * interval copies for more false candidates in the post-filter. Hot
+    * (key, band) cells are ordinary join skew, AQE-visible.
+    */
+  def intervalJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+                   leftTime: String, startCol: String, endCol: String,
+                   rightCols: Seq[String], bandMicros: Long,
+                   prefix: String = "iv_"): DataFrame = {
+    require(keys.nonEmpty, "intervalJoin needs at least one key column")
+    require(rightCols.nonEmpty, "intervalJoin needs at least one right column")
+    require(bandMicros > 0, s"bandMicros must be positive, got $bandMicros")
+    val outCols = rightCols.map(prefix + _)
+    require(!left.columns.exists(outCols.contains),
+      s"prefixed right columns $outCols collide with left columns")
+    val lt = unix_micros(col(leftTime).cast("timestamp"))
+    val rs = unix_micros(col(startCol).cast("timestamp"))
+    val re = unix_micros(col(endCol).cast("timestamp"))
+    val l = left.withColumn("_band", floor(lt / bandMicros))
+      .withColumn("_lt", lt)
+    val r = right
+      .filter(re >= rs)
+      .select(keys.map(col) ++ Seq(rs.as("_rs"), re.as("_re")) ++
+        rightCols.map(c => col(c).as(prefix + c)): _*)
+      .withColumn("_band", explode(sequence(
+        floor(col("_rs") / bandMicros), floor(col("_re") / bandMicros))))
+    l.join(r, keys :+ "_band")
+      .filter(col("_lt") >= col("_rs") && col("_lt") <= col("_re"))
+      .drop("_band", "_lt", "_rs", "_re")
+  }
+
   /** As-of join, backward and inclusive: attach to every left row the
     * chosen columns of the LATEST right row sharing `keys` whose
     * `rightTime` is <= the left row's `leftTime` (and, with `tolerance`,

@@ -268,6 +268,46 @@ class GraphAlgosSpec extends SparkSpec {
     assert(GraphAlgos.kCore(es, 4).count() === 0)
   }
 
+  test("sssp: cheapest path wins over fewest hops, rounds bound path length") {
+    // 1→2→3 costs 1+1=2; direct 1→3 costs 5; 3→4 extends the cheap path
+    val we = Seq(
+      ("1", "2", 1L), ("2", "3", 1L), ("1", "3", 5L), ("3", "4", 1L),
+      ("9", "10", 7L),                  // unreachable from 1
+      ("1", "2", 9L)                    // parallel edge: cheapest copy wins
+    ).toDF("src", "dst", "weight")
+    val out = GraphAlgos.sssp(we, Seq("1").toDF("node"), iters = 3)
+      .as[(String, Long)].collect().toMap
+    assert(out === Map("1" -> 0L, "2" -> 1L, "3" -> 2L, "4" -> 3L))
+    // 2 rounds cannot yet use the 3-edge path: dist(4) = via 1→3→4 = 6
+    val two = GraphAlgos.sssp(we, Seq("1").toDF("node"), iters = 2)
+      .as[(String, Long)].collect().toMap
+    assert(two("4") === 6L && two("3") === 2L)
+    // 0 rounds = sources only at distance 0
+    val zero = GraphAlgos.sssp(we, Seq("1").toDF("node"), iters = 0)
+      .as[(String, Long)].collect().toMap
+    assert(zero === Map("1" -> 0L))
+  }
+
+  test("adamicAdar: 1/ln(deg) shared-neighbor sums, hub gate drops big neighborhoods") {
+    val m = Seq(
+      ("n1", "a"), ("n1", "b"), ("n1", "c"), // deg(n1)=3
+      ("n2", "a"), ("n2", "b"),              // deg(n2)=2
+      ("n3", "c")                            // deg 1: forms no pairs
+    ).toDF("nb", "e")
+    val out = GraphAlgos.adamicAdar(m, nodeCol = "e", neighborCol = "nb")
+      .as[(String, String, Long, Double)].collect()
+      .map { case (a, b, c, s) => ((a, b), (c, s)) }.toMap
+    val w3 = 1.0 / math.log(3.0); val w2 = 1.0 / math.log(2.0)
+    assert(out.keySet === Set(("a", "b"), ("a", "c"), ("b", "c")))
+    assert(out(("a", "b"))._1 === 2L)
+    assert(math.abs(out(("a", "b"))._2 - (w3 + w2)) < 1e-12)
+    assert(out(("a", "c"))._1 === 1L && math.abs(out(("a", "c"))._2 - w3) < 1e-12)
+    // maxNeighborhood = 2 drops n1 entirely: only (a,b) via n2 remains
+    val gated = GraphAlgos.adamicAdar(m, "e", "nb", maxNeighborhood = 2)
+      .as[(String, String, Long, Double)].collect()
+    assert(gated.toSeq === Seq(("a", "b", 1L, w2)))
+  }
+
   test("minProps/maxProps merge rules accumulate a validity interval across merges") {
     val spec = NodeSpec(Seq("T"), Seq("k"),
       minProps = Seq("lo"), maxProps = Seq("hi"))

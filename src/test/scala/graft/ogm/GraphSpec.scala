@@ -89,6 +89,19 @@ class GraphSpec extends SparkSpec {
     assert(g.kCore(Seq("name"), 2).count() == 0)
   }
 
+  test("analytics face: shortestPaths joins hop-bounded distances to node rows") {
+    val g = graph // alice→bob, alice→carol, bob→dave
+    val d = g.shortestPaths(Seq("Person"), Seq("name"), iters = 2,
+        filters = FieldFilter("name", FilterOp.Eq, "alice"))
+      .select("name", "dist").as[(String, Long)].collect().toMap
+    assert(d === Map("alice" -> 0L, "bob" -> 1L, "carol" -> 1L, "dave" -> 2L))
+    // 1 round cannot reach dave (2 edges away)
+    val d1 = g.shortestPaths(Seq("Person"), Seq("name"), iters = 1,
+        filters = FieldFilter("name", FilterOp.Eq, "alice"))
+      .select("name", "dist").as[(String, Long)].collect().toMap
+    assert(!d1.contains("dave") && d1("bob") == 1L)
+  }
+
   test("analytics faces: hits, personalized + weighted pageRank join back to node rows") {
     val g = graph // alice→bob(90), alice→carol(50), bob→dave(70)
     val ha = g.hits(Seq("name"), iters = 2)

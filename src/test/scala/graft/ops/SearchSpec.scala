@@ -1,0 +1,43 @@
+package graft.ops
+
+import graft.SparkSpec
+
+class SearchSpec extends SparkSpec {
+
+  private def docs = {
+    import spark.implicits._
+    Seq(
+      (1L, "x x y"),
+      (2L, "x z"),
+      (3L, "z z z")
+    ).toDF("doc_id", "text")
+  }
+
+  test("postings: one row per (doc, term) with its tf") {
+    import spark.implicits._
+    val p = Search.postings(docs).as[(Long, String, Long)].collect().toSet
+    assert(p === Set((1L, "x", 2L), (1L, "y", 1L),
+                     (2L, "x", 1L), (2L, "z", 1L), (3L, "z", 3L)))
+  }
+
+  test("bm25TopK matches the closed-form Okapi score, ranked and cut at k") {
+    import spark.implicits._
+    // N=3, dl = (3, 2, 3), avgdl = 8/3; query {x}: df = 2
+    val idf = math.log(1.0 + (3.0 - 2.0 + 0.5) / (2.0 + 0.5))
+    def s(tf: Double, dl: Double): Double =
+      idf * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / (8.0 / 3.0)))
+    def r6(x: Double): Double = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val out = Search.bm25TopK(docs, Seq("x"), k = 10)
+      .as[(Long, Double)].collect().toList
+    assert(out === List(1L -> r6(s(2, 3)), 2L -> r6(s(1, 2)))) // d3 has no x
+    // cut at k respects the (score DESC, doc_id) order
+    val top1 = Search.bm25TopK(docs, Seq("x"), k = 1).as[(Long, Double)].collect().toList
+    assert(top1 === List(1L -> r6(s(2, 3))))
+    // multi-term query sums per-term scores; case-folded, duplicate terms collapse
+    val multi = Search.bm25TopK(docs, Seq("X", "y", "y"), k = 10)
+      .as[(Long, Double)].collect().toMap
+    val idfY = math.log(1.0 + (3.0 - 1.0 + 0.5) / (1.0 + 0.5))
+    assert(multi(1L) === r6(s(2, 3) + idfY * 1 * 2.2 / (1 + 1.2 * (0.25 + 0.75 * 3 / (8.0 / 3)))))
+    assert(multi(2L) === r6(s(1, 2)))
+  }
+}

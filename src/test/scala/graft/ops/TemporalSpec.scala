@@ -89,4 +89,31 @@ class TemporalSpec extends SparkSpec {
     val exchanges = "Exchange".r.findAllIn(plan).length
     assert(exchanges <= 2, s"expected at most one exchange per side:\n$plan")
   }
+
+  test("interval join: inclusive bounds, band straddling, exactly-once pairs") {
+    import spark.implicits._
+    // long times cast through timestamp = epoch SECONDS; bands are 60 s
+    val ev = Seq(
+      (1L, "a", 100L), (2L, "a", 130L), (3L, "a", 161L),
+      (4L, "a", 99L),  (5L, "b", 100L), (6L, "a", 160L)
+    ).toDF("id", "k", "t")
+    val win = Seq(
+      ("a", 100L, 160L, "w1"), // spans bands 1..2: inclusive [100, 160]
+      ("a", 130L, 130L, "w2"), // point interval
+      ("a", 200L, 150L, "w3"), // malformed (end < start): dropped
+      ("b", 90L,  110L, "w4")
+    ).toDF("k", "ws", "we", "wid")
+    val out = Temporal.intervalJoin(ev, win, Seq("k"), "t", "ws", "we",
+      Seq("wid"), bandMicros = 60L * 1000000L)
+    val pairs = out.select("id", "iv_wid").as[(Long, String)].collect().toList
+    // 1@100 and 6@160 hit w1's inclusive ends; 3@161 is just outside;
+    // 4@99 just before; w1 spans two bands yet each pair appears ONCE
+    assert(pairs.sorted === List(
+      (1L, "w1"), (2L, "w1"), (2L, "w2"), (5L, "w4"), (6L, "w1")))
+    assert(pairs.size === pairs.distinct.size)
+    // keys separate: event 5 ("b") never matches "a" windows
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
 }
