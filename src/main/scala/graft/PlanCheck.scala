@@ -32,8 +32,13 @@ object PlanCheck {
       "q_edge_delete",     // r3: LeftAnti on (src,dst,type) — keys only
       "q_ngram_jaccard",   // r3: broadcast self-join WITH the size-ratio prefilter
       "q_pagerank_weighted", // r3: per-iteration join+agg, no single-task funnels
-      "q_ann_ivfpq_mat"    // r4: materialized IVF-PQ — scan must show
+      "q_ann_ivfpq_mat",   // r4: materialized IVF-PQ — scan must show
                            // PartitionFilters: cell IN (probed...) pruning
+      "q_interval_join",   // r4: banded range join — (key, band) equi-join,
+                           // NO BroadcastNestedLoopJoin
+      "q_bm25",            // r4: postings probe — term filter pushed to scan,
+                           // df/stats joins broadcast, top-k = TakeOrdered
+      "q_adamic_adar"      // r4: within-neighbor self-join, no cross blowup
     )
     for (name <- interesting) {
       println(s"\n================ $name ================")

@@ -1344,6 +1344,38 @@ object Queries {
         round(avg(col("v") * col("v")), 6).as("mean_sq"))
   }
 
+  /** Ordered funnel view → click → purchase with a 6-hour max gap per
+    * step, first-touch anchors — [[graft.ops.EventAnalytics.funnel]]'s
+    * chained window-min shape. Counts are integers and anchors are exact
+    * timestamps, so the oracle's join-chain recomputation is value-exact.
+    */
+  def funnelGate(s: SparkSession, dir: String): DataFrame =
+    graft.ops.EventAnalytics.funnel(t(s, dir, "events"),
+      Seq("view", "click", "purchase"),
+      maxGapMicros = Some(6L * 3600L * 1000000L))
+
+  /** Weekly cohort retention over events: cohort = Monday-start week of
+    * each user's first event, cells = distinct active users per
+    * (cohort_week, week_offset). Whole-week integer offsets — no float
+    * date math to drift.
+    */
+  def cohortGate(s: SparkSession, dir: String): DataFrame =
+    graft.ops.EventAnalytics.cohortRetention(t(s, dir, "events"))
+      // date_trunc promotes to session-TZ TimestampType, which the parquet
+      // writer emits as INT96/ns; cast back to NTZ (a no-op in the UTC
+      // session) so the dump carries micros like every other gate
+      .withColumn("cohort_week", col("cohort_week").cast("timestamp_ntz"))
+
+  /** Per-event-type z-score outliers at |z| ≥ 2 on the 6-dp-rounded
+    * score — [[graft.ops.EventAnalytics.zscoreOutliers]]'s one-window
+    * shape; thresholding on the rounded z keeps the row set a pure
+    * function of values both engines agree on.
+    */
+  def outlierGate(s: SparkSession, dir: String): DataFrame =
+    graft.ops.EventAnalytics.zscoreOutliers(t(s, dir, "events"),
+        "value", Seq("event_type"), threshold = 2.0)
+      .select("event_id", "event_type", "value", "z")
+
   /** BM25 top-20 for the fixed query {hash, join, vector} over the
     * documents table — the postings probe + broadcast-df + one doc-keyed
     * score shuffle of [[graft.ops.Search.bm25TopK]]. The oracle recomputes

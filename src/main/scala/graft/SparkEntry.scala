@@ -92,6 +92,9 @@ object SparkEntry {
     "q_temporal_validity"    -> (Queries.temporalValidity _),
     "q_asof"                 -> (Queries.asof _),
     "q_interval_join"        -> (Queries.intervalJoinAgg _),
+    "q_funnel"               -> (Queries.funnelGate _),
+    "q_cohort"               -> (Queries.cohortGate _),
+    "q_outliers"             -> (Queries.outlierGate _),
     "q_bm25"                 -> (Queries.bm25 _),
     "q_adamic_adar"          -> (Queries.adamicAdar _),
     "q_chunk"                -> (Queries.chunk _),
@@ -891,6 +894,49 @@ object SparkEntry {
         |FROM events e JOIN w ON e.user_id = w.user_id
         |                    AND e.ts >= w.ws AND e.ts <= w.we
         |GROUP BY e.event_id""".stripMargin,
+
+    // first-touch funnel unrolled as a join chain: each stage's anchor is
+    // the min qualifying ts strictly after (and within 6 h of) the
+    // previous stage's anchor
+    "q_funnel" ->
+      """WITH t1 AS (SELECT user_id, min(ts) AS t FROM events
+        |            WHERE event_type = 'view' GROUP BY user_id),
+        |t2 AS (SELECT e.user_id, min(e.ts) AS t
+        |       FROM events e JOIN t1 ON e.user_id = t1.user_id
+        |       WHERE e.event_type = 'click' AND e.ts > t1.t
+        |         AND e.ts <= t1.t + INTERVAL 6 HOUR
+        |       GROUP BY e.user_id),
+        |t3 AS (SELECT e.user_id, min(e.ts) AS t
+        |       FROM events e JOIN t2 ON e.user_id = t2.user_id
+        |       WHERE e.event_type = 'purchase' AND e.ts > t2.t
+        |         AND e.ts <= t2.t + INTERVAL 6 HOUR
+        |       GROUP BY e.user_id)
+        |SELECT 0 AS stage_idx, 'view' AS stage,
+        |       (SELECT count(*) FROM t1) AS n_users
+        |UNION ALL SELECT 1, 'click', (SELECT count(*) FROM t2)
+        |UNION ALL SELECT 2, 'purchase', (SELECT count(*) FROM t3)""".stripMargin,
+
+    // Monday-start weeks on both engines; offsets are exact whole weeks
+    "q_cohort" ->
+      """WITH f AS (SELECT user_id, ts,
+        |             min(ts) OVER (PARTITION BY user_id) AS first_ts
+        |           FROM events)
+        |SELECT date_trunc('week', first_ts) AS cohort_week,
+        |       CAST(floor(date_diff('day', date_trunc('week', first_ts),
+        |                            date_trunc('week', ts)) / 7) AS INT)
+        |         AS week_offset,
+        |       count(DISTINCT user_id) AS n_active
+        |FROM f GROUP BY 1, 2""".stripMargin,
+
+    // threshold applied to the 6-dp-rounded z on both sides
+    "q_outliers" ->
+      """WITH s AS (SELECT event_id, event_type, value,
+        |             round((value - avg(value) OVER (PARTITION BY event_type)) /
+        |                   stddev_samp(value) OVER (PARTITION BY event_type), 6)
+        |               AS z
+        |           FROM events)
+        |SELECT event_id, event_type, value, z FROM s
+        |WHERE abs(z) >= 2.0""".stripMargin,
 
     // Okapi BM25 recomputed from the same whitespace tokenization;
     // 6-dp rounding + (score DESC, doc_id) total order on both sides

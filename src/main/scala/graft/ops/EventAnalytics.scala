@@ -1,0 +1,102 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Product-analytics operators over keyed event streams — funnel
+  * conversion, cohort retention, and per-group outlier detection: the
+  * standard read-side workloads a transcript/event warehouse serves next
+  * to its KG build. All three are single-logical-shuffle shapes: every
+  * window and aggregation below is keyed on the entity (user) or the
+  * group, so Catalyst reuses one exchange per keyed stage and nothing
+  * ever funnels through a single task.
+  */
+object EventAnalytics {
+
+  /** Ordered funnel conversion: how many users reach stage i, where
+    * reaching stage i means an event of type `stages(i)` STRICTLY AFTER
+    * the time the user first reached stage i−1 — and, with
+    * `maxGapMicros`, no more than that long after it (inclusive) —
+    * first-touch semantics: each stage anchors at its earliest
+    * qualifying event. Returns one row per stage:
+    * (stage_idx, stage, n_users), n_users non-increasing.
+    *
+    * Shape: the per-stage anchors are chained window MINs over the SAME
+    * user partitioning — one exchange total, k window passes — then one
+    * per-user collapse and one global count row that is exploded back to
+    * per-stage rows (no driver collect).
+    */
+  def funnel(events: DataFrame, stages: Seq[String],
+             userCol: String = "user_id", typeCol: String = "event_type",
+             tsCol: String = "ts", maxGapMicros: Option[Long] = None): DataFrame = {
+    require(stages.nonEmpty, "funnel needs at least one stage")
+    require(stages.distinct.size == stages.size, s"duplicate stages in $stages")
+    require(maxGapMicros.forall(_ > 0), s"maxGapMicros must be positive")
+    val w = Window.partitionBy(userCol)
+    var df = events.select(col(userCol), col(typeCol), col(tsCol))
+    stages.zipWithIndex.foreach { case (st, i) =>
+      val qualifies =
+        if (i == 0) col(typeCol) === st
+        else {
+          val prev = col(s"_t${i - 1}")
+          val inWindow = maxGapMicros.fold(lit(true))(g =>
+            unix_micros(col(tsCol).cast("timestamp")) <=
+              unix_micros(prev.cast("timestamp")) + g)
+          col(typeCol) === st && prev.isNotNull && col(tsCol) > prev && inWindow
+        }
+      df = df.withColumn(s"_t$i", min(when(qualifies, col(tsCol))).over(w))
+    }
+    val perUser = df.groupBy(userCol)
+      .agg(min(col("_t0")).as("_t0"),
+        stages.indices.drop(1).map(i => min(col(s"_t$i")).as(s"_t$i")): _*)
+    val counts = perUser.agg(
+      count(col("_t0")).as("_n0"),
+      stages.indices.drop(1).map(i => count(col(s"_t$i")).as(s"_n$i")): _*)
+    counts.select(explode(array(stages.zipWithIndex.map { case (st, i) =>
+        struct(lit(i).as("stage_idx"), lit(st).as("stage"),
+          col(s"_n$i").as("n_users"))
+      }: _*)).as("x"))
+      .select(col("x.stage_idx"), col("x.stage"), col("x.n_users"))
+  }
+
+  /** Weekly cohort retention: users are cohorted by the Monday-start week
+    * of their FIRST event; each (cohort_week, week_offset) cell counts
+    * the distinct cohort members active in that later week. Offsets are
+    * whole weeks between two week-truncated timestamps — exact integers,
+    * no float date math.
+    *
+    * Shape: one user-keyed window MIN for the cohort anchor, then one
+    * (cohort, offset)-keyed distinct-count aggregation.
+    */
+  def cohortRetention(events: DataFrame, userCol: String = "user_id",
+                      tsCol: String = "ts"): DataFrame = {
+    val w = Window.partitionBy(userCol)
+    events.select(col(userCol), col(tsCol))
+      .withColumn("_cw", date_trunc("week", min(col(tsCol)).over(w)))
+      .withColumn("_off",
+        floor(datediff(date_trunc("week", col(tsCol)), col("_cw")) / 7).cast("int"))
+      .groupBy(col("_cw").as("cohort_week"), col("_off").as("week_offset"))
+      .agg(countDistinct(col(userCol)).as("n_active"))
+  }
+
+  /** Per-group z-score outliers: rows whose value sits `threshold` or
+    * more sample standard deviations from their group's mean. The z is
+    * rounded to 6 dp BEFORE thresholding so the kept set is a pure
+    * function of the rounded scores (cross-engine-stable; a group with
+    * zero variance yields null z and keeps nothing). Group stats ride a
+    * single group-keyed window — one exchange, no join.
+    */
+  def zscoreOutliers(df: DataFrame, valueCol: String, groupCols: Seq[String],
+                     threshold: Double): DataFrame = {
+    require(groupCols.nonEmpty, "zscoreOutliers needs at least one group column")
+    require(threshold > 0, s"threshold must be positive, got $threshold")
+    val w = Window.partitionBy(groupCols.map(col): _*)
+    df.withColumn("_mu", avg(col(valueCol)).over(w))
+      .withColumn("_sd", stddev_samp(col(valueCol)).over(w))
+      .withColumn("z", when(col("_sd") > lit(0.0), // ANSI-safe: sd=0 → null z
+        round((col(valueCol) - col("_mu")) / col("_sd"), 6)))
+      .filter(abs(col("z")) >= threshold)
+      .drop("_mu", "_sd")
+  }
+}

@@ -1,0 +1,57 @@
+package graft.ops
+
+import graft.SparkSpec
+import java.sql.Timestamp
+
+class EventAnalyticsSpec extends SparkSpec {
+
+  test("funnel: first-touch anchors, strict order, max-gap window") {
+    import spark.implicits._
+    val ev = Seq(
+      ("u1", "view", 10L), ("u1", "click", 20L), ("u1", "purchase", 30L),
+      ("u2", "view", 10L), ("u2", "click", 5L),   // click BEFORE view: no
+      ("u3", "click", 10L),                       // no view at all
+      ("u4", "view", 10L), ("u4", "click", 10L),  // tie is not strictly after
+      ("u5", "view", 10L), ("u5", "click", 111L)  // 101 s later: outside gap
+    ).toDF("user_id", "event_type", "ts")
+    val gapped = EventAnalytics.funnel(ev, Seq("view", "click", "purchase"),
+        maxGapMicros = Some(100L * 1000000L)) // long ts = epoch seconds
+      .as[(Int, String, Long)].collect().sortBy(_._1).toList
+    assert(gapped === List((0, "view", 4L), (1, "click", 1L), (2, "purchase", 1L)))
+    val open = EventAnalytics.funnel(ev, Seq("view", "click", "purchase"))
+      .as[(Int, String, Long)].collect().sortBy(_._1).toList
+    assert(open === List((0, "view", 4L), (1, "click", 2L), (2, "purchase", 1L)))
+  }
+
+  test("cohortRetention: Monday-week cohorts with whole-week offsets") {
+    import spark.implicits._
+    val ev = Seq( // 2024-01-01 and 2024-01-08 are Mondays
+      ("u1", Timestamp.valueOf("2024-01-01 10:00:00")),
+      ("u1", Timestamp.valueOf("2024-01-10 09:00:00")), // offset 1
+      ("u1", Timestamp.valueOf("2024-01-16 23:00:00")), // offset 2
+      ("u2", Timestamp.valueOf("2024-01-09 08:00:00")), // cohort week Jan 8
+      ("u2", Timestamp.valueOf("2024-01-08 12:00:00")), // SAME week, offset 0
+      ("u3", Timestamp.valueOf("2024-01-03 00:00:00"))  // cohort week Jan 1
+    ).toDF("user_id", "ts")
+    val out = EventAnalytics.cohortRetention(ev)
+      .as[(Timestamp, Int, Long)].collect()
+      .map { case (w, o, n) => ((w.toString.take(10), o), n) }.toMap
+    assert(out === Map(
+      ("2024-01-01", 0) -> 2L, // u1 + u3 active in their first week
+      ("2024-01-01", 1) -> 1L, ("2024-01-01", 2) -> 1L,
+      ("2024-01-08", 0) -> 1L))
+  }
+
+  test("zscoreOutliers: rounded-z threshold, zero-variance groups drop out") {
+    import spark.implicits._
+    val df = Seq(
+      ("A", 1L, 1.0), ("A", 2L, 1.0), ("A", 3L, 1.0), ("A", 4L, 5.0),
+      ("B", 5L, 7.0), ("B", 6L, 7.0) // zero variance: null z, never kept
+    ).toDF("g", "id", "v")
+    // group A: mean 2, sample sd 2 → z(5.0) = 1.5, z(1.0) = -0.5
+    val out = EventAnalytics.zscoreOutliers(df, "v", Seq("g"), threshold = 1.4)
+      .select("id", "z").as[(Long, Double)].collect().toList
+    assert(out === List((4L, 1.5)))
+    assert(EventAnalytics.zscoreOutliers(df, "v", Seq("g"), 0.4).count() === 4L)
+  }
+}
