@@ -1376,6 +1376,43 @@ object Queries {
         "value", Seq("event_type"), threshold = 2.0)
       .select("event_id", "event_type", "value", "z")
 
+  /** OLAP rollup over lineitem: (returnflag, linestatus) cells plus
+    * per-flag subtotals and the grand total in one pass (Spark `rollup` =
+    * partial aggregates reused up the hierarchy, one shuffle). Quantities
+    * are integer-valued doubles, so the sums are exact and cast clean to
+    * BIGINT; NULL subtotal markers are coalesced to 'ALL' on both sides.
+    */
+  def rollupAgg(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(sum(col("l_quantity")).as("_sq"), count(lit(1)).as("n_rows"))
+      .select(coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+        col("_sq").cast("long").as("sum_qty"), col("n_rows"))
+
+  /** Count-Min heavy hitters, kept honest: the top-20 exact token counts
+    * next to a boolean asserting the CMS point estimate sits in
+    * [n, n + 2N/width] — the sketch's one-sided guarantee. The estimate
+    * itself is deterministic (xxhash rows), so the gate is stable; the
+    * oracle recomputes the exact counts and expects every bound to hold.
+    */
+  def heavyHitters(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Sketches
+    val depth = 4; val width = 1024
+    val toks = t(s, dir, "documents")
+      .select(explode(split(lower(trim(col("text"))), "\\s+")).as("token"))
+    val sketch = Sketches.countMinSketch(toks, "token", depth, width)
+    val top = toks.groupBy("token").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token")).limit(20)
+    Sketches.estimateCounts(sketch, top, "token", depth, width)
+      .join(top, Seq("token"))
+      .crossJoin(broadcast(toks.agg(count(lit(1)).as("_N"))))
+      .select(col("token"), col("n"),
+        (col("cm_est") >= col("n") &&
+          (col("cm_est") - col("n")).cast("double")
+            <= lit(2.0) * col("_N") / lit(width)).as("cm_ok"))
+  }
+
   /** BM25 top-20 for the fixed query {hash, join, vector} over the
     * documents table — the postings probe + broadcast-df + one doc-keyed
     * score shuffle of [[graft.ops.Search.bm25TopK]]. The oracle recomputes

@@ -93,6 +93,8 @@ object SparkEntry {
     "q_asof"                 -> (Queries.asof _),
     "q_interval_join"        -> (Queries.intervalJoinAgg _),
     "q_funnel"               -> (Queries.funnelGate _),
+    "q_rollup"               -> (Queries.rollupAgg _),
+    "q_heavy_hitters"        -> (Queries.heavyHitters _),
     "q_cohort"               -> (Queries.cohortGate _),
     "q_outliers"             -> (Queries.outlierGate _),
     "q_bm25"                 -> (Queries.bm25 _),
@@ -894,6 +896,23 @@ object SparkEntry {
         |FROM events e JOIN w ON e.user_id = w.user_id
         |                    AND e.ts >= w.ws AND e.ts <= w.we
         |GROUP BY e.event_id""".stripMargin,
+
+    // integer-valued quantities sum exactly; NULL rollup markers → 'ALL'
+    "q_rollup" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+        |       coalesce(l_linestatus, 'ALL') AS linestatus,
+        |       CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
+        |       count(*) AS n_rows
+        |FROM lineitem
+        |GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin,
+
+    // the oracle recomputes the exact top-20 counts; the CMS bound
+    // boolean must be TRUE on every row (sketch overcount ≤ 2N/width)
+    "q_heavy_hitters" ->
+      """SELECT token, count(*) AS n, TRUE AS cm_ok
+        |FROM (SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS token
+        |      FROM documents)
+        |GROUP BY token ORDER BY n DESC, token LIMIT 20""".stripMargin,
 
     // first-touch funnel unrolled as a join chain: each stage's anchor is
     // the min qualifying ts strictly after (and within 6 h of) the

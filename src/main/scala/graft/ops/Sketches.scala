@@ -1,0 +1,51 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Mergeable frequency sketches as pure dataflow. A Count-Min sketch is
+  * usually presented as a mutable d×w counter grid; distributed, it is
+  * just a tiny aggregation result: explode every item to its d
+  * (row, bucket) cells and count per cell. The "grid" DataFrame has at
+  * most d·w rows regardless of input size, merges across partitions by
+  * construction (counts add), and at 10^12 tokens replaces the exact
+  * per-token count table (which is as big as the vocabulary) with a
+  * fixed-size summary — same swap-in contract as the HLL vocabulary
+  * bound in [[CorpusOps.vocabSize]].
+  */
+object Sketches {
+
+  private def cells(itemCol: String, depth: Int, width: Int) =
+    explode(array((0 until depth).map(r =>
+      struct(lit(r).as("r"),
+        pmod(xxhash64(col(itemCol), lit(r)), lit(width.toLong)).as("bucket"))): _*))
+
+  /** Build the sketch: one explode (d rows per item) + one (r, bucket)
+    * aggregation with map-side partials → at most d·w output rows. Row
+    * r's hash is xxhash64 seeded by r, so the d rows are independent
+    * functions of the item.
+    */
+  def countMinSketch(items: DataFrame, itemCol: String,
+                     depth: Int, width: Int): DataFrame = {
+    require(depth >= 1, s"depth must be >= 1, got $depth")
+    require(width >= 2, s"width must be >= 2, got $width")
+    items.select(cells(itemCol, depth, width).as("x"))
+      .groupBy(col("x.r").as("r"), col("x.bucket").as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Point-estimate the frequency of each distinct probe item: join the
+    * probes' d cells against the sketch and take the per-item MIN
+    * (missing cells count 0, so never-seen probes estimate 0). The
+    * estimate NEVER undercounts — cm_est ≥ the true frequency, always —
+    * and overcounts by collision mass only. The sketch side has ≤ d·w
+    * rows, so the join broadcasts.
+    */
+  def estimateCounts(sketch: DataFrame, probes: DataFrame, itemCol: String,
+                     depth: Int, width: Int): DataFrame =
+    probes.select(col(itemCol)).distinct()
+      .select(col(itemCol), cells(itemCol, depth, width).as("x"))
+      .select(col(itemCol), col("x.r").as("r"), col("x.bucket").as("bucket"))
+      .join(broadcast(sketch), Seq("r", "bucket"), "left")
+      .groupBy(itemCol).agg(min(coalesce(col("cnt"), lit(0L))).as("cm_est"))
+}
