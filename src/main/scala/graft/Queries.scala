@@ -1376,6 +1376,22 @@ object Queries {
         "value", Seq("event_type"), threshold = 2.0)
       .select("event_id", "event_type", "value", "z")
 
+  /** TF-IDF top-3 keywords per document, ranked on the 6-dp-rounded
+    * score with a lexicographic tiebreak — [[graft.ops.Search.tfidfTopTerms]].
+    */
+  def tfidf(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Search.tfidfTopTerms(t(s, dir, "documents"), k = 3)
+
+  /** Per-event-type winsorization of `value` into the exact interpolated
+    * [p05, p95] band — [[graft.ops.EventAnalytics.winsorize]]; clipped
+    * values rounded to 6 dp for the cross-engine compare.
+    */
+  def winsorizeGate(s: SparkSession, dir: String): DataFrame =
+    graft.ops.EventAnalytics.winsorize(t(s, dir, "events"),
+        "value", Seq("event_type"), lo = 0.05, hi = 0.95)
+      .select(col("event_id"), col("event_type"),
+        round(col("value_w"), 6).as("value_w"))
+
   /** OLAP rollup over lineitem: (returnflag, linestatus) cells plus
     * per-flag subtotals and the grand total in one pass (Spark `rollup` =
     * partial aggregates reused up the hierarchy, one shuffle). Quantities

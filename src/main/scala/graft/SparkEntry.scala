@@ -98,6 +98,8 @@ object SparkEntry {
     "q_cohort"               -> (Queries.cohortGate _),
     "q_outliers"             -> (Queries.outlierGate _),
     "q_bm25"                 -> (Queries.bm25 _),
+    "q_tfidf"                -> (Queries.tfidf _),
+    "q_winsorize"            -> (Queries.winsorizeGate _),
     "q_adamic_adar"          -> (Queries.adamicAdar _),
     "q_chunk"                -> (Queries.chunk _),
     "q_rolling"              -> (Queries.rolling _),
@@ -980,6 +982,36 @@ object SparkEntry {
         |CROSS JOIN stats s
         |GROUP BY doc_id
         |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+
+    // tf·ln(N/df), ranked per doc on the ROUNDED score + term tiebreak
+    "q_tfidf" ->
+      """WITH post AS (
+        |  SELECT doc_id, term, count(*) AS tf
+        |  FROM (SELECT doc_id,
+        |          unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS term
+        |        FROM documents)
+        |  GROUP BY doc_id, term),
+        |dft AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM post GROUP BY term),
+        |n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+        |sc AS (SELECT p.doc_id, p.term,
+        |         round(p.tf * ln(n.n / f.df), 6) AS score
+        |       FROM post p JOIN dft f USING (term) CROSS JOIN n),
+        |r AS (SELECT doc_id, term, score,
+        |        row_number() OVER (PARTITION BY doc_id
+        |                           ORDER BY score DESC, term) AS rank
+        |      FROM sc)
+        |SELECT doc_id, rank, term, score FROM r WHERE rank <= 3""".stripMargin,
+
+    // exact interpolated percentiles (the q_corpus_stats contract) as the
+    // clip band; clipped values rounded to 6 dp on both sides
+    "q_winsorize" ->
+      """WITH b AS (SELECT event_type,
+        |             percentile_cont(0.05) WITHIN GROUP (ORDER BY value) AS plo,
+        |             percentile_cont(0.95) WITHIN GROUP (ORDER BY value) AS phi
+        |           FROM events GROUP BY event_type)
+        |SELECT e.event_id, e.event_type,
+        |       round(greatest(b.plo, least(b.phi, e.value)), 6) AS value_w
+        |FROM events e JOIN b USING (event_type)""".stripMargin,
 
     // Adamic–Adar over the customer ↔ part co-purchase membership:
     // shared-neighbor 1/ln(deg) sums, 6-dp-rounded, total-ordered cut

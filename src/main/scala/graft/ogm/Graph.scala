@@ -292,6 +292,30 @@ final case class Graph(nodes: DataFrame, edges: DataFrame) {
       .drop("_node_id", "node")
   }
 
+  /** Adamic–Adar link predictions over this graph's edges viewed as a
+    * (src node → dst target) membership: undirected SOURCE pairs sharing
+    * at least one target, scored by rare-shared-target overlap —
+    * [[graft.kg.GraphAlgos.adamicAdar]]. Both endpoints' merge-key
+    * columns come back prefixed `a_`/`b_` (pair sides ordered by
+    * internal node id, each unordered pair once).
+    */
+  def linkPredictions(mergeKeys: Seq[String], relType: Option[String] = None,
+                      maxNeighborhood: Int = 10000): DataFrame = {
+    val e = relType.fold(edges)(t => edges.filter(col(RelSetOps.RelType) === t))
+    val scores = graft.kg.GraphAlgos.adamicAdar(e, nodeCol = RelSetOps.SrcId,
+      neighborCol = RelSetOps.DstId, maxNeighborhood = maxNeighborhood)
+    val keyed = RelSetOps.withNodeId(nodes, mergeKeys)
+    val aSide = keyed.select(col("_node_id").as("_aid") +:
+      mergeKeys.map(k => col(k).as(s"a_$k")): _*)
+    val bSide = keyed.select(col("_node_id").as("_bid") +:
+      mergeKeys.map(k => col(k).as(s"b_$k")): _*)
+    scores.join(aSide, col("a") === col("_aid"))
+      .join(bSide, col("b") === col("_bid"))
+      .select(mergeKeys.map(k => col(s"a_$k")) ++
+        mergeKeys.map(k => col(s"b_$k")) ++
+        Seq(col("common"), col("aa_score")): _*)
+  }
+
   /** Community detection (deterministic synchronous label propagation)
     * over the undirected view of this graph's edges, memberships joined
     * back to node rows — [[graft.kg.GraphAlgos.labelPropagation]].

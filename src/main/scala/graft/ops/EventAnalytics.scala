@@ -80,6 +80,29 @@ object EventAnalytics {
       .agg(countDistinct(col(userCol)).as("n_active"))
   }
 
+  /** Per-group winsorization: clip `valueCol` into its group's exact
+    * interpolated [lo, hi] percentile band (the robust-statistics tamer
+    * for heavy-tailed feature columns). Percentiles are computed with
+    * Spark's exact `percentile` — engine-portable interpolation, the
+    * same contract [[CorpusOps.tokenPercentiles]] gates — in one
+    * group-keyed aggregation, then joined back (group cardinality is
+    * tiny next to the data, so Catalyst broadcasts) and clipped with
+    * `greatest`/`least` in a codegen projection. Swap `approx_percentile`
+    * in at 10^12-row scale, same shape.
+    */
+  def winsorize(df: DataFrame, valueCol: String, groupCols: Seq[String],
+                lo: Double, hi: Double): DataFrame = {
+    require(groupCols.nonEmpty, "winsorize needs at least one group column")
+    require(0 <= lo && lo <= hi && hi <= 1, s"need 0 <= lo <= hi <= 1, got [$lo, $hi]")
+    val bounds = df.groupBy(groupCols.map(col): _*)
+      .agg(expr(s"percentile($valueCol, $lo)").as("_plo"),
+        expr(s"percentile($valueCol, $hi)").as("_phi"))
+    df.join(bounds, groupCols)
+      .withColumn(s"${valueCol}_w",
+        greatest(col("_plo"), least(col("_phi"), col(valueCol))))
+      .drop("_plo", "_phi")
+  }
+
   /** Per-group z-score outliers: rows whose value sits `threshold` or
     * more sample standard deviations from their group's mean. The z is
     * rounded to 6 dp BEFORE thresholding so the kept set is a pure

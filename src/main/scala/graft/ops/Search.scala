@@ -46,6 +46,34 @@ object Search {
     * is a TakeOrdered (per-partition heads + one driver merge of k·p
     * rows), never a full sort.
     */
+  /** TF-IDF keyword extraction: the k most distinctive terms per
+    * document, scored tf · ln(N/df) and ranked per doc by the
+    * 6-dp-ROUNDED score (ties → lexicographic term — a total order, so
+    * the per-doc cut is cross-engine-deterministic). Terms appearing in
+    * every document score exactly 0 and still rank behind rarer ones.
+    *
+    * Shape: one term-keyed df aggregation joined back onto the postings
+    * (both sides shuffle on term — at corpus scale the df table is the
+    * vocabulary, broadcast only if trimmed), the 1-row N via broadcast
+    * cross join, then one doc-keyed window for the per-doc rank.
+    */
+  def tfidfTopTerms(docs: DataFrame, k: Int, idCol: String = "doc_id",
+                    textCol: String = "text"): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val post = postings(docs, idCol, textCol)
+    val dft = post.groupBy("term").agg(count(lit(1)).cast("double").as("_df"))
+    val n = docs.agg(count(lit(1)).cast("double").as("_n"))
+    val scored = post.join(dft, Seq("term"))
+      .crossJoin(broadcast(n))
+      .withColumn("score",
+        round(col("tf").cast("double") * log(col("_n") / col("_df")), 6))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+      .orderBy(col("score").desc, col("term"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("doc_id"), col("rank"), col("term"), col("score"))
+  }
+
   def bm25TopK(docs: DataFrame, query: Seq[String], k: Int,
                k1: Double = 1.2, b: Double = 0.75,
                idCol: String = "doc_id", textCol: String = "text"): DataFrame = {

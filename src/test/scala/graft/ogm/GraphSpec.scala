@@ -102,6 +102,21 @@ class GraphSpec extends SparkSpec {
     assert(!d1.contains("dave") && d1("bob") == 1L)
   }
 
+  test("analytics face: linkPredictions scores source pairs sharing rare targets") {
+    val spec = RelSpec("KNOWS", Seq("Person"), Seq("Person"),
+      Seq(EqKey("name")), Seq(EqKey("name")))
+    val staged = Seq( // carol is targeted by alice AND bob; dave by alice only
+      ("alice", "carol", 1), ("bob", "carol", 1), ("alice", "dave", 1)
+    ).toDF("start_name", "end_name", "score")
+    val g = Graph(people, RelSetOps.merge(None, staged, people, spec))
+    val out = g.linkPredictions(Seq("name"))
+      .as[(String, String, Long, Double)].collect().toList
+    assert(out.size === 1)
+    val (a, b, common, s) = out.head
+    assert(Set(a, b) === Set("alice", "bob") && common === 1L)
+    assert(math.abs(s - 1.0 / math.log(2.0)) < 1e-12) // deg(carol) = 2
+  }
+
   test("analytics faces: hits, personalized + weighted pageRank join back to node rows") {
     val g = graph // alice→bob(90), alice→carol(50), bob→dave(70)
     val ha = g.hits(Seq("name"), iters = 2)

@@ -42,6 +42,16 @@ class EventAnalyticsSpec extends SparkSpec {
       ("2024-01-08", 0) -> 1L))
   }
 
+  test("winsorize clips into the exact interpolated percentile band per group") {
+    import spark.implicits._
+    val df = (1 to 10).map(i => ("A", i.toLong, i.toDouble)).toDF("g", "id", "v")
+    // sorted 1..10: p10 = 1 + 0.9*(2-1) = 1.9; p90 = 9 + 0.1*(10-9) = 9.1
+    val out = EventAnalytics.winsorize(df, "v", Seq("g"), 0.1, 0.9)
+      .select("id", "v_w").as[(Long, Double)].collect().toMap
+    assert(out(1L) === 1.9 && out(10L) === 9.1)
+    (2L to 9L).foreach(i => assert(out(i) === i.toDouble)) // interior untouched
+  }
+
   test("zscoreOutliers: rounded-z threshold, zero-variance groups drop out") {
     import spark.implicits._
     val df = Seq(

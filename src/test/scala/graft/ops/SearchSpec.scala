@@ -40,4 +40,17 @@ class SearchSpec extends SparkSpec {
     assert(multi(1L) === r6(s(2, 3) + idfY * 1 * 2.2 / (1 + 1.2 * (0.25 + 0.75 * 3 / (8.0 / 3)))))
     assert(multi(2L) === r6(s(1, 2)))
   }
+
+  test("tfidfTopTerms ranks by rounded tf*ln(N/df), term tiebreak, cut at k") {
+    import spark.implicits._
+    // df: x=2, y=1, z=2; N=3
+    val out = Search.tfidfTopTerms(docs, k = 2)
+      .as[(Long, Int, String, Double)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(r => (r._3, r._4)).toList).toMap
+    def r6(x: Double): Double = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val ln15 = math.log(3.0 / 2.0); val ln3 = math.log(3.0)
+    assert(out(1L) === List("y" -> r6(ln3), "x" -> r6(2 * ln15))) // 1.0986 > 0.8109
+    assert(out(2L) === List("x" -> r6(ln15), "z" -> r6(ln15)))    // tie → term order
+    assert(out(3L) === List("z" -> r6(3 * ln15)))                 // only one term
+  }
 }
