@@ -1376,6 +1376,36 @@ object Queries {
         "value", Seq("event_type"), threshold = 2.0)
       .select("event_id", "event_type", "value", "z")
 
+  /** Dialogue-context assembly over events reshaped as transcript turns
+    * (the q_sessionize reshape): each turn's previous 3 turns rendered
+    * `role: text`, newline-joined — byte-exact against the oracle's
+    * window list aggregation, so any frame or order slip breaks it.
+    */
+  def contextGate(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val turns = t(s, dir, "events").select(
+      col("user_id").cast("string").as("conv_id"),
+      (row_number().over(w) - 1).as("turn_idx"),
+      col("event_type").as("role"), col("props").as("text"))
+    graft.ops.TextOps.assembleContext(turns, k = 3)
+      .select("conv_id", "turn_idx", "context")
+  }
+
+  /** Gaps-and-islands session assignment: per user, 0-based session index
+    * with a 30-minute gap rule, (ts, event_id) total order —
+    * [[graft.ops.Temporal.sessionIds]]. Integer indexes, exact gate.
+    */
+  def sessionIdsGate(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Temporal.sessionIds(t(s, dir, "events"), Seq("user_id"), "ts",
+        gapMicros = 30L * 60L * 1000000L, orderCols = Seq("event_id"))
+      .select("event_id", "user_id", "session_idx")
+
+  /** Document-frequency PMI for every co-occurring token pair —
+    * [[graft.ops.CorpusOps.pmiPairs]], 6-dp-rounded.
+    */
+  def pmi(s: SparkSession, dir: String): DataFrame =
+    graft.ops.CorpusOps.pmiPairs(t(s, dir, "documents"))
+
   /** TF-IDF top-3 keywords per document, ranked on the 6-dp-rounded
     * score with a lexicographic tiebreak — [[graft.ops.Search.tfidfTopTerms]].
     */

@@ -99,6 +99,9 @@ object SparkEntry {
     "q_outliers"             -> (Queries.outlierGate _),
     "q_bm25"                 -> (Queries.bm25 _),
     "q_tfidf"                -> (Queries.tfidf _),
+    "q_context"              -> (Queries.contextGate _),
+    "q_sessions"             -> (Queries.sessionIdsGate _),
+    "q_pmi"                  -> (Queries.pmi _),
     "q_winsorize"            -> (Queries.winsorizeGate _),
     "q_adamic_adar"          -> (Queries.adamicAdar _),
     "q_chunk"                -> (Queries.chunk _),
@@ -982,6 +985,55 @@ object SparkEntry {
         |CROSS JOIN stats s
         |GROUP BY doc_id
         |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+
+    // byte-exact context strings: same reshape, same ROWS frame, same
+    // frame order, newline-joined
+    "q_context" ->
+      """WITH turns AS (
+        |  SELECT CAST(user_id AS VARCHAR) AS conv_id,
+        |         row_number() OVER (PARTITION BY user_id
+        |                            ORDER BY ts, event_id) - 1 AS turn_idx,
+        |         event_type AS role, props AS text
+        |  FROM events)
+        |SELECT conv_id, turn_idx,
+        |       coalesce(array_to_string(list(role || ': ' || text) OVER (
+        |         PARTITION BY conv_id ORDER BY turn_idx
+        |         ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING), chr(10)), '')
+        |         AS context
+        |FROM turns""".stripMargin,
+
+    // lag + running sum of session starts under the same total order
+    "q_sessions" ->
+      """WITH x AS (SELECT event_id, user_id, ts, event_id AS eid,
+        |             lag(ts) OVER (PARTITION BY user_id
+        |                           ORDER BY ts, event_id) AS prev
+        |           FROM events),
+        |y AS (SELECT event_id, user_id, ts, eid,
+        |        CASE WHEN prev IS NULL
+        |               OR epoch_us(ts) - epoch_us(prev) > 1800000000
+        |             THEN 1 ELSE 0 END AS new_s
+        |      FROM x)
+        |SELECT event_id, user_id,
+        |       CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, eid
+        |                             ROWS UNBOUNDED PRECEDING) - 1 AS INT)
+        |         AS session_idx
+        |FROM y""".stripMargin,
+
+    // document-frequency PMI with the identical arithmetic shape
+    "q_pmi" ->
+      """WITH m AS (SELECT DISTINCT g, e FROM (
+        |             SELECT doc_id AS g,
+        |               unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS e
+        |             FROM documents)),
+        |p AS (SELECT l.e AS a, r.e AS b, count(DISTINCT l.g) AS n_ab
+        |      FROM m l JOIN m r ON l.g = r.g AND l.e < r.e
+        |      GROUP BY l.e, r.e),
+        |f AS (SELECT e, count(*) AS n FROM m GROUP BY e),
+        |nd AS (SELECT CAST(count(*) AS DOUBLE) AS nd FROM documents)
+        |SELECT p.a, p.b, p.n_ab,
+        |       round(ln((nd.nd * p.n_ab) / (fa.n * fb.n)), 6) AS pmi
+        |FROM p JOIN f fa ON fa.e = p.a JOIN f fb ON fb.e = p.b
+        |CROSS JOIN nd""".stripMargin,
 
     // tf·ln(N/df), ranked per doc on the ROUNDED score + term tiebreak
     "q_tfidf" ->

@@ -162,4 +162,34 @@ object CorpusOps {
         col("_shard") * lit(4294967296L) + floor(col("_offset") / budgetTokens))
       .drop("_shard", "_toks", "_offset")
   }
+
+  /** Pointwise mutual information over document-level token co-occurrence:
+    * for every token pair appearing together in at least one document,
+    * pmi = ln(N · n_ab / (n_a · n_b)) on document frequencies — the
+    * collocation / phrase-mining score. Positive ⇒ the pair co-occurs
+    * more than independent-token chance.
+    *
+    * Shape: distinct (doc, token) membership → within-document self-join
+    * via [[graft.kg.GraphAlgos.coMentionEdges]] (pairs form inside a
+    * document's token set only; the degenerate-doc gate bounds the
+    * per-doc quadratic) → two broadcast-friendly doc-frequency joins +
+    * a 1-row N broadcast. Nothing corpus-wide ever cross-joins.
+    */
+  def pmiPairs(docs: DataFrame, idCol: String = "doc_id",
+               textCol: String = "text", maxDocTokens: Int = 10000): DataFrame = {
+    val memb = docs.select(col(idCol).as("g"),
+      explode(array_distinct(split(lower(trim(col(textCol))), "\\s+"))).as("e"))
+    val pairs = graft.kg.GraphAlgos.coMentionEdges(memb, groupCol = "g",
+      entityCol = "e", maxGroupSize = maxDocTokens)
+      .withColumnRenamed("n_groups", "n_ab")
+    val freq = memb.distinct().groupBy("e").agg(count(lit(1)).as("_n"))
+    val n = docs.agg(count(lit(1)).cast("double").as("_nd"))
+    pairs
+      .join(freq.select(col("e").as("a"), col("_n").as("_na")), Seq("a"))
+      .join(freq.select(col("e").as("b"), col("_n").as("_nb")), Seq("b"))
+      .crossJoin(broadcast(n))
+      .select(col("a"), col("b"), col("n_ab"),
+        round(log(col("_nd") * col("n_ab") / (col("_na") * col("_nb"))), 6)
+          .as("pmi"))
+  }
 }

@@ -36,6 +36,36 @@ object Temporal {
       .rangeBetween(-trailingMicros, 0)
   }
 
+  /** Gaps-and-islands sessionization: per key, a NEW session starts at
+    * the first event and at every event whose gap from its predecessor
+    * exceeds `gapMicros`; every row gains a 0-based `session_idx`
+    * (running count of starts). This is the session-ID assignment
+    * (each row keeps its session), complementing the stateful
+    * snapshot-per-conversation face in `streaming.SessionTracker`.
+    * `orderCols` break timestamp ties — pass enough to make the
+    * per-key order total, or the lag is engine-dependent.
+    *
+    * One shuffle on the keys + one per-partition sort shared by the lag
+    * and the running sum (same window partitioning and order).
+    */
+  def sessionIds(events: DataFrame, keys: Seq[String], tsCol: String,
+                 gapMicros: Long, orderCols: Seq[String] = Nil): DataFrame = {
+    require(keys.nonEmpty, "sessionIds needs at least one key column")
+    require(gapMicros > 0, s"gapMicros must be positive, got $gapMicros")
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy((col(tsCol) +: orderCols.map(col)).map(_.asc): _*)
+    events
+      .withColumn("_tm", unix_micros(col(tsCol).cast("timestamp")))
+      .withColumn("_prev", lag(col("_tm"), 1).over(w))
+      .withColumn("_new",
+        when(col("_prev").isNull || col("_tm") - col("_prev") > gapMicros, 1)
+          .otherwise(0))
+      .withColumn("session_idx", (sum(col("_new")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        - 1).cast("int"))
+      .drop("_tm", "_prev", "_new")
+  }
+
   /** Banded interval (range-containment) join: one output row per
     * (left, right) pair sharing `keys` where the left row's `leftTime`
     * falls INSIDE the right row's `[startCol, endCol]` interval —

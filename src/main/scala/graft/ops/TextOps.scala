@@ -208,4 +208,27 @@ object TextOps {
       .withColumn("lang_pred", langId(col(textCol)))
       .withColumn("quality", qualityScore(col(textCol)))
       .withColumn("fingerprint", fingerprint(col(textCol)))
+
+  /** Rolling dialogue-context assembly over ordered conversation turns:
+    * every turn gains a `context` column holding its previous `k` turns
+    * rendered `role: text` and newline-joined — the prompt-context
+    * builder for transcript training data (first turns get the shorter
+    * prefix; turn 0 gets ""). `idxCol` must totally order turns within a
+    * conversation (the per-row invariant the north rule pins: per-turn
+    * text equality under stable (conv_id, turn_idx) ordering).
+    *
+    * Shape: ONE shuffle on the conversation key + a per-partition sort;
+    * the ROWS frame bounds window state to k rows per turn, and the
+    * frame order makes the concatenated bytes deterministic.
+    */
+  def assembleContext(turns: DataFrame, k: Int, convCol: String = "conv_id",
+                      idxCol: String = "turn_idx", roleCol: String = "role",
+                      textCol: String = "text"): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(convCol).orderBy(col(idxCol))
+      .rowsBetween(-k, -1)
+    turns.withColumn("context", concat_ws("\n",
+      collect_list(concat(col(roleCol), lit(": "), col(textCol))).over(w)))
+  }
 }

@@ -96,4 +96,18 @@ class CorpusOpsSpec extends SparkSpec {
     val again = CorpusOps.packBySize(docs, budgetTokens = 25L, nShards = 4)
     assert(out.select("doc_id", "pack_id").exceptAll(again.select("doc_id", "pack_id")).count() == 0)
   }
+
+  test("pmiPairs: document-frequency PMI, positive and negative collocations") {
+    val docs = Seq(
+      (1L, "x y"), (2L, "x y"), (3L, "z"), (4L, "x z")
+    ).toDF("doc_id", "text")
+    val out = CorpusOps.pmiPairs(docs)
+      .as[(String, String, Long, Double)].collect()
+      .map { case (a, b, n, p) => (a, b) -> ((n, p)) }.toMap
+    def r6(v: Double): Double = BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // n: x=3, y=2, z=2; N=4
+    assert(out.keySet === Set(("x", "y"), ("x", "z")))
+    assert(out(("x", "y")) === ((2L, r6(math.log(4.0 * 2 / (3 * 2)))))) // > 0
+    assert(out(("x", "z")) === ((1L, r6(math.log(4.0 * 1 / (3 * 2)))))) // < 0
+  }
 }

@@ -90,6 +90,25 @@ class TemporalSpec extends SparkSpec {
     assert(exchanges <= 2, s"expected at most one exchange per side:\n$plan")
   }
 
+  test("sessionIds: gap rule starts islands, per-key 0-based indexes") {
+    import spark.implicits._
+    // long ts = epoch seconds; gap 50 s
+    val ev = Seq(
+      (1L, "a", 0L), (2L, "a", 10L),   // gap 10 <= 50: same session
+      (3L, "a", 100L), (4L, "a", 105L), // 90 > 50: new session
+      (5L, "b", 7L)                     // separate key restarts at 0
+    ).toDF("id", "k", "t")
+    val out = Temporal.sessionIds(ev, Seq("k"), "t", gapMicros = 50L * 1000000L,
+        orderCols = Seq("id"))
+      .select("id", "session_idx").as[(Long, Int)].collect().toMap
+    assert(out === Map(1L -> 0, 2L -> 0, 3L -> 1, 4L -> 1, 5L -> 0))
+    // an exact-gap pair stays in one session (strict > rule)
+    val edge = Seq((1L, "a", 0L), (2L, "a", 50L)).toDF("id", "k", "t")
+    val e2 = Temporal.sessionIds(edge, Seq("k"), "t", 50L * 1000000L)
+      .select("id", "session_idx").as[(Long, Int)].collect().toMap
+    assert(e2 === Map(1L -> 0, 2L -> 0))
+  }
+
   test("interval join: inclusive bounds, band straddling, exactly-once pairs") {
     import spark.implicits._
     // long times cast through timestamp = epoch SECONDS; bands are 60 s

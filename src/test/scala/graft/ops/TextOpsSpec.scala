@@ -140,4 +140,21 @@ class TextOpsSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), plan)
   }
+
+  test("assembleContext: previous-k turns rendered in order, short prefixes") {
+    val turns = Seq(
+      ("c1", 0, "user", "hi"), ("c1", 1, "bot", "hello"),
+      ("c1", 2, "user", "how"), ("c1", 3, "bot", "fine"),
+      ("c2", 0, "user", "solo")
+    ).toDF("conv_id", "turn_idx", "role", "text")
+    val out = TextOps.assembleContext(turns, k = 2)
+      .select("conv_id", "turn_idx", "context")
+      .as[(String, Int, String)].collect()
+      .map { case (c, i, ctx) => (c, i) -> ctx }.toMap
+    assert(out(("c1", 0)) === "")
+    assert(out(("c1", 1)) === "user: hi")
+    assert(out(("c1", 2)) === "user: hi\nbot: hello")
+    assert(out(("c1", 3)) === "bot: hello\nuser: how") // frame slides past turn 0
+    assert(out(("c2", 0)) === "")
+  }
 }
