@@ -1376,6 +1376,26 @@ object Queries {
         "value", Seq("event_type"), threshold = 2.0)
       .select("event_id", "event_type", "value", "z")
 
+  /** Bounded harmonic centrality from 3 customer landmarks over the
+    * undirected customer ↔ part co-purchase graph, 3 hops — the
+    * landmark-distance sketch ([[graft.kg.GraphAlgos.landmarkDistances]])
+    * aggregated to Σ 1/hops. Integer hops ⇒ exact reciprocal terms;
+    * oracle = 3 min-relaxation rounds per landmark unrolled in SQL.
+    */
+  def harmonicGate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val m = t(s, dir, "lineitem").join(t(s, dir, "orders"),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(concat(lit("p:"), col("l_partkey")).as("p"),
+        concat(lit("c:"), col("o_custkey")).as("c")).distinct()
+    val sym = m.select(col("c").as("src"), col("p").as("dst"))
+      .unionByName(m.select(col("p").as("src"), col("c").as("dst")))
+    val lms = Seq("c:1", "c:2", "c:3").toDF("node")
+    graft.kg.GraphAlgos.harmonicCentrality(sym, lms, maxHops = 3)
+      .select(col("node"), col("n_landmarks"),
+        round(col("harmonic"), 6).as("harmonic"))
+  }
+
   /** Dialogue-context assembly over events reshaped as transcript turns
     * (the q_sessionize reshape): each turn's previous 3 turns rendered
     * `role: text`, newline-joined — byte-exact against the oracle's

@@ -115,6 +115,7 @@ object SparkEntry {
     "q_communities"          -> (Queries.communities _),
     "q_kcore"                -> (Queries.kcore _),
     "q_sssp"                 -> (Queries.sssp _),
+    "q_harmonic"             -> (Queries.harmonicGate _),
     "q_kcore_check"          -> (Queries.kcoreCheck _),
     "q_degrees"              -> (Queries.degrees _),
     // multimodal plumbing (stub kernel)
@@ -1269,6 +1270,33 @@ object SparkEntry {
         |         SELECT sym.d, d2.dist + sym.w FROM d2 JOIN sym ON d2.n = sym.s)
         |       GROUP BY 1)
         |SELECT n AS node, CAST(dist AS BIGINT) AS dist FROM d3""".stripMargin,
+
+    // per-landmark min-hop distances: 3 relaxation rounds unrolled, then
+    // the harmonic Σ 1/hops with 1/0 excluded by the hops > 0 filter
+    "q_harmonic" ->
+      """WITH m AS (SELECT DISTINCT 'p:' || l_partkey AS p, 'c:' || o_custkey AS c
+        |           FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |e AS (SELECT c AS s, p AS d FROM m UNION ALL SELECT p, c FROM m),
+        |d0 AS (SELECT n AS lm, n AS node, 0 AS hops
+        |       FROM (VALUES ('c:1'), ('c:2'), ('c:3')) t(n)),
+        |d1 AS (SELECT lm, node, MIN(hops) AS hops FROM (
+        |         SELECT lm, node, hops FROM d0
+        |         UNION ALL
+        |         SELECT d0.lm, e.d, d0.hops + 1 FROM d0 JOIN e ON d0.node = e.s)
+        |       GROUP BY 1, 2),
+        |d2 AS (SELECT lm, node, MIN(hops) AS hops FROM (
+        |         SELECT lm, node, hops FROM d1
+        |         UNION ALL
+        |         SELECT d1.lm, e.d, d1.hops + 1 FROM d1 JOIN e ON d1.node = e.s)
+        |       GROUP BY 1, 2),
+        |d3 AS (SELECT lm, node, MIN(hops) AS hops FROM (
+        |         SELECT lm, node, hops FROM d2
+        |         UNION ALL
+        |         SELECT d2.lm, e.d, d2.hops + 1 FROM d2 JOIN e ON d2.node = e.s)
+        |       GROUP BY 1, 2)
+        |SELECT node, count(*) AS n_landmarks,
+        |       round(sum(1.0 / hops), 6) AS harmonic
+        |FROM d3 WHERE hops > 0 GROUP BY node""".stripMargin,
 
     "q_kcore_check" ->
       """WITH ed AS (SELECT DISTINCT 'u:' || user_id AS a,

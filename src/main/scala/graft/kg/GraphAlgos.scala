@@ -571,4 +571,67 @@ object GraphAlgos {
     e.unpersist()
     visited
   }
+
+  /** Landmark distances: minimum hop counts from EACH landmark separately
+    * — the distance-sketch primitive (pick a handful of landmarks, store
+    * per-node distance vectors, estimate any s→t distance by triangle
+    * bounds without an all-pairs computation). Returns one
+    * (landmark, node, hops) row per landmark that reaches the node
+    * within `maxHops`.
+    *
+    * Same per-round discipline as [[bfsReachable]] but keyed on the
+    * COMPOSITE (landmark, node): all landmarks expand in the SAME
+    * per-round join — one shuffle per hop regardless of landmark count,
+    * never a driver loop over landmarks. State is (lm, node, int); the
+    * frontier shrinks to newly reached (lm, node) pairs each round and
+    * the loop exits early when every landmark's frontier is exhausted.
+    */
+  def landmarkDistances(edges: DataFrame, landmarks: DataFrame, maxHops: Int,
+                        srcCol: String = "src", dstCol: String = "dst",
+                        nodeCol: String = "node"): DataFrame = {
+    require(maxHops >= 0, s"maxHops must be >= 0, got $maxHops")
+    val e = edges.select(col(srcCol).as("_from"), col(dstCol).as("_to")).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var visited = landmarks.select(col(nodeCol).as("lm")).distinct()
+      .withColumn("node", col("lm")).withColumn("hops", lit(0))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var frontier = visited
+    var frontierN = frontier.count()
+    var h = 1
+    val retired = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    while (h <= maxHops && frontierN > 0) {
+      val next = frontier.join(e, frontier("node") === e("_from"))
+        .select(col("lm"), col("_to").as("node")).distinct()
+        .join(visited.select("lm", "node"), Seq("lm", "node"), "left_anti")
+        .withColumn("hops", lit(h))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      frontierN = next.count() // materialize BEFORE unpersisting parents
+      val nextVisited = visited.unionAll(next)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      nextVisited.count()
+      retired += visited; retired += next
+      visited = nextVisited
+      frontier = next
+      h += 1
+    }
+    retired.foreach(_.unpersist())
+    e.unpersist()
+    visited
+  }
+
+  /** Bounded harmonic centrality from a landmark sample: per node,
+    * Σ over landmarks reaching it within `maxHops` of 1/hops (the
+    * landmark itself contributes nothing at hops 0 — 1/0 is excluded by
+    * definition). Harmonic form handles disconnection gracefully where
+    * classic closeness (n−1)/Σd does not; with integer hops the terms
+    * are exact reciprocals, so a SQL oracle reproduces the rounded sum.
+    */
+  def harmonicCentrality(edges: DataFrame, landmarks: DataFrame, maxHops: Int,
+                         srcCol: String = "src", dstCol: String = "dst",
+                         nodeCol: String = "node"): DataFrame =
+    landmarkDistances(edges, landmarks, maxHops, srcCol, dstCol, nodeCol)
+      .filter(col("hops") > 0)
+      .groupBy("node")
+      .agg(count(lit(1)).as("n_landmarks"),
+        sum(lit(1.0) / col("hops")).as("harmonic"))
 }

@@ -288,6 +288,24 @@ class GraphAlgosSpec extends SparkSpec {
     assert(zero === Map("1" -> 0L))
   }
 
+  test("landmarkDistances + harmonicCentrality: per-landmark hops, Σ 1/hops") {
+    // path 1→2→3→4→5, shortcut 1→4, detached 9→10
+    val lms = Seq("1", "3", "9").toDF("node")
+    val d = GraphAlgos.landmarkDistances(edges, lms, maxHops = 2)
+      .as[(String, String, Int)].collect().toSet
+    assert(d === Set(
+      ("1", "1", 0), ("1", "2", 1), ("1", "4", 1), ("1", "3", 2), ("1", "5", 2),
+      ("3", "3", 0), ("3", "4", 1), ("3", "5", 2),
+      ("9", "9", 0), ("9", "10", 1)))
+    val h = GraphAlgos.harmonicCentrality(edges, lms, maxHops = 2)
+      .as[(String, Long, Double)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(h(("4")) === ((2L, 2.0)))        // hops 1 from both lm 1 and lm 3
+    assert(h(("5")) === ((2L, 1.0)))        // 0.5 + 0.5
+    assert(h(("2")) === ((1L, 1.0)) && h(("10")) === ((1L, 1.0)))
+    assert(h(("3")) === ((1L, 0.5)))        // reached only from lm 1 at hops 2
+    assert(!h.contains("1") && !h.contains("9")) // self rows (hops 0) excluded
+  }
+
   test("adamicAdar: 1/ln(deg) shared-neighbor sums, hub gate drops big neighborhoods") {
     val m = Seq(
       ("n1", "a"), ("n1", "b"), ("n1", "c"), // deg(n1)=3
