@@ -1376,6 +1376,14 @@ object Queries {
         "value", Seq("event_type"), threshold = 2.0)
       .select("event_id", "event_type", "value", "z")
 
+  /** Hashing-trick features at dim 64 over documents — the portable
+    * polynomial token hash makes the buckets themselves oracle-checkable
+    * (an xxhash variant would be rows-only) —
+    * [[graft.ops.TextOps.hashFeatures]].
+    */
+  def hashFeaturesGate(s: SparkSession, dir: String): DataFrame =
+    graft.ops.TextOps.hashFeatures(t(s, dir, "documents"), dim = 64)
+
   /** Bounded harmonic centrality from 3 customer landmarks over the
     * undirected customer ↔ part co-purchase graph, 3 hops — the
     * landmark-distance sketch ([[graft.kg.GraphAlgos.landmarkDistances]])

@@ -102,6 +102,7 @@ object SparkEntry {
     "q_context"              -> (Queries.contextGate _),
     "q_sessions"             -> (Queries.sessionIdsGate _),
     "q_pmi"                  -> (Queries.pmi _),
+    "q_hash_features"        -> (Queries.hashFeaturesGate _),
     "q_winsorize"            -> (Queries.winsorizeGate _),
     "q_adamic_adar"          -> (Queries.adamicAdar _),
     "q_chunk"                -> (Queries.chunk _),
@@ -1019,6 +1020,21 @@ object SparkEntry {
         |                             ROWS UNBOUNDED PRECEDING) - 1 AS INT)
         |         AS session_idx
         |FROM y""".stripMargin,
+
+    // the portable polynomial token hash (q_fingerprint's inner reduce)
+    // recomputed per token, folded mod 64 — bucket VALUES value-checked
+    "q_hash_features" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(
+        |      regexp_split_to_array(lower(trim(text)), '\s+'),
+        |      t -> list_reduce(list_prepend(CAST(7 AS BIGINT),
+        |             list_transform(string_split(t, ''),
+        |               c -> CAST(unicode(c) AS BIGINT))),
+        |           (a, c) -> (a * 131 + c) % 1000000007))) AS h
+        |  FROM documents)
+        |SELECT doc_id, CAST(h % 64 AS INT) AS bucket, count(*) AS n
+        |FROM toks GROUP BY doc_id, bucket""".stripMargin,
 
     // document-frequency PMI with the identical arithmetic shape
     "q_pmi" ->

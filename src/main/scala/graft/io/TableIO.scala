@@ -205,6 +205,39 @@ final class StageRunner(spark: SparkSession, workDir: String) extends AutoClosea
     }
   }
 
+  /** Expire old snapshots of a stage: delete the DATA directories of all
+    * but the newest `keepLast` committed versions, returning the deleted
+    * paths. The storage-hygiene half of the snapshot contract — version
+    * dirs are immutable and accumulate forever without it.
+    *
+    * The LOG is deliberately left intact: log lines are bytes, data dirs
+    * are the cost, and the lines carry the batch-id notes that make
+    * [[mergeStage]] exactly-once — dropping an expired line would let a
+    * replay of its batch RE-apply. `readAsOf` on an expired version now
+    * fails with a missing path (as in any snapshot format after
+    * expiry); `readLatest`/`stage` never touch expired versions. Only
+    * version-suffixed dirs (`.../v<N>` or `...__v<N>`) under this
+    * runner's workDir are ever deleted — legacy unversioned stage dirs
+    * are skipped, conservatively.
+    */
+  def expireSnapshots(name: String, keepLast: Int): Seq[String] = {
+    require(keepLast >= 1, s"keepLast must be >= 1, got $keepLast")
+    val versions = log.snapshots().filter(_.stage == name)
+      .sortBy(_.version).map(_.path).distinct
+    val doomed = versions.dropRight(keepLast)
+      .filter(p => p.startsWith(workDir) && p.matches(""".*(/v|__v)\d+$"""))
+    doomed.foreach { p =>
+      val root = java.nio.file.Paths.get(p)
+      if (java.nio.file.Files.exists(root)) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(root).iterator().asScala.toSeq
+          .sortBy(-_.getNameCount) // children before parents
+          .foreach(java.nio.file.Files.deleteIfExists(_))
+      }
+    }
+    doomed
+  }
+
   /** Latest committed snapshot of a stage, if any — the current table. */
   def readLatest(name: String): Option[DataFrame] =
     log.latest(name).filter(s => TableIO.exists(s.path))

@@ -209,6 +209,29 @@ object TextOps {
       .withColumn("quality", qualityScore(col(textCol)))
       .withColumn("fingerprint", fingerprint(col(textCol)))
 
+  /** Hashing-trick bag-of-words — fixed-dimension sparse term-count
+    * features per document: every whitespace token lands in bucket
+    * `tokenHash(token) mod dim` and the features are the per-(doc,
+    * bucket) counts. The vocabulary-free featurizer: no dictionary to
+    * build, broadcast, or keep consistent across a 10^12-token corpus,
+    * and the output width is capped at `dim` regardless of vocabulary
+    * growth. Uses the engine-portable polynomial [[tokenHash]] (NOT
+    * xxhash) so a different engine folding the same code points gets
+    * the same buckets — the property the driver gate value-checks.
+    *
+    * Shape: explode + one (doc, bucket)-keyed count with map-side
+    * partials; text never shuffles.
+    */
+  def hashFeatures(docs: DataFrame, dim: Int, idCol: String = "doc_id",
+                   textCol: String = "text"): DataFrame = {
+    require(dim >= 2, s"dim must be >= 2, got $dim")
+    docs.select(col(idCol).as("doc_id"),
+        explode(split(lower(trim(col(textCol))), "\\s+")).as("_t"))
+      .select(col("doc_id"),
+        pmod(tokenHash(col("_t")), lit(dim.toLong)).cast("int").as("bucket"))
+      .groupBy("doc_id", "bucket").agg(count(lit(1)).as("n"))
+  }
+
   /** Rolling dialogue-context assembly over ordered conversation turns:
     * every turn gains a `context` column holding its previous `k` turns
     * rendered `role: text` and newline-joined — the prompt-context

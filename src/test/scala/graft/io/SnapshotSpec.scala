@@ -34,6 +34,30 @@ class SnapshotSpec extends SparkSpec {
     } finally r.close()
   }
 
+  test("expireSnapshots deletes old version dirs, keeps the log and batch idempotence") {
+    val wd = tmpDir("graft-expire")
+    val r = new StageRunner(spark, wd)
+    try {
+      r.mergeStage("t", "b1")(_ => Seq(1).toDF("x"))
+      r.mergeStage("t", "b2")(prev => prev.get.unionAll(Seq(2).toDF("x")))
+      r.mergeStage("t", "b3")(prev => prev.get.unionAll(Seq(3).toDF("x")))
+      assert(r.log.latest("t").get.version === 3)
+
+      val deleted = r.expireSnapshots("t", keepLast = 1)
+      assert(deleted.size === 2 && deleted.forall(_.matches(""".*/v[12]$""")))
+      deleted.foreach(p => assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(p))))
+      // latest still reads; expired time travel now fails on the missing dir
+      assert(r.readLatest("t").get.as[Int].collect().sorted.toSeq === Seq(1, 2, 3))
+      assert(intercept[Exception](r.readAsOf("t", 1).collect()) != null)
+      // the log kept every batch note: replaying an EXPIRED batch still skips
+      val replay = r.mergeStage("t", "b1")(_ => sys.error("must not re-apply"))
+      assert(replay.as[Int].collect().sorted.toSeq === Seq(1, 2, 3))
+      assert(r.log.latest("t").get.version === 3)
+      // keepLast must retain at least one version
+      assert(intercept[IllegalArgumentException](r.expireSnapshots("t", 0)) != null)
+    } finally r.close()
+  }
+
   test("a deleted (uncommitted) log line recomputes into the same version slot") {
     val wd = tmpDir("graft-snapcrash")
     val r = new StageRunner(spark, wd)

@@ -141,6 +141,17 @@ class TextOpsSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), plan)
   }
 
+  test("hashFeatures: portable buckets, counts per (doc, bucket)") {
+    def tokHash(t: String): Long =
+      t.foldLeft(7L)((a, c) => (a * 131 + c.toLong) % 1000000007L)
+    val docs = Seq((1L, "ab ab cd"), (2L, "AB")).toDF("doc_id", "text")
+    val out = TextOps.hashFeatures(docs, dim = 64)
+      .as[(Long, Int, Long)].collect().toSet
+    val bAb = (tokHash("ab") % 64).toInt; val bCd = (tokHash("cd") % 64).toInt
+    assert(out === Set((1L, bAb, 2L), (1L, bCd, 1L), (2L, bAb, 1L))) // case-folded
+    assert(out.forall { case (_, b, _) => b >= 0 && b < 64 })
+  }
+
   test("assembleContext: previous-k turns rendered in order, short prefixes") {
     val turns = Seq(
       ("c1", 0, "user", "hi"), ("c1", 1, "bot", "hello"),
