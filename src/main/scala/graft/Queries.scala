@@ -1384,6 +1384,21 @@ object Queries {
   def hashFeaturesGate(s: SparkSession, dir: String): DataFrame =
     graft.ops.TextOps.hashFeatures(t(s, dir, "documents"), dim = 64)
 
+  /** Local clustering coefficients over the thresholded user co-activity
+    * graph (users sharing ≥ 10 distinct value-ventile buckets) —
+    * [[graft.kg.GraphAlgos.clusteringCoefficient]]; 6-dp-rounded ratio of
+    * exact integer triangle counts and degrees.
+    */
+  def clusteringGate(s: SparkSession, dir: String): DataFrame = {
+    val m = t(s, dir, "events").select(col("user_id").as("u"),
+      floor(col("value") / 20).cast("long").as("b")).distinct()
+    val edges = graft.kg.GraphAlgos.coMentionEdges(m, groupCol = "b", entityCol = "u")
+      .filter(col("n_groups") >= 10)
+    graft.kg.GraphAlgos.clusteringCoefficient(edges)
+      .select(col("node"), col("n_triangles"), col("degree"),
+        round(col("clustering"), 6).as("clustering"))
+  }
+
   /** Bounded harmonic centrality from 3 customer landmarks over the
     * undirected customer ↔ part co-purchase graph, 3 hops — the
     * landmark-distance sketch ([[graft.kg.GraphAlgos.landmarkDistances]])

@@ -117,6 +117,7 @@ object SparkEntry {
     "q_kcore"                -> (Queries.kcore _),
     "q_sssp"                 -> (Queries.sssp _),
     "q_harmonic"             -> (Queries.harmonicGate _),
+    "q_clustering"           -> (Queries.clusteringGate _),
     "q_kcore_check"          -> (Queries.kcoreCheck _),
     "q_degrees"              -> (Queries.degrees _),
     // multimodal plumbing (stub kernel)
@@ -1286,6 +1287,30 @@ object SparkEntry {
         |         SELECT sym.d, d2.dist + sym.w FROM d2 JOIN sym ON d2.n = sym.s)
         |       GROUP BY 1)
         |SELECT n AS node, CAST(dist AS BIGINT) AS dist FROM d3""".stripMargin,
+
+    // canonical-edge triangle enumeration (the q_triangles pattern) over
+    // the thresholded co-activity graph + the 2T/d(d-1) ratio
+    "q_clustering" ->
+      """WITH m AS (SELECT DISTINCT user_id AS u,
+        |             CAST(FLOOR(value / 20) AS BIGINT) AS b FROM events),
+        |ed AS (SELECT l.u AS x, r.u AS y
+        |       FROM m l JOIN m r ON l.b = r.b AND l.u < r.u
+        |       GROUP BY 1, 2 HAVING count(*) >= 10),
+        |deg AS (SELECT n, count(*) AS d FROM (
+        |          SELECT x AS n FROM ed UNION ALL SELECT y FROM ed) GROUP BY n),
+        |tri AS (SELECT e1.x AS n1, e1.y AS n2, e2.y AS n3
+        |        FROM ed e1 JOIN ed e2 ON e1.x = e2.x AND e1.y < e2.y
+        |        JOIN ed e3 ON e3.x = e1.y AND e3.y = e2.y),
+        |tcnt AS (SELECT node, count(*) AS t FROM (
+        |           SELECT n1 AS node FROM tri
+        |           UNION ALL SELECT n2 FROM tri
+        |           UNION ALL SELECT n3 FROM tri) GROUP BY node)
+        |SELECT deg.n AS node, CAST(coalesce(t, 0) AS BIGINT) AS n_triangles,
+        |       d AS degree,
+        |       round(CASE WHEN d >= 2
+        |                  THEN 2.0 * coalesce(t, 0) / (d * (d - 1))
+        |                  ELSE 0.0 END, 6) AS clustering
+        |FROM deg LEFT JOIN tcnt ON tcnt.node = deg.n""".stripMargin,
 
     // per-landmark min-hop distances: 3 relaxation rounds unrolled, then
     // the harmonic Σ 1/hops with 1/0 excluded by the hops > 0 filter

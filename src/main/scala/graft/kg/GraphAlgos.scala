@@ -145,6 +145,31 @@ object GraphAlgos {
     out
   }
 
+  /** Local clustering coefficient per node over the undirected simple
+    * graph: 2·T(v) / (deg(v)·(deg(v)−1)) — the fraction of a node's
+    * neighbor pairs that are themselves connected (how clique-like its
+    * neighborhood is). Degree-≤1 nodes get 0 by convention; every node
+    * on at least one edge appears. Reuses [[triangleCounts]]'s
+    * degree-oriented enumeration (the skew-safe wedge bound) plus one
+    * degree aggregation and a left join — no new join shapes.
+    */
+  def clusteringCoefficient(edges: DataFrame, aCol: String = "a",
+                            bCol: String = "b"): DataFrame = {
+    val canon = edges
+      .select(least(col(aCol), col(bCol)).as("x"), greatest(col(aCol), col(bCol)).as("y"))
+      .filter(col("x") =!= col("y")).distinct()
+    val deg = canon.select(col("x").as("node")).unionAll(canon.select(col("y").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("degree"))
+    val tri = triangleCounts(edges, aCol, bCol).withColumnRenamed("n_triangles", "_t")
+    deg.join(tri, Seq("node"), "left")
+      .select(col("node"), coalesce(col("_t"), lit(0L)).as("n_triangles"),
+        col("degree"),
+        when(col("degree") >= 2,
+          lit(2.0) * coalesce(col("_t"), lit(0L)) /
+            (col("degree") * (col("degree") - 1)))
+          .otherwise(lit(0.0)).as("clustering"))
+  }
+
   /** Structural node similarity: Jaccard of (out-)neighborhoods in a
     * bipartite membership table — |N(a) ∩ N(b)| / |N(a) ∪ N(b)| for every
     * pair sharing at least one neighbor. Built on [[coMentionEdges]]

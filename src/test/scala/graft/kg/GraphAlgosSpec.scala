@@ -70,6 +70,17 @@ class GraphAlgosSpec extends SparkSpec {
     assert(out === Map(1 -> 3L, 2 -> 3L, 3 -> 3L, 4 -> 3L))
   }
 
+  test("clusteringCoefficient: 2T/d(d-1) with low-degree and pendant conventions") {
+    // K4 on {1,2,3,4} + pendant 5 on node 4
+    val e = Seq((1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (4, 5)).toDF("a", "b")
+    val out = GraphAlgos.clusteringCoefficient(e)
+      .as[(Int, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out(1) === ((3L, 3L, 1.0)) && out(2) === ((3L, 3L, 1.0)))
+    assert(out(4) === ((3L, 4L, 0.5)))  // pendant dilutes: 6/12
+    assert(out(5) === ((0L, 1L, 0.0)))  // degree-1 convention
+  }
+
   test("triangleCounts matches a brute-force oracle on a deterministic random graph") {
     val rnd = new scala.util.Random(42)
     val n = 30
