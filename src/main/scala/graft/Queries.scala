@@ -1502,6 +1502,40 @@ object Queries {
             <= lit(2.0) * col("_N") / lit(width)).as("cm_ok"))
   }
 
+  /** Resize gate — the vision-preprocessing half-step after decode:
+    * 120 synthetic PNGs decoded AND nearest-neighbor-resized to 6×5 in
+    * one mapPartitions pass, then per-(image, channel) stats. The floor
+    * index mapping keeps every resized pixel closed-form in
+    * (id, x', y', c), so the oracle recomputes all stats without a codec
+    * or a resampler — any stride or mapping slip breaks the hash.
+    */
+  def resizeStats(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Multimodal
+    val media = Multimodal.syntheticPngMedia(s, 120)
+    Multimodal.decodeResized(media, newW = 6, newH = 5).toDF()
+      .select(col("media_id"), posexplode(col("pixels")).as(Seq("pos", "v")))
+      .groupBy(col("media_id"), pmod(col("pos"), lit(3)).cast("int").as("channel"))
+      .agg(count(lit(1)).as("n_px"), round(avg(col("v")), 6).as("mean"),
+        min(col("v")).as("vmin"), max(col("v")).as("vmax"))
+  }
+
+  /** Audio decimation gate: 90 synthetic WAVs decoded and every-3rd-frame
+    * decimated in one pass (rate divided accordingly), then per-(file,
+    * channel) stats — the kept samples are the closed-form values at
+    * frames ≡ 0 (mod 3), recomputed entirely in SQL.
+    */
+  def audioDecimateStats(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Multimodal
+    val media = Multimodal.syntheticWavMedia(s, 90)
+    Multimodal.decodeDecimated(media, every = 3).toDF()
+      .select(col("media_id"), col("sample_rate"), col("channels"),
+        posexplode(col("samples")).as(Seq("pos", "v")))
+      .groupBy(col("media_id"), col("sample_rate"),
+        pmod(col("pos"), col("channels")).cast("int").as("channel"))
+      .agg(count(lit(1)).as("n_samp"), round(avg(col("v")), 6).as("mean"),
+        min(col("v")).as("vmin"), max(col("v")).as("vmax"))
+  }
+
   /** BM25 top-20 for the fixed query {hash, join, vector} over the
     * documents table — the postings probe + broadcast-df + one doc-keyed
     * score shuffle of [[graft.ops.Search.bm25TopK]]. The oracle recomputes

@@ -127,6 +127,8 @@ object SparkEntry {
     "q_multimodal"           -> (Queries.multimodal _),
     "q_media_meta"           -> (Queries.mediaMeta _),
     "q_pixel_stats"          -> (Queries.pixelStats _),
+    "q_resize_stats"         -> (Queries.resizeStats _),
+    "q_audio_decimate"       -> (Queries.audioDecimateStats _),
     "q_audio_stats"          -> (Queries.audioStats _)
   )
 
@@ -635,6 +637,41 @@ object SparkEntry {
         |       count(*) AS n_px, ROUND(AVG(v), 6) AS mean,
         |       CAST(MIN(v) AS INTEGER) AS vmin, CAST(MAX(v) AS INTEGER) AS vmax
         |FROM px GROUP BY 1, 2""".stripMargin,
+
+    // resized pixels stay closed-form through the floor index mapping:
+    // src = (x'·w)//newW, (y'·h)//newH — no resampler runs in DuckDB
+    "q_resize_stats" ->
+      """WITH ids AS (SELECT range AS id FROM range(0, 120)),
+        |xs AS (SELECT range AS x FROM range(0, 6)),
+        |ys AS (SELECT range AS y FROM range(0, 5)),
+        |cs AS (SELECT range AS c FROM range(0, 3)),
+        |img AS (SELECT id, 8 + id % 9 AS w, 8 + id % 7 AS h FROM ids),
+        |px AS (SELECT id, c,
+        |         (3 * ((x * w) // 6) + 5 * ((y * h) // 5)
+        |          + 7 * id + 11 * c) % 256 AS v
+        |       FROM img, xs, ys, cs)
+        |SELECT id AS media_id, CAST(c AS INTEGER) AS channel,
+        |       count(*) AS n_px, ROUND(AVG(v), 6) AS mean,
+        |       CAST(MIN(v) AS INTEGER) AS vmin, CAST(MAX(v) AS INTEGER) AS vmax
+        |FROM px GROUP BY 1, 2""".stripMargin,
+
+    // decimation keeps frames ≡ 0 (mod 3) of the closed-form samples and
+    // integer-divides the rate
+    "q_audio_decimate" ->
+      """WITH ids AS (SELECT range AS id FROM range(0, 90)),
+        |fs AS (SELECT range AS f FROM range(0, 100)),
+        |chs AS (SELECT range AS c FROM range(0, 2)),
+        |au AS (SELECT id,
+        |         CAST((8000 + (id % 3) * 4000) // 3 AS INTEGER) AS sample_rate,
+        |         1 + id % 2 AS nch, 50 + id % 50 AS nframes FROM ids),
+        |smp AS (SELECT id, sample_rate, c,
+        |               ((13 * f + 7 * id + 17 * c) % 4001) - 2000 AS v
+        |        FROM au, fs, chs
+        |        WHERE f < nframes AND f % 3 = 0 AND c < nch)
+        |SELECT id AS media_id, sample_rate, CAST(c AS INTEGER) AS channel,
+        |       count(*) AS n_samp, ROUND(AVG(v), 6) AS mean,
+        |       CAST(MIN(v) AS INTEGER) AS vmin, CAST(MAX(v) AS INTEGER) AS vmax
+        |FROM smp GROUP BY 1, 2, 3""".stripMargin,
 
     // WAV sample decode: the oracle recomputes the closed-form PCM samples
     // (integer arithmetic; AVG sums stay exact in doubles) — the codec

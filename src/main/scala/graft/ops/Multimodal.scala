@@ -451,6 +451,54 @@ object Multimodal {
       })
   }
 
+  /** Nearest-neighbor resize of a decoded interleaved pixel image: output
+    * pixel (x, y) copies source pixel (⌊x·w/newW⌋, ⌊y·h/newH⌋) — the
+    * integer floor mapping, so the resampled values are a pure function
+    * of (source image, target dims) that a SQL oracle reproduces exactly
+    * (no filtering kernel, no float rounding to drift cross-engine).
+    * Down- or up-scaling both work; channels are preserved.
+    */
+  def resizeNearest(px: DecodedPixels, newW: Int, newH: Int): DecodedPixels = {
+    require(newW > 0 && newH > 0, s"target dims must be positive: ${newW}x$newH")
+    val out = new Array[Int](newW * newH * px.channels)
+    var y = 0
+    while (y < newH) {
+      val sy = y * px.height / newH
+      var x = 0
+      while (x < newW) {
+        val sx = x * px.width / newW
+        var c = 0
+        while (c < px.channels) {
+          out((y * newW + x) * px.channels + c) =
+            px.pixels((sy * px.width + sx) * px.channels + c)
+          c += 1
+        }
+        x += 1
+      }
+      y += 1
+    }
+    DecodedPixels(px.media_id, newW, newH, px.channels, out)
+  }
+
+  /** Decode + resize in ONE mapPartitions pass — the full-size pixel
+    * array never leaves the task that decoded it, only the (smaller)
+    * resized rows flow downstream. The preprocessing shape for
+    * vision-model training data: at 100 TB the resize happening inside
+    * the decode task is the difference between shuffling thumbnails and
+    * shuffling originals.
+    */
+  def decodeResized(media: DataFrame, newW: Int, newH: Int): Dataset[DecodedPixels] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        decodePng(bytes).map(img => resizeNearest(
+          DecodedPixels(id, img.width, img.height, img.channels,
+            img.pixels.map(_ & 0xFF)), newW, newH))
+      })
+  }
+
   // ===== REAL SAMPLE CODEC: WAV PCM16 (pure JVM — RIFF is plain bytes) =====
   // Closes the former sample-decode stub for the WAV format: a complete
   // encoder (RIFF/fmt/data with word-aligned ancillary chunks) and decoder
@@ -581,6 +629,45 @@ object Multimodal {
       .mapPartitions(_.flatMap { case (id, bytes) =>
         decodeWav(bytes).map(a => DecodedSamples(id, a.sampleRate, a.channels,
           a.samples.map(_.toInt)))
+      })
+  }
+
+  /** Frame decimation: keep every `every`-th FRAME (all channels of it),
+    * starting at frame 0, and divide the sample rate accordingly
+    * (integer division — deterministic). The crude anti-alias-free
+    * downsample: a pure index selection, so a SQL oracle reproduces the
+    * kept sample values exactly.
+    */
+  def decimateFrames(s: DecodedSamples, every: Int): DecodedSamples = {
+    require(every >= 1, s"every must be >= 1, got $every")
+    val nFrames = s.samples.length / s.channels
+    val kept = ((nFrames + every - 1) / every)
+    val out = new Array[Int](kept * s.channels)
+    var f = 0
+    var o = 0
+    while (f < nFrames) {
+      var c = 0
+      while (c < s.channels) {
+        out(o * s.channels + c) = s.samples(f * s.channels + c)
+        c += 1
+      }
+      o += 1
+      f += every
+    }
+    DecodedSamples(s.media_id, s.sample_rate / every, s.channels, out)
+  }
+
+  /** Decode + decimate in one mapPartitions pass — the audio analogue of
+    * [[decodeResized]]: full-rate samples never leave the decode task.
+    */
+  def decodeDecimated(media: DataFrame, every: Int): Dataset[DecodedSamples] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        decodeWav(bytes).map(a => decimateFrames(DecodedSamples(id,
+          a.sampleRate, a.channels, a.samples.map(_.toInt)), every))
       })
   }
 

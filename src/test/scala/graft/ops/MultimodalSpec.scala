@@ -215,4 +215,29 @@ class MultimodalSpec extends SparkSpec {
       }
     }
   }
+
+  test("resizeNearest: floor index mapping up and down, channels preserved") {
+    // 2x2 RGB: pixel value encodes (x, y, c) as 100x + 10y + c
+    val px = (for (y <- 0 until 2; x <- 0 until 2; c <- 0 until 3)
+      yield 100 * x + 10 * y + c).toArray
+    val src = Multimodal.DecodedPixels(1L, 2, 2, 3, px)
+    val up = Multimodal.resizeNearest(src, 4, 4)
+    assert(up.width === 4 && up.height === 4 && up.pixels.length === 48)
+    // each source pixel replicates into a 2x2 block: (3,3) ← src (1,1)
+    assert(up.pixels((3 * 4 + 3) * 3 + 2) === 100 + 10 + 2)
+    assert(up.pixels(0) === 0 && up.pixels((1 * 4 + 1) * 3) === 0) // block of (0,0)
+    val down = Multimodal.resizeNearest(up, 2, 2)
+    assert(down.pixels.toSeq === src.pixels.toSeq) // exact round-trip at 2x
+  }
+
+  test("decimateFrames keeps every n-th frame intact and divides the rate") {
+    // stereo, 5 frames: sample (f, c) = 10f + c
+    val smp = (for (f <- 0 until 5; c <- 0 until 2) yield 10 * f + c).toArray
+    val s = Multimodal.DecodedSamples(1L, 8000, 2, smp)
+    val d = Multimodal.decimateFrames(s, 2)
+    assert(d.sample_rate === 4000 && d.channels === 2)
+    assert(d.samples.toSeq === Seq(0, 1, 20, 21, 40, 41)) // frames 0, 2, 4
+    val identity = Multimodal.decimateFrames(s, 1)
+    assert(identity.samples.toSeq === smp.toSeq && identity.sample_rate === 8000)
+  }
 }
