@@ -1419,6 +1419,26 @@ object Queries {
         round(col("harmonic"), 6).as("harmonic"))
   }
 
+  /** Per-label embedding centroids in long (label, dim, mean, n) form —
+    * [[graft.ops.Similarity.labelCentroids]], 6-dp-rounded means.
+    */
+  def centroidsGate(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Similarity.labelCentroids(t(s, dir, "embeddings"))
+      .select(col("label"), col("dim"), round(col("mean"), 6).as("mean"), col("n"))
+
+  /** Dialogue-integrity stats per conversation (events reshaped as turns,
+    * the q_context reshape) — [[graft.ops.TextOps.dialogueStats]]:
+    * integer counts, exact gate.
+    */
+  def dialogueGate(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val turns = t(s, dir, "events").select(
+      col("user_id").cast("string").as("conv_id"),
+      (row_number().over(w) - 1).as("turn_idx"),
+      col("event_type").as("role"))
+    graft.ops.TextOps.dialogueStats(turns)
+  }
+
   /** Dialogue-context assembly over events reshaped as transcript turns
     * (the q_sessionize reshape): each turn's previous 3 turns rendered
     * `role: text`, newline-joined — byte-exact against the oracle's

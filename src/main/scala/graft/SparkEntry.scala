@@ -100,6 +100,8 @@ object SparkEntry {
     "q_bm25"                 -> (Queries.bm25 _),
     "q_tfidf"                -> (Queries.tfidf _),
     "q_context"              -> (Queries.contextGate _),
+    "q_dialogue"             -> (Queries.dialogueGate _),
+    "q_centroids"            -> (Queries.centroidsGate _),
     "q_sessions"             -> (Queries.sessionIdsGate _),
     "q_pmi"                  -> (Queries.pmi _),
     "q_hash_features"        -> (Queries.hashFeaturesGate _),
@@ -1041,6 +1043,31 @@ object SparkEntry {
         |         ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING), chr(10)), '')
         |         AS context
         |FROM turns""".stripMargin,
+
+    // adjacent same-role pairs under the same stable turn order
+    "q_dialogue" ->
+      """WITH turns AS (
+        |  SELECT CAST(user_id AS VARCHAR) AS conv_id,
+        |         row_number() OVER (PARTITION BY user_id
+        |                            ORDER BY ts, event_id) - 1 AS turn_idx,
+        |         event_type AS role
+        |  FROM events),
+        |x AS (SELECT conv_id, role,
+        |        lag(role) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS prev
+        |      FROM turns)
+        |SELECT conv_id, count(*) AS n_turns,
+        |       count(DISTINCT role) AS n_roles,
+        |       CAST(sum(CASE WHEN prev = role THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS same_role_adjacent
+        |FROM x GROUP BY conv_id""".stripMargin,
+
+    // per-component float means over the 64-dim vectors, 6-dp-rounded
+    "q_centroids" ->
+      """WITH d AS (SELECT range AS dim FROM range(0, 64))
+        |SELECT label, CAST(dim AS INTEGER) AS dim,
+        |       round(avg(CAST(embedding[dim + 1] AS DOUBLE)), 6) AS mean,
+        |       count(*) AS n
+        |FROM embeddings, d GROUP BY label, dim""".stripMargin,
 
     // lag + running sum of session starts under the same total order
     "q_sessions" ->

@@ -267,4 +267,21 @@ object Similarity {
       .filter(col("rank") <= k)
       .select("query_id", "item_id", "rank", "cos")
   }
+
+  /** Per-label embedding centroids in LONG form: one (label, dim, mean, n)
+    * row per vector component — the class-prototype computation behind
+    * nearest-centroid classification, per-class drift monitoring, and
+    * IVF-style seeding from labels. The vectors are posexploded ONCE and
+    * the shuffle carries (label, dim, partial sum, count) — map-side
+    * combine means whole vectors never cross the wire, and the result is
+    * |labels|·dim rows regardless of corpus size. Pivot to array form
+    * with `array_agg(mean ORDER BY dim)` downstream if a dense prototype
+    * is wanted.
+    */
+  def labelCentroids(embs: DataFrame, labelCol: String = "label",
+                     vecCol: String = "embedding"): DataFrame =
+    embs.select(col(labelCol).as("label"),
+        posexplode(col(vecCol)).as(Seq("dim", "_v")))
+      .groupBy("label", "dim")
+      .agg(avg(col("_v").cast("double")).as("mean"), count(lit(1)).as("n"))
 }

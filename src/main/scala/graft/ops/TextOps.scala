@@ -209,6 +209,27 @@ object TextOps {
       .withColumn("quality", qualityScore(col(textCol)))
       .withColumn("fingerprint", fingerprint(col(textCol)))
 
+  /** Dialogue-integrity stats per conversation: turn count, distinct
+    * roles, and the number of ADJACENT same-role turn pairs under the
+    * stable (conv, turn_idx) order — a well-formed two-party dialogue has
+    * zero; spikes flag merged/duplicated turns before they poison a
+    * training mix. One conversation-keyed window (lag) + one aggregation
+    * on the same key — a single exchange.
+    */
+  def dialogueStats(turns: DataFrame, convCol: String = "conv_id",
+                    idxCol: String = "turn_idx",
+                    roleCol: String = "role"): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(convCol).orderBy(col(idxCol))
+    turns
+      .withColumn("_prev", lag(col(roleCol), 1).over(w))
+      .groupBy(col(convCol))
+      .agg(count(lit(1)).as("n_turns"),
+        countDistinct(col(roleCol)).as("n_roles"),
+        sum(when(col("_prev") === col(roleCol), 1).otherwise(0))
+          .as("same_role_adjacent"))
+  }
+
   /** Hashing-trick bag-of-words — fixed-dimension sparse term-count
     * features per document: every whitespace token lands in bucket
     * `tokenHash(token) mod dim` and the features are the per-(doc,

@@ -216,4 +216,16 @@ class SimilaritySpec extends SparkSpec {
     assert(cents.size == 3)
     assert(cents.forall(_._2.length == 2))
   }
+
+  test("labelCentroids: per-(label, dim) means in long form") {
+    val embs = Seq(
+      ("a", Seq(1f, 3f)), ("a", Seq(3f, 5f)), ("b", Seq(2f, 4f))
+    ).toDF("label", "embedding")
+    val out = Similarity.labelCentroids(embs)
+      .as[(String, Int, Double, Long)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    assert(out(("a", 0)) === ((2.0, 2L)) && out(("a", 1)) === ((4.0, 2L)))
+    assert(out(("b", 0)) === ((2.0, 1L)) && out(("b", 1)) === ((4.0, 1L)))
+    assert(out.size === 4)
+  }
 }

@@ -141,6 +141,18 @@ class TextOpsSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), plan)
   }
 
+  test("dialogueStats: adjacent same-role pairs under stable turn order") {
+    val turns = Seq(
+      ("c1", 0, "user"), ("c1", 1, "bot"), ("c1", 2, "user"),
+      ("c1", 3, "user"), ("c1", 4, "bot"),  // one u,u adjacency at (2,3)
+      ("c2", 0, "user")
+    ).toDF("conv_id", "turn_idx", "role")
+    val out = TextOps.dialogueStats(turns)
+      .as[(String, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(out("c1") === (("c1", 5L, 2L, 1L)))
+    assert(out("c2") === (("c2", 1L, 1L, 0L)))
+  }
+
   test("hashFeatures: portable buckets, counts per (doc, bucket)") {
     def tokHash(t: String): Long =
       t.foldLeft(7L)((a, c) => (a * 131 + c.toLong) % 1000000007L)
