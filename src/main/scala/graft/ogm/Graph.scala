@@ -292,6 +292,38 @@ final case class Graph(nodes: DataFrame, edges: DataFrame) {
       .drop("_node_id", "node")
   }
 
+  /** Local clustering coefficients over this graph's edges (optionally
+    * one rel type), joined back to node rows —
+    * [[graft.kg.GraphAlgos.clusteringCoefficient]].
+    */
+  def clusteringCoefficients(mergeKeys: Seq[String],
+                             relType: Option[String] = None): DataFrame = {
+    val e = relType.fold(edges)(t => edges.filter(col(RelSetOps.RelType) === t))
+    val cc = graft.kg.GraphAlgos.clusteringCoefficient(
+      e.select(col(RelSetOps.SrcId).as("a"), col(RelSetOps.DstId).as("b")))
+    RelSetOps.withNodeId(nodes, mergeKeys)
+      .join(cc, col("_node_id") === cc("node"))
+      .drop("_node_id", "node")
+  }
+
+  /** Bounded harmonic centrality with the nodes matching `filters` as the
+    * landmark sample, joined back to node rows —
+    * [[graft.kg.GraphAlgos.harmonicCentrality]] over this graph's edges
+    * (optionally one rel type).
+    */
+  def harmonicCentrality(labels: Seq[String], mergeKeys: Seq[String],
+                         maxHops: Int, relType: Option[String],
+                         filters: FieldFilter*): DataFrame = {
+    val landmarks = RelSetOps.withNodeId(matchNodes(labels, filters: _*), mergeKeys)
+      .select(col("_node_id").as("node"))
+    val e = relType.fold(edges)(t => edges.filter(col(RelSetOps.RelType) === t))
+    val h = graft.kg.GraphAlgos.harmonicCentrality(e, landmarks, maxHops,
+      RelSetOps.SrcId, RelSetOps.DstId)
+    RelSetOps.withNodeId(nodes, mergeKeys)
+      .join(h, col("_node_id") === h("node"))
+      .drop("_node_id", "node")
+  }
+
   /** Adamic–Adar link predictions over this graph's edges viewed as a
     * (src node → dst target) membership: undirected SOURCE pairs sharing
     * at least one target, scored by rare-shared-target overlap —

@@ -102,6 +102,25 @@ class GraphSpec extends SparkSpec {
     assert(!d1.contains("dave") && d1("bob") == 1L)
   }
 
+  test("analytics faces: clusteringCoefficients + harmonicCentrality join to node rows") {
+    val spec = RelSpec("KNOWS", Seq("Person"), Seq("Person"),
+      Seq(EqKey("name")), Seq(EqKey("name")))
+    val staged = Seq( // triangle alice-bob-carol + pendant dave on carol
+      ("alice", "bob", 1), ("bob", "carol", 1), ("alice", "carol", 1),
+      ("carol", "dave", 1)
+    ).toDF("start_name", "end_name", "score")
+    val g = Graph(people, RelSetOps.merge(None, staged, people, spec))
+    val cc = g.clusteringCoefficients(Seq("name"))
+      .select("name", "clustering").as[(String, Double)].collect().toMap
+    assert(cc("alice") === 1.0 && cc("bob") === 1.0)
+    assert(cc("carol") === 1.0 / 3.0 && cc("dave") === 0.0) // 2*1/(3*2); deg 1
+    // directed edges: landmark alice reaches bob/carol at 1, dave at 2
+    val h = g.harmonicCentrality(Seq("Person"), Seq("name"), maxHops = 2, None,
+        FieldFilter("name", FilterOp.Eq, "alice"))
+      .select("name", "harmonic").as[(String, Double)].collect().toMap
+    assert(h === Map("bob" -> 1.0, "carol" -> 1.0, "dave" -> 0.5))
+  }
+
   test("analytics face: linkPredictions scores source pairs sharing rare targets") {
     val spec = RelSpec("KNOWS", Seq("Person"), Seq("Person"),
       Seq(EqKey("name")), Seq(EqKey("name")))
