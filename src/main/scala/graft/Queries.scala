@@ -1419,6 +1419,23 @@ object Queries {
         round(col("harmonic"), 6).as("harmonic"))
   }
 
+  /** Typo-tolerant fuzzy match over distinct part names: first-char
+    * blocking + Levenshtein ≤ 3 — [[graft.kg.Canonicalize.fuzzyPairs]].
+    * Integer distances, exact gate.
+    */
+  def fuzzyGate(s: SparkSession, dir: String): DataFrame =
+    graft.kg.Canonicalize.fuzzyPairs(t(s, dir, "part"), "p_name", maxDist = 3)
+
+  /** Per-event-type decile assignment under the (value, event_id) total
+    * order — [[graft.ops.EventAnalytics.equiDepthBuckets]]; SQL-standard
+    * ntile on both engines, exact gate.
+    */
+  def ntileGate(s: SparkSession, dir: String): DataFrame =
+    graft.ops.EventAnalytics.equiDepthBuckets(t(s, dir, "events"),
+        "value", Seq("event_type"), nBuckets = 10, orderCols = Seq("event_id"),
+        bucketCol = "decile")
+      .select("event_id", "event_type", "decile")
+
   /** Per-label embedding centroids in long (label, dim, mean, n) form —
     * [[graft.ops.Similarity.labelCentroids]], 6-dp-rounded means.
     */

@@ -102,6 +102,8 @@ object SparkEntry {
     "q_context"              -> (Queries.contextGate _),
     "q_dialogue"             -> (Queries.dialogueGate _),
     "q_centroids"            -> (Queries.centroidsGate _),
+    "q_fuzzy"                -> (Queries.fuzzyGate _),
+    "q_ntile"                -> (Queries.ntileGate _),
     "q_sessions"             -> (Queries.sessionIdsGate _),
     "q_pmi"                  -> (Queries.pmi _),
     "q_hash_features"        -> (Queries.hashFeaturesGate _),
@@ -1060,6 +1062,22 @@ object SparkEntry {
         |       CAST(sum(CASE WHEN prev = role THEN 1 ELSE 0 END) AS BIGINT)
         |         AS same_role_adjacent
         |FROM x GROUP BY conv_id""".stripMargin,
+
+    // Levenshtein is the classic integer edit distance on both engines
+    "q_fuzzy" ->
+      """WITH n AS (SELECT DISTINCT p_name AS nm FROM part)
+        |SELECT a.nm AS a, b.nm AS b,
+        |       CAST(levenshtein(a.nm, b.nm) AS INT) AS dist
+        |FROM n a JOIN n b
+        |  ON substr(a.nm, 1, 1) = substr(b.nm, 1, 1) AND a.nm < b.nm
+        |WHERE levenshtein(a.nm, b.nm) <= 3""".stripMargin,
+
+    // SQL-standard ntile under the same (value, event_id) total order
+    "q_ntile" ->
+      """SELECT event_id, event_type,
+        |       ntile(10) OVER (PARTITION BY event_type
+        |                       ORDER BY value, event_id) AS decile
+        |FROM events""".stripMargin,
 
     // per-component float means over the 64-dim vectors, 6-dp-rounded
     "q_centroids" ->

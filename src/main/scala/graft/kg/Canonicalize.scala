@@ -102,4 +102,30 @@ object Canonicalize {
             size(array_union(col("_sa"), col("_sb")))))
       .select("norm", "canonical", "link_score")
   }
+
+  /** Edit-distance fuzzy pairs — the typo-tolerant complement to the
+    * token-set Jaccard matcher above: distinct surfaces blocked on their
+    * first `blockPrefix` characters, self-joined WITHIN blocks only
+    * (`a < b`, each unordered pair once), kept when Levenshtein distance
+    * ≤ `maxDist`. Distances are small integers from Spark's codegen'd
+    * `levenshtein` — value-identical across engines, so the gate is
+    * exact, not rows-only.
+    *
+    * Prefix blocking is the honest small-scale block; at corpus scale
+    * swap the blocker for the LSH band pairs above (the join and filter
+    * stay the same) — a first-character block over 10^9 surfaces is 26
+    * giant quadratic cells, not a plan.
+    */
+  def fuzzyPairs(df: DataFrame, nameCol: String, maxDist: Int,
+                 blockPrefix: Int = 1): DataFrame = {
+    require(maxDist >= 0, s"maxDist must be >= 0, got $maxDist")
+    require(blockPrefix >= 1, s"blockPrefix must be >= 1, got $blockPrefix")
+    val names = df.select(col(nameCol).as("_n")).distinct()
+      .withColumn("_blk", substring(col("_n"), 1, blockPrefix))
+    val l = names.alias("l"); val r = names.alias("r")
+    l.join(r, col("l._blk") === col("r._blk") && col("l._n") < col("r._n"))
+      .withColumn("dist", levenshtein(col("l._n"), col("r._n")))
+      .filter(col("dist") <= maxDist)
+      .select(col("l._n").as("a"), col("r._n").as("b"), col("dist"))
+  }
 }

@@ -80,6 +80,24 @@ object EventAnalytics {
       .agg(countDistinct(col(userCol)).as("n_active"))
   }
 
+  /** Equi-depth bucketing: per-group ntile assignment (1-based) under a
+    * caller-supplied TOTAL order — decile features, per-segment quantile
+    * cohorts, rank-based normalization. SQL-standard ntile (first
+    * `count mod n` buckets one row larger), so the assignment is a pure
+    * function of the ordered group; pass `orderCols` tiebreakers to make
+    * the order total or ties land engine-dependently. One shuffle on the
+    * group keys + one per-partition sort.
+    */
+  def equiDepthBuckets(df: DataFrame, valueCol: String, groupCols: Seq[String],
+                       nBuckets: Int, orderCols: Seq[String] = Nil,
+                       bucketCol: String = "bucket"): DataFrame = {
+    require(groupCols.nonEmpty, "equiDepthBuckets needs at least one group column")
+    require(nBuckets >= 2, s"nBuckets must be >= 2, got $nBuckets")
+    val w = Window.partitionBy(groupCols.map(col): _*)
+      .orderBy((col(valueCol) +: orderCols.map(col)).map(_.asc): _*)
+    df.withColumn(bucketCol, ntile(nBuckets).over(w))
+  }
+
   /** Per-group winsorization: clip `valueCol` into its group's exact
     * interpolated [lo, hi] percentile band (the robust-statistics tamer
     * for heavy-tailed feature columns). Percentiles are computed with

@@ -299,6 +299,21 @@ class GraphAlgosSpec extends SparkSpec {
     assert(zero === Map("1" -> 0L))
   }
 
+  test("fuzzyPairs: prefix-blocked Levenshtein matches, duplicates collapsed") {
+    val df = Seq("widget", "widgit", "widget", "gadget", "wzzzzz", "gizmo")
+      .toDF("name")
+    val out = Canonicalize.fuzzyPairs(df, "name", maxDist = 2)
+      .as[(String, String, Int)].collect().toSet
+    // widget~widgit dist 1 share block 'w'; gadget/widget differ by block;
+    // wzzzzz is 5 edits from widget; gizmo/gadget share 'g' but dist 5
+    assert(out === Set(("widget", "widgit", 1)))
+    // widening the distance keeps blocking: cross-block pairs never form
+    val wide = Canonicalize.fuzzyPairs(df, "name", maxDist = 5)
+      .as[(String, String, Int)].collect().toSet
+    assert(wide === Set(("widget", "widgit", 1), ("widgit", "wzzzzz", 5),
+      ("widget", "wzzzzz", 5), ("gadget", "gizmo", 5)))
+  }
+
   test("landmarkDistances + harmonicCentrality: per-landmark hops, Σ 1/hops") {
     // path 1→2→3→4→5, shortcut 1→4, detached 9→10
     val lms = Seq("1", "3", "9").toDF("node")

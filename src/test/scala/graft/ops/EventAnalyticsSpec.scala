@@ -42,6 +42,16 @@ class EventAnalyticsSpec extends SparkSpec {
       ("2024-01-08", 0) -> 1L))
   }
 
+  test("equiDepthBuckets: SQL-standard ntile under a total order") {
+    import spark.implicits._
+    // 7 rows into 3 buckets: sizes 3,2,2 (first n mod k buckets larger)
+    val df = (1 to 7).map(i => ("A", i.toLong, i.toDouble)).toDF("g", "id", "v")
+    val out = EventAnalytics.equiDepthBuckets(df, "v", Seq("g"), 3,
+        orderCols = Seq("id"))
+      .select("id", "bucket").as[(Long, Int)].collect().toMap
+    assert(out === Map(1L -> 1, 2L -> 1, 3L -> 1, 4L -> 2, 5L -> 2, 6L -> 3, 7L -> 3))
+  }
+
   test("winsorize clips into the exact interpolated percentile band per group") {
     import spark.implicits._
     val df = (1 to 10).map(i => ("A", i.toLong, i.toDouble)).toDF("g", "id", "v")
