@@ -1419,6 +1419,24 @@ object Queries {
         round(col("harmonic"), 6).as("harmonic"))
   }
 
+  /** First-order Markov transitions over per-user event sequences under
+    * the (ts, event_id) total order —
+    * [[graft.ops.EventAnalytics.transitionMatrix]]: integer counts +
+    * 6-dp row-normalized probabilities, exact gate.
+    */
+  def transitionsGate(s: SparkSession, dir: String): DataFrame =
+    graft.ops.EventAnalytics.transitionMatrix(t(s, dir, "events"),
+      Seq("user_id"), orderCols = Seq("event_id"))
+
+  /** Deterministic weighted sample (A-Res, weight = n_chars): top-50 keys
+    * u^(1/w) from the portable hash — [[graft.ops.Sampling.sampleWeighted]];
+    * the oracle recomputes hash, key, and cut in SQL.
+    */
+  def sampleWeightedGate(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Sampling.sampleWeighted(t(s, dir, "documents"), k = 50,
+        weightCol = "n_chars")
+      .select("doc_id", "n_chars", "wkey")
+
   /** Typo-tolerant fuzzy match over distinct part names: first-char
     * blocking + Levenshtein ≤ 3 — [[graft.kg.Canonicalize.fuzzyPairs]].
     * Integer distances, exact gate.

@@ -104,6 +104,8 @@ object SparkEntry {
     "q_centroids"            -> (Queries.centroidsGate _),
     "q_fuzzy"                -> (Queries.fuzzyGate _),
     "q_ntile"                -> (Queries.ntileGate _),
+    "q_transitions"          -> (Queries.transitionsGate _),
+    "q_sample_weighted"      -> (Queries.sampleWeightedGate _),
     "q_sessions"             -> (Queries.sessionIdsGate _),
     "q_pmi"                  -> (Queries.pmi _),
     "q_hash_features"        -> (Queries.hashFeaturesGate _),
@@ -1078,6 +1080,33 @@ object SparkEntry {
         |       ntile(10) OVER (PARTITION BY event_type
         |                       ORDER BY value, event_id) AS decile
         |FROM events""".stripMargin,
+
+    // first-order Markov transitions: lag under the (ts, event_id) total
+    // order, then count + row-normalized probability (round 6)
+    "q_transitions" ->
+      """WITH seq AS (
+        |  SELECT event_type,
+        |         lag(event_type) OVER (PARTITION BY user_id
+        |                               ORDER BY ts, event_id) AS prev
+        |  FROM events)
+        |SELECT prev AS from_type, event_type AS to_type, count(*) AS n,
+        |       round(count(*) * 1.0 /
+        |             sum(count(*)) OVER (PARTITION BY prev), 6) AS p
+        |FROM seq WHERE prev IS NOT NULL
+        |GROUP BY 1, 2""".stripMargin,
+
+    // Efraimidis–Spirakis A-Res weighted sample: key = u^(1/w) with u the
+    // portable two-round hash bucket midpoint, cut = top-50 under the
+    // (rounded key DESC, doc_id) total order — same arithmetic both engines
+    "q_sample_weighted" ->
+      """SELECT doc_id, n_chars,
+        |  round(pow(
+        |    ((((doc_id % 1000003) * 2654435761) % 1000000
+        |      + ((doc_id % 999983) * 2246822518) % 1000000) % 1000000
+        |     + 0.5) / 1000000.0,
+        |    1.0 / n_chars), 6) AS wkey
+        |FROM documents WHERE n_chars > 0
+        |ORDER BY wkey DESC, doc_id LIMIT 50""".stripMargin,
 
     // per-component float means over the 64-dim vectors, 6-dp-rounded
     "q_centroids" ->

@@ -80,6 +80,29 @@ object EventAnalytics {
       .agg(countDistinct(col(userCol)).as("n_active"))
   }
 
+  /** First-order Markov transition estimates over per-key event
+    * sequences: one (from, to) row per observed adjacent pair under the
+    * caller's total order, with its count and the row-normalized
+    * probability p = n / Σ_to n — the behavioral-model fit (what follows
+    * what) and the anomaly baseline (improbable transitions). Two keyed
+    * passes that share work: one lag window on the entity keys, one
+    * (from, to) aggregation, one from-keyed window for the normalizer.
+    */
+  def transitionMatrix(events: DataFrame, keys: Seq[String],
+                       typeCol: String = "event_type", tsCol: String = "ts",
+                       orderCols: Seq[String] = Nil): DataFrame = {
+    require(keys.nonEmpty, "transitionMatrix needs at least one key column")
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy((col(tsCol) +: orderCols.map(col)).map(_.asc): _*)
+    events
+      .withColumn("_prev", lag(col(typeCol), 1).over(w))
+      .filter(col("_prev").isNotNull)
+      .groupBy(col("_prev").as("from_type"), col(typeCol).as("to_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("p", round(col("n") /
+        sum(col("n")).over(Window.partitionBy("from_type")), 6))
+  }
+
   /** Equi-depth bucketing: per-group ntile assignment (1-based) under a
     * caller-supplied TOTAL order — decile features, per-segment quantile
     * cohorts, rank-based normalization. SQL-standard ntile (first

@@ -176,4 +176,30 @@ object Sampling {
       .filter(col("_qrk") <= n)
       .drop("_qrk")
   }
+
+  /** Deterministic weighted sampling WITHOUT replacement (Efraimidis–
+    * Spirakis A-Res): every row gets the key u^(1/w) — u a deterministic
+    * uniform in (0, 1) from the portable [[bucket]] hash, w its positive
+    * weight — and the sample is the k LARGEST keys. Inclusion odds scale
+    * with weight (the quality-weighted corpus subset), the draw is
+    * rerun-identical and engine-portable, and a weight change reshuffles
+    * only the affected rows' keys. Non-positive-weight rows never
+    * qualify.
+    *
+    * Keys are ROUNDED to 6 dp and the cut ordered (key DESC, id) — a
+    * total order both engines reproduce (the BM25 gate's contract).
+    * Shape: one zero-shuffle codegen'd projection + a TakeOrdered —
+    * never a full sort.
+    */
+  def sampleWeighted(df: DataFrame, k: Int, weightCol: String,
+                     idCol: String = "doc_id", salt: Long = 0L): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val u = (bucket(col(idCol), salt).cast("double") + lit(0.5)) /
+      lit(Buckets.toDouble)
+    df.filter(col(weightCol) > 0)
+      .withColumn("wkey",
+        round(pow(u, lit(1.0) / col(weightCol).cast("double")), 6))
+      .orderBy(col("wkey").desc, col(idCol))
+      .limit(k)
+  }
 }

@@ -74,4 +74,21 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(out === List((4L, 1.5)))
     assert(EventAnalytics.zscoreOutliers(df, "v", Seq("g"), 0.4).count() === 4L)
   }
+
+  test("transitionMatrix: adjacent pairs under the total order, row-normalized") {
+    import spark.implicits._
+    val ev = Seq( // u1's ties on ts resolve by the event_id order column
+      ("u1", 1L, 10L, "view"), ("u1", 2L, 10L, "click"), ("u1", 3L, 10L, "view"),
+      ("u2", 4L, 10L, "view"), ("u2", 5L, 20L, "click"), ("u2", 6L, 30L, "buy"),
+      ("u3", 7L, 10L, "view") // singleton user: contributes no transition
+    ).toDF("user_id", "event_id", "ts", "event_type")
+    val out = EventAnalytics.transitionMatrix(ev, Seq("user_id"),
+        orderCols = Seq("event_id"))
+      .as[(String, String, Long, Double)].collect()
+      .map { case (f, t, n, p) => ((f, t), (n, p)) }.toMap
+    assert(out === Map(
+      ("view", "click") -> ((2L, 1.0)),   // both view exits go to click
+      ("click", "view") -> ((1L, 0.5)),   // click splits 50/50
+      ("click", "buy")  -> ((1L, 0.5))))
+  }
 }

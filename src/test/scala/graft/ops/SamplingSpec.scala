@@ -112,6 +112,29 @@ class SamplingSpec extends SparkSpec {
     assert(!plan.contains("Join"), plan)
   }
 
+  test("sampleWeighted: weight-biased inclusion, deterministic, no full sort") {
+    val wdocs = (0L until 200L).map(i =>
+      (i, if (i < 100) 10000L else 1L)).toDF("doc_id", "n_chars")
+    val out = Sampling.sampleWeighted(wdocs, k = 20, weightCol = "n_chars")
+    val ids = out.collect().map(_.getLong(0)).toList
+    assert(ids.size === 20)
+    // u^(1/10000) ≈ 1 for the heavy half, u^1 = u for the light half: the
+    // sample must be dominated by heavy rows
+    assert(ids.count(_ < 100L) >= 15, s"only ${ids.count(_ < 100L)} heavy ids in $ids")
+    // rerun-identical draw
+    val again = Sampling.sampleWeighted(wdocs, k = 20, weightCol = "n_chars")
+      .collect().map(_.getLong(0)).toList
+    assert(ids === again)
+    // non-positive weights can never qualify
+    val bad = Seq((900L, 0L), (901L, -5L)).toDF("doc_id", "n_chars")
+    assert(Sampling.sampleWeighted(wdocs.union(bad), k = 200, weightCol = "n_chars")
+      .filter(col("doc_id") >= 900L).count() === 0L)
+    // top-k, not a global sort: TakeOrdered, no Exchange
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrdered"), plan)
+    assert(!plan.contains("Exchange"), plan)
+  }
+
   test("quota per group keeps exactly the top-n by the given total order") {
     val scored = Seq(
       (1L, "en", 0.9), (2L, "en", 0.8), (3L, "en", 0.8), (4L, "en", 0.1),
