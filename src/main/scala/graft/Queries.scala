@@ -1437,6 +1437,15 @@ object Queries {
         weightCol = "n_chars")
       .select("doc_id", "n_chars", "wkey")
 
+  /** Deterministic epoch-order shuffle: rank under the (hash, id) total
+    * order via the sharded two-pass global index —
+    * [[graft.ops.Sampling.shufflePositions]]; the oracle recomputes the
+    * same permutation as one window over the portable hash.
+    */
+  def shuffleGate(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Sampling.shufflePositions(t(s, dir, "documents"), nShards = 8)
+      .select("doc_id", "pos")
+
   /** Typo-tolerant fuzzy match over distinct part names: first-char
     * blocking + Levenshtein ≤ 3 — [[graft.kg.Canonicalize.fuzzyPairs]].
     * Integer distances, exact gate.

@@ -106,6 +106,7 @@ object SparkEntry {
     "q_ntile"                -> (Queries.ntileGate _),
     "q_transitions"          -> (Queries.transitionsGate _),
     "q_sample_weighted"      -> (Queries.sampleWeightedGate _),
+    "q_shuffle"              -> (Queries.shuffleGate _),
     "q_sessions"             -> (Queries.sessionIdsGate _),
     "q_pmi"                  -> (Queries.pmi _),
     "q_hash_features"        -> (Queries.hashFeaturesGate _),
@@ -1107,6 +1108,17 @@ object SparkEntry {
         |    1.0 / n_chars), 6) AS wkey
         |FROM documents WHERE n_chars > 0
         |ORDER BY wkey DESC, doc_id LIMIT 50""".stripMargin,
+
+    // global training-order permutation: rank under the (hash, doc_id)
+    // total order — one window here, the sharded two-pass index in Spark
+    "q_shuffle" ->
+      """SELECT doc_id,
+        |  row_number() OVER (
+        |    ORDER BY (((((doc_id + 17) % 1000003) * 2654435761 + 17) % 1000000)
+        |              + ((((doc_id + 17) % 999983) * 2246822518) % 1000000))
+        |             % 1000000,
+        |             doc_id) - 1 AS pos
+        |FROM documents""".stripMargin,
 
     // per-component float means over the 64-dim vectors, 6-dp-rounded
     "q_centroids" ->

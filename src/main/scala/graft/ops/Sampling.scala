@@ -202,4 +202,44 @@ object Sampling {
       .orderBy(col("wkey").desc, col(idCol))
       .limit(k)
   }
+
+  /** Deterministic global training-order shuffle: every row gets its rank
+    * (0-based) under the (hash, id) total order — i.e. `pos` enumerates a
+    * seeded pseudorandom permutation of the corpus, the order an epoch
+    * feeds examples to the trainer. Re-runs (and other engines) reproduce
+    * the permutation exactly, and appending new rows perturbs only where
+    * the new hashes land, not the relative order of the old rows.
+    *
+    * Scale shape: the classic two-pass global index — NEVER a global sort
+    * into one task. The hash range is cut into `nShards` contiguous
+    * slices; pass 1 counts rows per shard (map-side partial agg to
+    * `nShards` rows, the cumulative offsets computed in a 1-partition
+    * window over that TINY table only); pass 2 ranks within each shard in
+    * parallel (one hash shuffle on the shard key, sort-based windows
+    * spill) and adds the shard's offset via a broadcast join. With
+    * nShards sized to the cluster (4–8× cores), no task ever sees more
+    * than ~1/nShards of the data.
+    */
+  def shufflePositions(df: DataFrame, nShards: Int, idCol: String = "doc_id",
+                       salt: Long = 17L, posCol: String = "pos"): DataFrame = {
+    require(nShards > 0, s"nShards must be positive, got $nShards")
+    import org.apache.spark.sql.expressions.Window
+    val shardWidth = (Buckets + nShards - 1) / nShards
+    val withShard = df
+      .withColumn("_b", bucket(col(idCol), salt))
+      .withColumn("_shard", (col("_b") / lit(shardWidth)).cast("long"))
+    // offsets: a tiny nShards-row table; the unpartitioned window is safe
+    // here and ONLY here
+    val offsets = withShard.groupBy("_shard").agg(count(lit(1)).as("_n"))
+      .withColumn("_offset",
+        coalesce(sum(col("_n")).over(Window.orderBy("_shard")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("_shard", "_offset")
+    val w = Window.partitionBy(col("_shard")).orderBy(col("_b"), col(idCol))
+    withShard
+      .withColumn("_rk", row_number().over(w).cast("long"))
+      .join(broadcast(offsets), "_shard")
+      .withColumn(posCol, col("_offset") + col("_rk") - 1)
+      .drop("_b", "_shard", "_rk", "_offset")
+  }
 }

@@ -135,6 +135,27 @@ class SamplingSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), plan)
   }
 
+  test("shufflePositions: a seeded permutation equal to the global hash order") {
+    val out = Sampling.shufflePositions(docs, nShards = 7)
+      .select("doc_id", "pos").as[(Long, Long)].collect()
+    // exactly the positions 0..n-1, each once
+    assert(out.map(_._2).sorted.toList === (0L until 1000L).toList)
+    // sharded two-pass result == the single-window global hash order
+    val b = Sampling.bucket(col("doc_id"), 17L)
+    val expect = docs.select(col("doc_id"), b.as("_b"))
+      .orderBy(col("_b"), col("doc_id")).collect()
+      .map(_.getLong(0)).zipWithIndex.map { case (id, i) => (id, i.toLong) }.toMap
+    assert(out.toMap === expect)
+    // rerun-identical, and independent of the shard count
+    val again = Sampling.shufflePositions(docs, nShards = 3)
+      .select("doc_id", "pos").as[(Long, Long)].collect().toMap
+    assert(again === expect)
+    // offsets come back via a broadcast join, not a shuffle join
+    val plan = Sampling.shufflePositions(docs, nShards = 7)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
   test("quota per group keeps exactly the top-n by the given total order") {
     val scored = Seq(
       (1L, "en", 0.9), (2L, "en", 0.8), (3L, "en", 0.8), (4L, "en", 0.1),
