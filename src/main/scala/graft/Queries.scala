@@ -1446,6 +1446,15 @@ object Queries {
     graft.ops.Sampling.shufflePositions(t(s, dir, "documents"), nShards = 8)
       .select("doc_id", "pos")
 
+  /** Portable spherical k-means (one Lloyd round, k = 8): id-ordered
+    * seeds, rounded-cosine argmax, rounded centroid means —
+    * [[graft.ops.Similarity.kmeansAssign]]; the oracle replays the same
+    * round in SQL (seeds → assign → means → final assign), value-exact.
+    */
+  def kmeansGate(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Similarity.kmeansAssign(t(s, dir, "embeddings"), k = 8, iters = 1)
+      .select("vec_id", "cell", "cos")
+
   /** Typo-tolerant fuzzy match over distinct part names: first-char
     * blocking + Levenshtein ≤ 3 — [[graft.kg.Canonicalize.fuzzyPairs]].
     * Integer distances, exact gate.

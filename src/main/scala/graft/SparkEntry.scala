@@ -107,6 +107,7 @@ object SparkEntry {
     "q_transitions"          -> (Queries.transitionsGate _),
     "q_sample_weighted"      -> (Queries.sampleWeightedGate _),
     "q_shuffle"              -> (Queries.shuffleGate _),
+    "q_kmeans"               -> (Queries.kmeansGate _),
     "q_sessions"             -> (Queries.sessionIdsGate _),
     "q_pmi"                  -> (Queries.pmi _),
     "q_hash_features"        -> (Queries.hashFeaturesGate _),
@@ -1119,6 +1120,44 @@ object SparkEntry {
         |             % 1000000,
         |             doc_id) - 1 AS pos
         |FROM documents""".stripMargin,
+
+    // one portable Lloyd round: id-ordered seeds → rounded-cosine argmax
+    // (ties to the lowest cell) → rounded per-dim means → final assign;
+    // parallel unnests zip positionally (the q_ann_topk pattern)
+    "q_kmeans" ->
+      """WITH s AS (SELECT vec_id AS cell, embedding AS cv
+        |           FROM embeddings ORDER BY vec_id LIMIT 8),
+        |e AS (SELECT vec_id, embedding FROM embeddings),
+        |f1 AS (
+        |  SELECT e.vec_id, s.cell,
+        |         CAST(unnest(e.embedding) AS DOUBLE) AS x,
+        |         CAST(unnest(s.cv) AS DOUBLE) AS c
+        |  FROM e CROSS JOIN s),
+        |d1 AS (SELECT vec_id, cell, sum(x*c) AS dp, sum(x*x) AS nx,
+        |              sum(c*c) AS nc
+        |       FROM f1 GROUP BY 1, 2),
+        |a1 AS (SELECT vec_id, cell,
+        |         row_number() OVER (PARTITION BY vec_id
+        |           ORDER BY round(dp/(sqrt(nx)*sqrt(nc)), 6) DESC, cell) AS rk
+        |       FROM d1),
+        |m1 AS (
+        |  SELECT a1.cell, d.dim,
+        |         round(avg(CAST(e.embedding[d.dim+1] AS DOUBLE)), 6) AS m
+        |  FROM a1 JOIN e USING (vec_id)
+        |  CROSS JOIN (SELECT range AS dim FROM range(0, 64)) d
+        |  WHERE a1.rk = 1 GROUP BY 1, 2),
+        |c1 AS (SELECT cell, list(m ORDER BY dim) AS cv FROM m1 GROUP BY cell),
+        |f2 AS (SELECT e.vec_id, c1.cell,
+        |         CAST(unnest(e.embedding) AS DOUBLE) AS x, unnest(c1.cv) AS c
+        |       FROM e CROSS JOIN c1),
+        |d2 AS (SELECT vec_id, cell, sum(x*c) AS dp, sum(x*x) AS nx,
+        |              sum(c*c) AS nc
+        |       FROM f2 GROUP BY 1, 2),
+        |a2 AS (SELECT vec_id, cell, round(dp/(sqrt(nx)*sqrt(nc)), 6) AS cos,
+        |         row_number() OVER (PARTITION BY vec_id
+        |           ORDER BY round(dp/(sqrt(nx)*sqrt(nc)), 6) DESC, cell) AS rk
+        |       FROM d2)
+        |SELECT vec_id, cell, cos FROM a2 WHERE rk = 1""".stripMargin,
 
     // per-component float means over the 64-dim vectors, 6-dp-rounded
     "q_centroids" ->

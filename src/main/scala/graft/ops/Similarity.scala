@@ -130,6 +130,72 @@ object Similarity {
     -array_max(scored).getField("negCell")
   }
 
+  /** (rounded cos, cell) of the nearest centroid under ROUNDED-6dp cosine,
+    * ties to the lowest cell id — the portable-argmax variant
+    * [[kmeansAssign]] builds on: rounding before comparison makes the
+    * winner identical across engines whose float sums differ in the last
+    * ulp (raw-cos argmax could flip on near-equidistant centroids).
+    */
+  private def nearestCellRounded(vec: Column, cents: Seq[(Long, Seq[Double])]): Column = {
+    val scored = array(cents.map { case (cell, cv) =>
+      struct(
+        round(cosine(vec, array(cv.map(lit): _*)), 6).as("cos"),
+        lit(-cell).as("negCell"))
+    }: _*)
+    array_max(scored)
+  }
+
+  private def round6(x: Double): Double =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  /** Portable spherical k-means (Lloyd's under cosine) with a full
+    * cross-engine determinism contract — the corpus-clustering op behind
+    * SemDeDup-style curation, cluster-balanced sampling, and topic
+    * bucketing: seeds are the k lowest-id vectors (TakeOrdered, no global
+    * sort), each round assigns by ROUNDED-6dp cosine argmax (ties to the
+    * lowest cell id) and recomputes centroids as ROUNDED-6dp per-dim
+    * means; cells left empty by a round drop out. The roundings are the
+    * contract that lets an independent SQL engine replay the exact
+    * clustering (the driver gate does); at production scale they cost
+    * nothing — the argmax and the means are identical jobs either way.
+    *
+    * Scale shape: per round ONE map-side-partial groupBy over ≤k cells
+    * (the k·dim sums collect to the driver — the MLlib pattern), and every
+    * assignment is a zero-shuffle codegen'd literal-argmax projection; the
+    * corpus itself never shuffles. Returns (id, cell, cos) for the final
+    * assignment against the round-`iters` centroids.
+    */
+  def kmeansAssign(embs: DataFrame, k: Int, iters: Int,
+                   idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    require(iters >= 0, s"iters must be non-negative, got $iters")
+    var cents: Seq[(Long, Seq[Double])] = embs.orderBy(col(idCol)).limit(k)
+      .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
+      .collect().toSeq
+      .map(r => (r.getLong(0), r.getSeq[Double](1)))
+    require(cents.nonEmpty, "kmeansAssign needs a non-empty corpus")
+    val dim = cents.head._2.length
+    val sumCols = (0 until dim).map(i =>
+      sum(element_at(col(vecCol).cast("array<double>"), i + 1)).as(s"s$i"))
+    for (_ <- 1 to iters) {
+      cents = embs
+        .withColumn("cell", -nearestCellRounded(col(vecCol), cents).getField("negCell"))
+        .groupBy("cell")
+        .agg(count(lit(1)).as("n"), sumCols: _*)
+        .collect().toSeq
+        .map { r =>
+          val n = r.getLong(1).toDouble
+          (r.getLong(0), (0 until dim).map(i => round6(r.getDouble(i + 2) / n)))
+        }
+        .sortBy(_._1)
+    }
+    val best = nearestCellRounded(col(vecCol), cents)
+    embs.select(
+      col(idCol),
+      (-best.getField("negCell")).as("cell"),
+      best.getField("cos").as("cos"))
+  }
+
   /** Deterministic coarse-centroid pick: the nCells vectors whose ids hash
     * lowest — a seeded sample, collected to the driver (nCells·dim values,
     * the same scale as any broadcast side). Plans as TakeOrderedAndProject:

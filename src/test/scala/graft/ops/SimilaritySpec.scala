@@ -228,4 +228,27 @@ class SimilaritySpec extends SparkSpec {
     assert(out(("b", 0)) === ((2.0, 1L)) && out(("b", 1)) === ((4.0, 1L)))
     assert(out.size === 4)
   }
+
+  test("kmeansAssign recovers the planted clusters and is rerun-identical") {
+    val corpus = clusteredCorpus(160) // ids 0..7 are one seed per true cluster
+    val out = Similarity.kmeansAssign(corpus, k = 8, iters = 2)
+      .as[(Long, Long, Double)].collect()
+    assert(out.length === 160)
+    // every vector lands in the cell seeded from its own cluster axis
+    out.foreach { case (id, cell, cos) =>
+      assert(cell === id % 8, s"vec $id in cell $cell")
+      assert(cos > 0.9, s"vec $id cos $cos")
+    }
+    val again = Similarity.kmeansAssign(corpus, k = 8, iters = 2)
+      .as[(Long, Long, Double)].collect()
+    assert(out.sortBy(_._1).toSeq === again.sortBy(_._1).toSeq)
+  }
+
+  test("kmeansAssign final assignment is a zero-shuffle projection") {
+    val corpus = clusteredCorpus(80)
+    val plan = Similarity.kmeansAssign(corpus, k = 4, iters = 1)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+    assert(!plan.contains("Join"), plan)
+  }
 }
