@@ -1455,6 +1455,13 @@ object Queries {
     graft.ops.Similarity.kmeansAssign(t(s, dir, "embeddings"), k = 8, iters = 1)
       .select("vec_id", "cell", "cos")
 
+  /** Corpus-self-trained bigram LM quality score (add-one smoothing, mean
+    * nll in nats) — [[graft.ops.CorpusOps.lmScore]]; the oracle retrains
+    * the same model in SQL. Exact gate.
+    */
+  def lmScoreGate(s: SparkSession, dir: String): DataFrame =
+    graft.ops.CorpusOps.lmScore(t(s, dir, "documents"))
+
   /** Typo-tolerant fuzzy match over distinct part names: first-char
     * blocking + Levenshtein ≤ 3 — [[graft.kg.Canonicalize.fuzzyPairs]].
     * Integer distances, exact gate.

@@ -108,6 +108,7 @@ object SparkEntry {
     "q_sample_weighted"      -> (Queries.sampleWeightedGate _),
     "q_shuffle"              -> (Queries.shuffleGate _),
     "q_kmeans"               -> (Queries.kmeansGate _),
+    "q_lm_score"             -> (Queries.lmScoreGate _),
     "q_sessions"             -> (Queries.sessionIdsGate _),
     "q_pmi"                  -> (Queries.pmi _),
     "q_hash_features"        -> (Queries.hashFeaturesGate _),
@@ -1158,6 +1159,26 @@ object SparkEntry {
         |           ORDER BY round(dp/(sqrt(nx)*sqrt(nc)), 6) DESC, cell) AS rk
         |       FROM d2)
         |SELECT vec_id, cell, cos FROM a2 WHERE rk = 1""".stripMargin,
+
+    // add-one bigram LM retrained in SQL: c(w1,w2), c(w1) = bigram starts,
+    // V = corpus distinct tokens; per-doc mean -ln p, 6-dp
+    "q_lm_score" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t
+        |  FROM documents WHERE len(trim(text)) > 0),
+        |pos AS (SELECT doc_id, t, unnest(generate_series(1, len(t) - 1)) AS i
+        |        FROM toks WHERE len(t) >= 2),
+        |bi AS (SELECT doc_id, t[i] AS w1, t[i+1] AS w2 FROM pos),
+        |bc AS (SELECT w1, w2, count(*) AS c2 FROM bi GROUP BY 1, 2),
+        |uc AS (SELECT w1, count(*) AS c1 FROM bi GROUP BY 1),
+        |v AS (SELECT count(DISTINCT e) AS nv
+        |      FROM (SELECT unnest(t) AS e FROM toks)),
+        |sc AS (SELECT bi.doc_id,
+        |         -ln((bc.c2 + 1) * 1.0 / (uc.c1 + v.nv)) AS x
+        |       FROM bi JOIN bc USING (w1, w2) JOIN uc USING (w1)
+        |       CROSS JOIN v)
+        |SELECT doc_id, count(*) AS n_bigrams, round(avg(x), 6) AS nll
+        |FROM sc GROUP BY 1""".stripMargin,
 
     // per-component float means over the 64-dim vectors, 6-dp-rounded
     "q_centroids" ->

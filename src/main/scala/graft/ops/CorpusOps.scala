@@ -192,4 +192,45 @@ object CorpusOps {
         round(log(col("_nd") * col("n_ab") / (col("_na") * col("_nb"))), 6)
           .as("pmi"))
   }
+
+  /** Corpus-self-trained bigram language-model score — the CCNet-style
+    * statistical quality filter: train add-one-smoothed bigram
+    * probabilities p(w₂|w₁) = (c(w₁,w₂)+1)/(c(w₁)+V) on the corpus itself
+    * (c(w₁) = bigrams starting with w₁, so Σ_w₂ p = 1; V = corpus distinct
+    * tokens), then score each document by its mean negative log-likelihood
+    * in nats. Low nll ≈ typical phrasing; high nll flags gibberish,
+    * boilerplate-free noise, and language outliers — cut on a percentile.
+    * Docs with < 2 tokens carry no bigram and drop out.
+    *
+    * Scale shape: bigrams come from one `zip_with` over the token array
+    * (no positional self-join, the array is sliced once); the model is two
+    * hash aggregations with map-side partials (vocab- and vocab²-bounded —
+    * at web scale add a min-count floor and the counts table stays
+    * broadcastable); scoring is one join on (w₁,w₂) + one per-doc
+    * aggregation; V arrives as a broadcast 1-row cross join, never a
+    * driver action.
+    */
+  def lmScore(docs: DataFrame, idCol: String = "doc_id",
+              textCol: String = "text"): DataFrame = {
+    val toks = docs
+      .filter(length(trim(col(textCol))) > 0)
+      .select(col(idCol), split(lower(trim(col(textCol))), "\\s+").as("t"))
+    val bi = toks
+      .filter(size(col("t")) >= 2)
+      .select(col(idCol), explode(expr(
+        """zip_with(slice(t, 1, size(t) - 1), slice(t, 2, size(t) - 1),
+          |         (a, b) -> named_struct('w1', a, 'w2', b))""".stripMargin))
+        .as("bg"))
+      .select(col(idCol), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val bc = bi.groupBy("w1", "w2").agg(count(lit(1)).as("_c2"))
+    val uc = bi.groupBy("w1").agg(count(lit(1)).as("_c1"))
+    val v = toks.select(explode(col("t")).as("w"))
+      .agg(countDistinct(col("w")).as("_v"))
+    bi.join(bc, Seq("w1", "w2"))
+      .join(uc, Seq("w1"))
+      .crossJoin(broadcast(v))
+      .withColumn("_nll", -log((col("_c2") + 1) / (col("_c1") + col("_v"))))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_bigrams"), round(avg(col("_nll")), 6).as("nll"))
+  }
 }

@@ -110,4 +110,20 @@ class CorpusOpsSpec extends SparkSpec {
     assert(out(("x", "y")) === ((2L, r6(math.log(4.0 * 2 / (3 * 2)))))) // > 0
     assert(out(("x", "z")) === ((1L, r6(math.log(4.0 * 1 / (3 * 2)))))) // < 0
   }
+
+  test("lmScore: add-one bigram LM, hand-computed nll; <2-token docs drop") {
+    val docs = Seq(
+      (1L, "a b a b"), (2L, "a b"), (3L, "c")
+    ).toDF("doc_id", "text")
+    val out = CorpusOps.lmScore(docs)
+      .as[(Long, Long, Double)].collect()
+      .map { case (id, n, s) => id -> ((n, s)) }.toMap
+    def r6(v: Double): Double = BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // c2(a,b)=3 c2(b,a)=1; c1(a)=3 c1(b)=1; V=3
+    // p(b|a) = 4/6, p(a|b) = 2/4
+    val pab = -math.log(4.0 / 6); val pba = -math.log(2.0 / 4)
+    assert(out.keySet === Set(1L, 2L))
+    assert(out(1L) === ((3L, r6((pab + pba + pab) / 3))))
+    assert(out(2L) === ((1L, r6(pab))))
+  }
 }
