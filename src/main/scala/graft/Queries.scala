@@ -1462,6 +1462,13 @@ object Queries {
   def lmScoreGate(s: SparkSession, dir: String): DataFrame =
     graft.ops.CorpusOps.lmScore(t(s, dir, "documents"))
 
+  /** Hot-key profile over events.user_id: top-20 keys with share and
+    * hotness ratio — [[graft.ops.EventAnalytics.keySkew]], the input to
+    * any salting / AQE-skew decision. Exact gate.
+    */
+  def keySkewGate(s: SparkSession, dir: String): DataFrame =
+    graft.ops.EventAnalytics.keySkew(t(s, dir, "events"), "user_id", topN = 20)
+
   /** Typo-tolerant fuzzy match over distinct part names: first-char
     * blocking + Levenshtein ≤ 3 — [[graft.kg.Canonicalize.fuzzyPairs]].
     * Integer distances, exact gate.

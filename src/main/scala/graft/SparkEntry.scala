@@ -109,6 +109,7 @@ object SparkEntry {
     "q_shuffle"              -> (Queries.shuffleGate _),
     "q_kmeans"               -> (Queries.kmeansGate _),
     "q_lm_score"             -> (Queries.lmScoreGate _),
+    "q_key_skew"             -> (Queries.keySkewGate _),
     "q_sessions"             -> (Queries.sessionIdsGate _),
     "q_pmi"                  -> (Queries.pmi _),
     "q_hash_features"        -> (Queries.hashFeaturesGate _),
@@ -1159,6 +1160,15 @@ object SparkEntry {
         |           ORDER BY round(dp/(sqrt(nx)*sqrt(nc)), 6) DESC, cell) AS rk
         |       FROM d2)
         |SELECT vec_id, cell, cos FROM a2 WHERE rk = 1""".stripMargin,
+
+    // hot-key profile: count, corpus share, hotness ratio (count ÷ mean)
+    "q_key_skew" ->
+      """WITH c AS (SELECT user_id AS key, count(*) AS n FROM events GROUP BY 1),
+        |s AS (SELECT sum(n) AS tot, count(*) * 1.0 AS nk FROM c)
+        |SELECT key, n, round(n * 1.0 / s.tot, 6) AS share,
+        |       round(n * s.nk / s.tot, 6) AS ratio
+        |FROM c CROSS JOIN s
+        |ORDER BY n DESC, key LIMIT 20""".stripMargin,
 
     // add-one bigram LM retrained in SQL: c(w1,w2), c(w1) = bigram starts,
     // V = corpus distinct tokens; per-doc mean -ln p, 6-dp

@@ -111,6 +111,32 @@ object EventAnalytics {
     * the order total or ties land engine-dependently. One shuffle on the
     * group keys + one per-partition sort.
     */
+  /** Key-skew profile: the topN heaviest keys with their row count, corpus
+    * share, and hotness ratio (count ÷ mean count per key). This is the
+    * diagnostic that DECIDES the skew mitigations elsewhere in the repo —
+    * a ratio ≫ 1 on a join/grouping key is the signal to salt it (the
+    * [[graft.kg.Pipeline.convStatsSalted]] pattern) or lean on AQE's skew
+    * split; share quantifies how much of the table one straggler task
+    * would own.
+    *
+    * Scale shape: one map-side-partial count per key, a 1-row totals
+    * aggregate joined back as a broadcast, and a TakeOrdered for the topN
+    * — never a global sort, nothing driver-side.
+    */
+  def keySkew(df: DataFrame, keyCol: String, topN: Int): DataFrame = {
+    require(topN > 0, s"topN must be positive, got $topN")
+    val counts = df.groupBy(col(keyCol).as("key"))
+      .agg(count(lit(1)).as("n"))
+    val totals = counts.agg(sum(col("n")).as("_tot"),
+      count(lit(1)).cast("double").as("_nk"))
+    counts.crossJoin(broadcast(totals))
+      .select(col("key"), col("n"),
+        round(col("n").cast("double") / col("_tot"), 6).as("share"),
+        round(col("n").cast("double") * col("_nk") / col("_tot"), 6).as("ratio"))
+      .orderBy(col("n").desc, col("key"))
+      .limit(topN)
+  }
+
   def equiDepthBuckets(df: DataFrame, valueCol: String, groupCols: Seq[String],
                        nBuckets: Int, orderCols: Seq[String] = Nil,
                        bucketCol: String = "bucket"): DataFrame = {

@@ -75,6 +75,21 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(EventAnalytics.zscoreOutliers(df, "v", Seq("g"), 0.4).count() === 4L)
   }
 
+  test("keySkew: top keys by count with share and hotness ratio") {
+    import spark.implicits._
+    // key a: 6 rows, b: 2, c: 1, d: 1 → total 10, 4 keys, mean 2.5
+    val df = (Seq.fill(6)("a") ++ Seq.fill(2)("b") ++ Seq("c", "d"))
+      .toDF("k")
+    val out = EventAnalytics.keySkew(df, "k", topN = 2)
+      .as[(String, Long, Double, Double)].collect().toList
+    assert(out === List(("a", 6L, 0.6, 2.4), ("b", 2L, 0.2, 0.8)))
+    // top-n, broadcast totals: TakeOrdered + no shuffle join
+    val plan = EventAnalytics.keySkew(df, "k", 2)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrdered"), plan)
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"), plan)
+  }
+
   test("transitionMatrix: adjacent pairs under the total order, row-normalized") {
     import spark.implicits._
     val ev = Seq( // u1's ties on ts resolve by the event_id order column
