@@ -1469,6 +1469,39 @@ object Queries {
   def keySkewGate(s: SparkSession, dir: String): DataFrame =
     graft.ops.EventAnalytics.keySkew(t(s, dir, "events"), "user_id", topN = 20)
 
+  /** Graded n-gram contamination audit (5-grams, benchmark = every 97th
+    * doc, the q_decontam convention) —
+    * [[graft.ops.CorpusOps.contaminationScore]]; the oracle rebuilds the
+    * string-gram overlap in SQL. Exact gate.
+    */
+  def contaminationGate(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    graft.ops.CorpusOps.contaminationScore(docs,
+      docs.filter(col("doc_id") % 97 === 0), n = 5)
+  }
+
+  /** Reciprocal-rank fusion of the BM25 top-20 run and the quality top-20
+    * run — [[graft.ops.Search.rrfFuse]]; the oracle re-ranks the two
+    * already-value-exact dumps (q_bm25, q_quality) and replays the
+    * 1/(60+rank) sum. Exact gate (two-table-dump pattern).
+    */
+  def rrfGate(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // both runs are top-20-sized BEFORE the rank window: the windows rank
+    // 20-row lists, never the corpus
+    val a = graft.ops.Search.bm25TopK(t(s, dir, "documents"),
+        Seq("hash", "join", "vector"), k = 20)
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("score").desc, col("doc_id"))))
+    val b = t(s, dir, "documents")
+      .select(col("doc_id"), TextOps.qualityScore(col("text")).as("quality"))
+      .orderBy(col("quality").desc, col("doc_id")).limit(20)
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("quality").desc, col("doc_id"))))
+    graft.ops.Search.rrfFuse(Seq(a.select("doc_id", "rank"),
+      b.select("doc_id", "rank")), k = 20)
+  }
+
   /** Typo-tolerant fuzzy match over distinct part names: first-char
     * blocking + Levenshtein ≤ 3 — [[graft.kg.Canonicalize.fuzzyPairs]].
     * Integer distances, exact gate.

@@ -110,6 +110,8 @@ object SparkEntry {
     "q_kmeans"               -> (Queries.kmeansGate _),
     "q_lm_score"             -> (Queries.lmScoreGate _),
     "q_key_skew"             -> (Queries.keySkewGate _),
+    "q_contamination"        -> (Queries.contaminationGate _),
+    "q_rrf"                  -> (Queries.rrfGate _),
     "q_sessions"             -> (Queries.sessionIdsGate _),
     "q_pmi"                  -> (Queries.pmi _),
     "q_hash_features"        -> (Queries.hashFeaturesGate _),
@@ -1160,6 +1162,45 @@ object SparkEntry {
         |           ORDER BY round(dp/(sqrt(nx)*sqrt(nc)), 6) DESC, cell) AS rk
         |       FROM d2)
         |SELECT vec_id, cell, cos FROM a2 WHERE rk = 1""".stripMargin,
+
+    // graded 5-gram overlap vs the every-97th-doc benchmark (string grams
+    // here, hashed grams in Spark — same membership)
+    "q_contamination" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS w
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(w) < 5 THEN CAST([] AS VARCHAR[])
+        |         ELSE list_transform(range(1, len(w) - 3),
+        |                i -> array_to_string(w[i:i+4], ' ')) END AS gs
+        |  FROM t),
+        |bench AS (
+        |  SELECT DISTINCT unnest(gs) AS gr FROM g WHERE doc_id % 97 = 0),
+        |dg AS (SELECT DISTINCT doc_id, unnest(gs) AS gr FROM g),
+        |j AS (SELECT dg.doc_id,
+        |        CASE WHEN bench.gr IS NULL THEN 0 ELSE 1 END AS hit
+        |      FROM dg LEFT JOIN bench USING (gr))
+        |SELECT doc_id, count(*) AS n_grams,
+        |       CAST(sum(hit) AS BIGINT) AS n_hit,
+        |       round(sum(hit) * 1.0 / count(*), 6) AS overlap
+        |FROM j GROUP BY 1""".stripMargin,
+
+    // RRF over the two value-exact dumps: rank each run, sum 1/(60+rank)
+    "q_rrf" ->
+      """WITH a AS (SELECT doc_id,
+        |             row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+        |           FROM read_parquet('__GRAFT_OUT__/q_bm25/*.parquet')),
+        |b AS (SELECT doc_id,
+        |        row_number() OVER (ORDER BY quality DESC, doc_id) AS rank
+        |      FROM (SELECT doc_id, quality
+        |            FROM read_parquet('__GRAFT_OUT__/q_quality/*.parquet')
+        |            ORDER BY quality DESC, doc_id LIMIT 20)),
+        |u AS (SELECT doc_id, rank FROM a
+        |      UNION ALL SELECT doc_id, rank FROM b)
+        |SELECT doc_id, round(sum(1.0 / (60 + rank)), 6) AS rrf,
+        |       count(*) AS n_runs
+        |FROM u GROUP BY 1 ORDER BY rrf DESC, doc_id LIMIT 20""".stripMargin,
 
     // hot-key profile: count, corpus share, hotness ratio (count ÷ mean)
     "q_key_skew" ->

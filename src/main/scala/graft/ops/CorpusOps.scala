@@ -193,6 +193,38 @@ object CorpusOps {
           .as("pmi"))
   }
 
+  /** Per-document contamination score against a benchmark — the graded
+    * companion to [[decontaminate]]'s boolean drop (the GPT-3-style n-gram
+    * overlap audit): for every document with at least one n-gram, the
+    * fraction of its DISTINCT n-grams that appear anywhere in the
+    * benchmark. Thresholding `overlap` reproduces common policies (drop
+    * at any hit = decontaminate; flag at ≥ x% for review); the score is
+    * also the audit artifact eval reports want.
+    *
+    * Shape: benchmark grams dedup into a broadcast membership list (add
+    * the [[decontaminateBloom]] sketch in front at real scale); the corpus
+    * side explodes per-doc DISTINCT gram hashes (array_distinct before the
+    * explode — the doc's text never shuffles), left-joins membership, and
+    * one doc-keyed aggregation emits hit counts and the ratio.
+    */
+  def contaminationScore(docs: DataFrame, benchmark: DataFrame, n: Int = 8,
+                         idCol: String = "doc_id", textCol: String = "text",
+                         benchTextCol: String = "text"): DataFrame = {
+    require(n > 0, s"n-gram size must be positive, got $n")
+    val benchGrams = benchmark
+      .select(explode(gramHashes(col(benchTextCol), n)).as("g"))
+      .distinct()
+      .withColumn("_hit", lit(1))
+    docs
+      .select(col(idCol),
+        explode(array_distinct(gramHashes(col(textCol), n))).as("g"))
+      .join(broadcast(benchGrams), Seq("g"), "left")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_grams"),
+        sum(coalesce(col("_hit"), lit(0))).as("n_hit"))
+      .withColumn("overlap", round(col("n_hit") / col("n_grams"), 6))
+  }
+
   /** Corpus-self-trained bigram language-model score — the CCNet-style
     * statistical quality filter: train add-one-smoothed bigram
     * probabilities p(w₂|w₁) = (c(w₁,w₂)+1)/(c(w₁)+V) on the corpus itself

@@ -101,4 +101,29 @@ object Search {
       .orderBy(col("score").desc, col("doc_id"))
       .limit(k)
   }
+
+  /** Reciprocal-rank fusion — the hybrid-retrieval combiner (lexical BM25
+    * run + embedding-ANN run, or any N ranked lists): each run contributes
+    * 1/(rrfK + rank) per item, the fused score is the sum, and the output
+    * is the top-k under the (rounded score DESC, id) total order. RRF
+    * needs no score calibration between runs — only ranks — which is why
+    * it is the default fusion in production hybrid search. Every input
+    * run must carry a `rank` column (1-based, ties already broken).
+    *
+    * Shape: a union of the (id, rank) run lists — run lists are top-k-
+    * sized, NOT corpus-sized — one hash aggregation on id, and a
+    * TakeOrdered cut. n_runs says how many lists each winner appeared in.
+    */
+  def rrfFuse(runs: Seq[DataFrame], k: Int, rrfK: Int = 60,
+              idCol: String = "doc_id"): DataFrame = {
+    require(runs.nonEmpty, "rrfFuse needs at least one run")
+    require(k > 0, s"k must be positive, got $k")
+    runs.map(_.select(col(idCol), col("rank")))
+      .reduce(_ unionByName _)
+      .groupBy(idCol)
+      .agg(round(sum(lit(1.0) / (lit(rrfK) + col("rank"))), 6).as("rrf"),
+        count(lit(1)).as("n_runs"))
+      .orderBy(col("rrf").desc, col(idCol))
+      .limit(k)
+  }
 }

@@ -111,6 +111,19 @@ class CorpusOpsSpec extends SparkSpec {
     assert(out(("x", "z")) === ((1L, r6(math.log(4.0 * 1 / (3 * 2)))))) // < 0
   }
 
+  test("contaminationScore: distinct-gram overlap fraction vs the benchmark") {
+    val bench = Seq((0L, "a b c d e f")).toDF("doc_id", "text")
+    val docs = Seq(
+      (1L, "a b c d x"), // grams abc,bcd,cdx → 2 of 3 hit
+      (2L, "x y z"),     // gram xyz → 0 of 1
+      (3L, "q w")        // no 3-gram → absent
+    ).toDF("doc_id", "text")
+    val out = CorpusOps.contaminationScore(docs, bench, n = 3)
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out === Map(1L -> ((3L, 2L, 0.666667)), 2L -> ((1L, 0L, 0.0))))
+  }
+
   test("lmScore: add-one bigram LM, hand-computed nll; <2-token docs drop") {
     val docs = Seq(
       (1L, "a b a b"), (2L, "a b"), (3L, "c")

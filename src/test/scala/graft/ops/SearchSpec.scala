@@ -53,4 +53,17 @@ class SearchSpec extends SparkSpec {
     assert(out(2L) === List("x" -> r6(ln15), "z" -> r6(ln15)))    // tie → term order
     assert(out(3L) === List("z" -> r6(3 * ln15)))                 // only one term
   }
+
+  test("rrfFuse: 1/(rrfK+rank) sums across runs, overlap wins") {
+    import spark.implicits._
+    val a = Seq((1L, 1), (2L, 2)).toDF("doc_id", "rank")
+    val b = Seq((2L, 1), (3L, 2)).toDF("doc_id", "rank")
+    val out = Search.rrfFuse(Seq(a, b), k = 3)
+      .as[(Long, Double, Long)].collect().toList
+    def r6(x: Double): Double = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out === List(
+      (2L, r6(1.0 / 61 + 1.0 / 62), 2L), // in both runs → top
+      (1L, r6(1.0 / 61), 1L),
+      (3L, r6(1.0 / 62), 1L)))
+  }
 }
