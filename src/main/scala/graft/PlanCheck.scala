@@ -38,7 +38,14 @@ object PlanCheck {
                            // NO BroadcastNestedLoopJoin
       "q_bm25",            // r4: postings probe — term filter pushed to scan,
                            // df/stats joins broadcast, top-k = TakeOrdered
-      "q_adamic_adar"      // r4: within-neighbor self-join, no cross blowup
+      "q_adamic_adar",     // r4: within-neighbor self-join, no cross blowup
+      "q_shuffle",         // r4: two-pass global index — offsets broadcast,
+                           // the only unpartitioned window is the tiny one
+      "q_kmeans",          // r4: assignment = zero-shuffle literal argmax;
+                           // means = one ≤k-cell aggregation
+      "q_lm_score",        // r4: bigram model joins — counts tables on the
+                           // (w1,w2)/(w1) keys, V broadcast, no cross blowup
+      "q_contamination"    // r4: broadcast gram membership + doc-keyed agg
     )
     for (name <- interesting) {
       println(s"\n================ $name ================")

@@ -1480,6 +1480,33 @@ object Queries {
       docs.filter(col("doc_id") % 97 === 0), n = 5)
   }
 
+  /** Deequ-style constraint suite over the star schema — uniqueness (the
+    * reference's unique-index contract), not-null, accepted values, and
+    * two referential checks — [[graft.ops.Checks]]; each check is one
+    * evidence row, the oracle recomputes all six in SQL. Exact gate.
+    */
+  def constraintsGate(s: SparkSession, dir: String): DataFrame = {
+    val cust = t(s, dir, "customer"); val ord = t(s, dir, "orders")
+    val li = t(s, dir, "lineitem"); val ev = t(s, dir, "events")
+    import graft.ops.Checks
+    Seq(
+      Checks.uniqueness(cust, Seq("c_custkey")),
+      Checks.uniqueness(ord, Seq("o_custkey")), // expected: repeat buyers
+      Checks.notNull(ev, "event_type"),
+      Checks.acceptedValues(ord, "o_orderstatus", Seq("O", "F", "P")),
+      Checks.referential(ord, "o_custkey", cust, "c_custkey"),
+      Checks.referential(li, "l_orderkey", ord, "o_orderkey")
+    ).reduce(_ unionByName _).withColumnRenamed("check", "chk")
+  }
+
+  /** Per-column drift profile of the events table (exact distinct at gate
+    * scale) — [[graft.ops.Checks.profile]]. Exact gate.
+    */
+  def profileGate(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Checks.profile(t(s, dir, "events"),
+        Seq("event_id", "user_id", "event_type", "value", "props"))
+      .withColumnRenamed("column", "col_name")
+
   /** Reciprocal-rank fusion of the BM25 top-20 run and the quality top-20
     * run — [[graft.ops.Search.rrfFuse]]; the oracle re-ranks the two
     * already-value-exact dumps (q_bm25, q_quality) and replays the

@@ -112,6 +112,8 @@ object SparkEntry {
     "q_key_skew"             -> (Queries.keySkewGate _),
     "q_contamination"        -> (Queries.contaminationGate _),
     "q_rrf"                  -> (Queries.rrfGate _),
+    "q_constraints"          -> (Queries.constraintsGate _),
+    "q_profile"              -> (Queries.profileGate _),
     "q_sessions"             -> (Queries.sessionIdsGate _),
     "q_pmi"                  -> (Queries.pmi _),
     "q_hash_features"        -> (Queries.hashFeaturesGate _),
@@ -1162,6 +1164,64 @@ object SparkEntry {
         |           ORDER BY round(dp/(sqrt(nx)*sqrt(nc)), 6) DESC, cell) AS rk
         |       FROM d2)
         |SELECT vec_id, cell, cos FROM a2 WHERE rk = 1""".stripMargin,
+
+    // six evidence rows: two uniqueness, not-null, accepted set, two FKs
+    "q_constraints" ->
+      """WITH u1 AS (SELECT c_custkey AS k, count(*) AS c FROM customer GROUP BY 1),
+        |u2 AS (SELECT o_custkey AS k, count(*) AS c FROM orders GROUP BY 1)
+        |SELECT 'unique(c_custkey)' AS chk, CAST(sum(c) AS BIGINT) AS n_rows,
+        |       CAST(coalesce(sum(CASE WHEN c > 1 THEN c END), 0) AS BIGINT) AS n_violations,
+        |       coalesce(sum(CASE WHEN c > 1 THEN c END), 0) = 0 AS pass
+        |FROM u1
+        |UNION ALL
+        |SELECT 'unique(o_custkey)', CAST(sum(c) AS BIGINT),
+        |       CAST(coalesce(sum(CASE WHEN c > 1 THEN c END), 0) AS BIGINT),
+        |       coalesce(sum(CASE WHEN c > 1 THEN c END), 0) = 0
+        |FROM u2
+        |UNION ALL
+        |SELECT 'not_null(event_type)', count(*),
+        |       count(*) - count(event_type),
+        |       count(*) - count(event_type) = 0
+        |FROM events
+        |UNION ALL
+        |SELECT 'accepted(o_orderstatus)', count(*),
+        |       CAST(coalesce(sum(CASE WHEN o_orderstatus IN ('O','F','P')
+        |                          THEN 0 ELSE 1 END), 0) AS BIGINT),
+        |       coalesce(sum(CASE WHEN o_orderstatus IN ('O','F','P')
+        |                    THEN 0 ELSE 1 END), 0) = 0
+        |FROM orders
+        |UNION ALL
+        |SELECT 'fk(o_custkey->c_custkey)',
+        |       (SELECT count(*) FROM orders),
+        |       (SELECT count(*) FROM orders o WHERE NOT EXISTS
+        |          (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)),
+        |       (SELECT count(*) FROM orders o WHERE NOT EXISTS
+        |          (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)) = 0
+        |UNION ALL
+        |SELECT 'fk(l_orderkey->o_orderkey)',
+        |       (SELECT count(*) FROM lineitem),
+        |       (SELECT count(*) FROM lineitem l WHERE NOT EXISTS
+        |          (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)),
+        |       (SELECT count(*) FROM lineitem l WHERE NOT EXISTS
+        |          (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)) = 0""".stripMargin,
+
+    // per-column (n, nulls, exact distinct) snapshot of events
+    "q_profile" ->
+      """SELECT 'event_id' AS col_name, count(*) AS n_rows,
+        |       count(*) - count(event_id) AS n_null,
+        |       count(DISTINCT event_id) AS n_distinct FROM events
+        |UNION ALL
+        |SELECT 'user_id', count(*), count(*) - count(user_id),
+        |       count(DISTINCT user_id) FROM events
+        |UNION ALL
+        |SELECT 'event_type', count(*), count(*) - count(event_type),
+        |       count(DISTINCT event_type) FROM events
+        |UNION ALL
+        |SELECT 'value', count(*), count(*) - count(value),
+        |       count(DISTINCT value) FROM events
+        |UNION ALL
+        |SELECT 'props', count(*), count(*) - count(props),
+        |       count(DISTINCT props) FROM events""".stripMargin,
 
     // graded 5-gram overlap vs the every-97th-doc benchmark (string grams
     // here, hashed grams in Spark — same membership)

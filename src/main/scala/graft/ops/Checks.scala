@@ -1,0 +1,100 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Declarative data-quality checks — the Deequ-style validation layer a
+  * 10^12-row ingest runs BEFORE graph construction, and the distributed
+  * analogue of the reference's uniqueness/index constraints
+  * (graphio enforces per-label unique merge keys via Neo4j indexes,
+  * `/root/reference/graphio/bulk/nodeset.py:180-184`): here the same
+  * contracts are verified as Spark aggregations that emit evidence rows
+  * instead of trusting the store.
+  *
+  * Every check returns ONE row — (check, n_rows, n_violations, pass) — so
+  * a suite is a `union` and the result is a tiny audit artifact to persist
+  * next to the load's lineage rows. Scale shape per check:
+  * uniqueness = one map-side-partial count per key + a count over
+  * multi-row keys (key columns only — the table's payload never
+  * shuffles); notNull / acceptedValues = zero-shuffle codegen'd scans;
+  * referential = a keys-only distinct + left-anti probe (broadcast when
+  * the parent key set is dimension-sized, shuffle otherwise — Spark
+  * picks by stats). Nothing collects to the driver.
+  */
+object Checks {
+
+  private def result(name: String, total: Column, violations: Column,
+                     df: DataFrame): DataFrame =
+    df.agg(total.as("_n"), violations.as("_v"))
+      .select(lit(name).as("check"), col("_n").as("n_rows"),
+        col("_v").as("n_violations"), (col("_v") === 0L).as("pass"))
+
+  /** Rows whose key tuple occurs more than once (every member of a
+    * duplicated key group counts — the rows a unique index would reject).
+    */
+  def uniqueness(df: DataFrame, keyCols: Seq[String],
+                 name: String = ""): DataFrame = {
+    require(keyCols.nonEmpty, "uniqueness needs at least one key column")
+    val nm = if (name.nonEmpty) name else s"unique(${keyCols.mkString(",")})"
+    val grouped = df.groupBy(keyCols.map(col): _*).agg(count(lit(1)).as("_c"))
+    grouped.agg(
+        sum(col("_c")).as("_n"),
+        coalesce(sum(when(col("_c") > 1, col("_c"))), lit(0L)).as("_v"))
+      .select(lit(nm).as("check"), col("_n").as("n_rows"),
+        col("_v").as("n_violations"), (col("_v") === 0L).as("pass"))
+  }
+
+  /** Null (or NaN-free for doubles is the caller's cast) count on one
+    * column. */
+  def notNull(df: DataFrame, c: String, name: String = ""): DataFrame =
+    result(if (name.nonEmpty) name else s"not_null($c)",
+      count(lit(1)), count(lit(1)) - count(col(c)), df)
+
+  /** Rows whose value is outside the accepted literal set (nulls count as
+    * violations — accepted means present AND allowed). */
+  def acceptedValues(df: DataFrame, c: String, values: Seq[String],
+                     name: String = ""): DataFrame = {
+    require(values.nonEmpty, "acceptedValues needs a non-empty set")
+    result(if (name.nonEmpty) name else s"accepted($c)",
+      count(lit(1)),
+      coalesce(sum(when(col(c).isInCollection(values), 0L).otherwise(1L)),
+        lit(0L)), df)
+  }
+
+  /** Child rows whose key has no match in the parent key set — referential
+    * integrity (dangling edges, in graph terms: what RelSetOps drops).
+    * Keys-only: both sides reduce to their key columns before the probe.
+    */
+  def referential(child: DataFrame, childKey: String,
+                  parent: DataFrame, parentKey: String,
+                  name: String = ""): DataFrame = {
+    val nm = if (name.nonEmpty) name else s"fk($childKey->$parentKey)"
+    val orphans = child.select(col(childKey))
+      .join(parent.select(col(parentKey).as(childKey)).distinct(),
+        Seq(childKey), "left_anti")
+      .agg(count(lit(1)).as("_v"))
+    child.agg(count(lit(1)).as("_n"))
+      .crossJoin(broadcast(orphans))
+      .select(lit(nm).as("check"), col("_n").as("n_rows"),
+        col("_v").as("n_violations"), (col("_v") === 0L).as("pass"))
+  }
+
+  /** Per-column profile: (column, n_rows, n_null, n_distinct) — the
+    * drift-detection snapshot persisted per ingest batch; compare against
+    * the previous batch's profile to catch schema/content drift before it
+    * poisons a merge. Exact distinct here (the gate's contract); swap in
+    * `approx_count_distinct` per column at 10^12 rows — each column scans
+    * independently (pruned to itself), so the profile parallelizes across
+    * the cluster rather than multiplying one scan by Expand.
+    */
+  def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "profile needs at least one column")
+    cols.map { c =>
+      df.agg(count(lit(1)).as("_n"), count(col(c)).as("_nn"),
+          countDistinct(col(c)).as("_d"))
+        .select(lit(c).as("column"), col("_n").as("n_rows"),
+          (col("_n") - col("_nn")).as("n_null"),
+          col("_d").as("n_distinct"))
+    }.reduce(_ unionByName _)
+  }
+}

@@ -1,0 +1,46 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class ChecksSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def row(df: org.apache.spark.sql.DataFrame) =
+    df.as[(String, Long, Long, Boolean)].head()
+
+  test("uniqueness counts every member of a duplicated key group") {
+    val df = Seq((1L, "a"), (1L, "b"), (2L, "c"), (3L, "d")).toDF("k", "v")
+    assert(row(Checks.uniqueness(df, Seq("k"))) ===
+      (("unique(k)", 4L, 2L, false)))
+    // compound key: (1,a)/(1,b) are DISTINCT tuples → clean
+    assert(row(Checks.uniqueness(df, Seq("k", "v"))) ===
+      (("unique(k,v)", 4L, 0L, true)))
+  }
+
+  test("notNull and acceptedValues count violations (null = not accepted)") {
+    val df = Seq(Some("O"), Some("F"), Some("X"), None).toDF("s")
+    assert(row(Checks.notNull(df, "s")) === (("not_null(s)", 4L, 1L, false)))
+    assert(row(Checks.acceptedValues(df, "s", Seq("O", "F"))) ===
+      (("accepted(s)", 4L, 2L, false))) // X and null
+  }
+
+  test("referential counts dangling child keys; keys-only anti-join plan") {
+    val parent = Seq(1L, 2L).toDF("pk")
+    val child = Seq(1L, 1L, 2L, 9L).toDF("fk")
+    assert(row(Checks.referential(child, "fk", parent, "pk")) ===
+      (("fk(fk->pk)", 4L, 1L, false)))
+    val plan = Checks.referential(child, "fk", parent, "pk")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("LeftAnti"), plan)
+  }
+
+  test("profile: per-column null and exact-distinct counts") {
+    val df = Seq((1L, Some("a")), (2L, Some("a")), (3L, None))
+      .toDF("id", "s")
+    val out = Checks.profile(df, Seq("id", "s"))
+      .as[(String, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(out("id") === (("id", 3L, 0L, 3L)))
+    assert(out("s") === (("s", 3L, 1L, 1L)))
+  }
+}
