@@ -1480,6 +1480,19 @@ object Queries {
       docs.filter(col("doc_id") % 97 === 0), n = 5)
   }
 
+  /** Salted fact↔dim join (salt 8, spread = l_linenumber): result must be
+    * EXACTLY the plain inner join — [[graft.ops.Skew.saltedJoin]]; the
+    * oracle is the unsalted SQL join. Exact gate.
+    */
+  def saltedJoinGate(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Skew.saltedJoin(
+        t(s, dir, "lineitem"),
+        t(s, dir, "orders").select(col("o_orderkey").as("l_orderkey"),
+          col("o_orderstatus"), col("o_totalprice")),
+        Seq("l_orderkey"), spread = col("l_linenumber"), salt = 8)
+      .select("l_orderkey", "l_linenumber", "l_partkey", "o_orderstatus",
+        "o_totalprice")
+
   /** Deequ-style constraint suite over the star schema — uniqueness (the
     * reference's unique-index contract), not-null, accepted values, and
     * two referential checks — [[graft.ops.Checks]]; each check is one

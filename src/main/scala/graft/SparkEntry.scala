@@ -113,6 +113,7 @@ object SparkEntry {
     "q_contamination"        -> (Queries.contaminationGate _),
     "q_rrf"                  -> (Queries.rrfGate _),
     "q_constraints"          -> (Queries.constraintsGate _),
+    "q_salted_join"          -> (Queries.saltedJoinGate _),
     "q_profile"              -> (Queries.profileGate _),
     "q_sessions"             -> (Queries.sessionIdsGate _),
     "q_pmi"                  -> (Queries.pmi _),
@@ -1164,6 +1165,12 @@ object SparkEntry {
         |           ORDER BY round(dp/(sqrt(nx)*sqrt(nc)), 6) DESC, cell) AS rk
         |       FROM d2)
         |SELECT vec_id, cell, cos FROM a2 WHERE rk = 1""".stripMargin,
+
+    // the salted join must reproduce the plain inner join exactly
+    "q_salted_join" ->
+      """SELECT l.l_orderkey, l.l_linenumber, l.l_partkey,
+        |       o.o_orderstatus, o.o_totalprice
+        |FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey""".stripMargin,
 
     // six evidence rows: two uniqueness, not-null, accepted set, two FKs
     "q_constraints" ->
