@@ -1338,6 +1338,12 @@ object SparkEntry {
         |SELECT doc_id, CAST(h % 64 AS INT) AS bucket, count(*) AS n
         |FROM toks GROUP BY doc_id, bucket""".stripMargin,
 
+    // GATE PRECONDITION (here and for q_adamic_adar/q_clustering): the
+    // Spark path applies a 10k hub/group-size safety gate by default; this
+    // oracle does NOT replicate it, so the value compare assumes no
+    // neighborhood/group exceeds 10k members at the gate's sf (verified
+    // far below that; a larger sf breaching it would diverge HERE first,
+    // not in the operator)
     // document-frequency PMI with the identical arithmetic shape
     "q_pmi" ->
       """WITH m AS (SELECT DISTINCT g, e FROM (

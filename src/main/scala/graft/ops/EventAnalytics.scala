@@ -103,14 +103,6 @@ object EventAnalytics {
         sum(col("n")).over(Window.partitionBy("from_type")), 6))
   }
 
-  /** Equi-depth bucketing: per-group ntile assignment (1-based) under a
-    * caller-supplied TOTAL order — decile features, per-segment quantile
-    * cohorts, rank-based normalization. SQL-standard ntile (first
-    * `count mod n` buckets one row larger), so the assignment is a pure
-    * function of the ordered group; pass `orderCols` tiebreakers to make
-    * the order total or ties land engine-dependently. One shuffle on the
-    * group keys + one per-partition sort.
-    */
   /** Key-skew profile: the topN heaviest keys with their row count, corpus
     * share, and hotness ratio (count ÷ mean count per key). This is the
     * diagnostic that DECIDES the skew mitigations elsewhere in the repo —
@@ -137,6 +129,14 @@ object EventAnalytics {
       .limit(topN)
   }
 
+  /** Equi-depth bucketing: per-group ntile assignment (1-based) under a
+    * caller-supplied TOTAL order — decile features, per-segment quantile
+    * cohorts, rank-based normalization. SQL-standard ntile (first
+    * `count mod n` buckets one row larger), so the assignment is a pure
+    * function of the ordered group; pass `orderCols` tiebreakers to make
+    * the order total or ties land engine-dependently. One shuffle on the
+    * group keys + one per-partition sort.
+    */
   def equiDepthBuckets(df: DataFrame, valueCol: String, groupCols: Seq[String],
                        nBuckets: Int, orderCols: Seq[String] = Nil,
                        bucketCol: String = "bucket"): DataFrame = {

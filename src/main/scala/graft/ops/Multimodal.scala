@@ -372,7 +372,11 @@ object Multimodal {
       var off = 0
       while (off < raw.length && !inflater.finished()) {
         val n = inflater.inflate(raw, off, raw.length - off)
-        if (n == 0 && inflater.needsInput()) return None // truncated stream
+        // n == 0 without needing input also covers needsDictionary(): a
+        // zlib header with the FDICT flag set would otherwise make
+        // inflate() return 0 forever — an infinite loop on a corrupt
+        // payload instead of the documented degrade-to-None
+        if (n == 0) return None // truncated / preset-dictionary stream
         off += n
       }
       inflater.end()

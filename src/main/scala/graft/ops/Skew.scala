@@ -37,7 +37,10 @@ object Skew {
                  spread: Column, salt: Int): DataFrame = {
     require(keys.nonEmpty, "saltedJoin needs at least one key column")
     require(salt > 0, s"salt must be positive, got $salt")
-    val l = left.withColumn("_salt", pmod(spread.cast("long"), lit(salt.toLong)))
+    // NULL spread values fold to salt cell 0 — they must still JOIN
+    // (pmod(NULL) = NULL would silently drop those left rows)
+    val l = left.withColumn("_salt",
+      pmod(coalesce(spread.cast("long"), lit(0L)), lit(salt.toLong)))
     val r = right.withColumn("_salt",
       explode(sequence(lit(0L), lit(salt.toLong - 1L))))
     l.join(r, keys :+ "_salt").drop("_salt")

@@ -116,8 +116,11 @@ object Temporal {
   /** As-of join, backward and inclusive: attach to every left row the
     * chosen columns of the LATEST right row sharing `keys` whose
     * `rightTime` is <= the left row's `leftTime` (and, with `tolerance`,
-    * no older than `leftTime - tolerance`). Unmatched left rows keep
-    * nulls — the left side is never dropped.
+    * no older than `leftTime - tolerance`; tolerance is in MICROSECONDS
+    * for timestamp time columns, in the column's own units for numeric
+    * ones). Unmatched left rows keep nulls — the left side is never
+    * dropped, and a matched row's fields arrive as ONE unit (a genuinely
+    * NULL right field stays NULL, never back-filled from an older row).
     *
     * Spark-first shape: there is NO join operator at all. Both sides are
     * UNIONed, and the match is a running `last(..., ignoreNulls)` over a
@@ -146,42 +149,54 @@ object Temporal {
     val outCols = rightCols.map(prefix + _)
     require(!leftPayload.exists(outCols.contains),
       s"prefixed right columns $outCols collide with left columns")
-    val rightTypes = rightCols.map(c => c -> right.schema(c).dataType).toMap
+    import org.apache.spark.sql.types.{StructField, StructType, TimestampType, DataType}
+    // the matched right row travels as ONE struct: either the whole latest
+    // right row matched or nothing did. Per-column running-last would let
+    // a matched row's genuinely-NULL field be back-filled by a STALE value
+    // from an older right row — and different output columns could come
+    // from different right rows (a torn match).
+    val mType = StructType(
+      StructField("_rt", right.schema(rightTime).dataType) +:
+        rightCols.map(c => StructField(prefix + c, right.schema(c).dataType)))
 
     val lSide = left.select(
       keys.map(col) ++
         Seq(col(leftTime).as("_t"), lit(1).as("_side")) ++
         leftPayload.map(col) ++
-        rightCols.map(c => lit(null).cast(rightTypes(c)).as(prefix + c)): _*)
+        Seq(lit(null).cast(mType).as("_m")): _*)
     val rSide = right.select(
       keys.map(col) ++
         Seq(col(rightTime).as("_t"), lit(0).as("_side")) ++
         leftPayload.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
-        rightCols.map(c => col(c).as(prefix + c)): _*)
+        Seq(struct(col(rightTime).as("_rt") +:
+          rightCols.map(c => col(c).as(prefix + c)): _*).as("_m")): _*)
 
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col("_t").asc, col("_side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val matchCols = outCols.map(c => last(col(c), ignoreNulls = true).over(w).as(c))
-    val rightTs = last(when(col("_side") === 0, col("_t")), ignoreNulls = true)
-      .over(w).as("_rt")
-
-    // the window projections re-emit the right columns under the same
-    // names, so the base projection must NOT carry the null placeholders
-    val base = keys.map(col) ++ Seq(col("_t"), col("_side")) ++ leftPayload.map(col)
     val joined = lSide.unionByName(rSide)
-      .select(base ++ matchCols ++ Seq(rightTs): _*)
+      .select(keys.map(col) ++ Seq(col("_t"), col("_side")) ++
+        leftPayload.map(col) ++
+        Seq(last(col("_m"), ignoreNulls = true).over(w).as("_m")): _*)
       .filter(col("_side") === 1)
-    val withTol = tolerance match {
-      case Some(tol) =>
-        // a match older than the tolerance window is no match at all
-        val stale = col("_rt").isNull || col("_t").cast("long") - col("_rt").cast("long") > tol.cast("long")
-        outCols.foldLeft(joined)((df, c) =>
-          df.withColumn(c, when(stale, lit(null)).otherwise(col(c))))
-      case None => joined
+    // tolerance units: MICROSECONDS for timestamp time columns, the
+    // column's own units for numeric ones (matching the sibling *Micros
+    // APIs — a raw long cast of a timestamp would compare SECONDS)
+    def micros(c: Column, dt: DataType): Column = dt match {
+      case TimestampType => unix_micros(c)
+      case _ => c.cast("long")
     }
-    withTol.select(
-      keys.map(col) ++ Seq(col("_t").as(leftTime)) ++
-        leftPayload.map(col) ++ outCols.map(col): _*)
+    val matched = tolerance match {
+      case Some(tol) =>
+        val age = micros(col("_t"), left.schema(leftTime).dataType) -
+          micros(col("_m").getField("_rt"), right.schema(rightTime).dataType)
+        when(col("_m").isNull || age > tol.cast("long"),
+          lit(null).cast(mType)).otherwise(col("_m"))
+      case None => col("_m")
+    }
+    joined.withColumn("_m", matched)
+      .select(keys.map(col) ++ Seq(col("_t").as(leftTime)) ++
+        leftPayload.map(col) ++
+        outCols.map(c => col("_m").getField(c).as(c)): _*)
   }
 }

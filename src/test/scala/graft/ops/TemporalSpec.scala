@@ -52,6 +52,32 @@ class TemporalSpec extends SparkSpec {
       (4L, None), (5L, None)))
   }
 
+  test("as-of match is atomic: a NULL right field is NOT back-filled from an older row") {
+    import spark.implicits._
+    val l = Seq((1L, "u", 20L)).toDF("id", "k", "t")
+    val r = Seq((2L, "u", 5L, Some(3.0)), (7L, "u", 10L, None))
+      .toDF("rid", "k", "rt", "rv")
+    val out = Temporal.asofJoin(l, r, Seq("k"), "t", "rt", Seq("rid", "rv"))
+      .select("asof_rid", "asof_rv").collect().head
+    assert(out.getLong(0) === 7L)   // the t=10 row is the match...
+    assert(out.isNullAt(1), out)    // ...and its NULL rv stays NULL
+  }
+
+  test("as-of tolerance on timestamp columns is in microseconds") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def ts(ms: Long) = new Timestamp(ms)
+    val l = Seq((1L, "u", ts(2000L)), (2L, "u", ts(5000L)))
+      .toDF("id", "k", "t")
+    val r = Seq((9L, "u", ts(1000L))).toDF("rid", "k", "rt")
+    // 1.5 s tolerance = 1_500_000 µs: the 1 s-stale match survives, the
+    // 4 s-stale one nulls out (a seconds cast would keep both)
+    val out = Temporal.asofJoin(l, r, Seq("k"), "t", "rt", Seq("rid"),
+        tolerance = Some(lit(1500000L)))
+      .select("id", "asof_rid").as[(Long, Option[Long])].collect().toMap
+    assert(out === Map(1L -> Some(9L), 2L -> None))
+  }
+
   test("as-of join never multiplies left rows and keeps left payloads") {
     val out = Temporal.asofJoin(leftDf, rightDf, Seq("k"), "t", "rt", Seq("rv"))
     assert(out.count() == 5)
