@@ -1455,6 +1455,14 @@ object Queries {
     graft.ops.Similarity.kmeansAssign(t(s, dir, "embeddings"), k = 8, iters = 1)
       .select("vec_id", "cell", "cos")
 
+  /** Portable JL random projection 64→16 — the pre-LSH dimension cut;
+    * [[graft.ops.Similarity.randomProject]]. The oracle recomputes the
+    * plane matrix from the same integer hash and re-sums. Exact gate.
+    */
+  def randomProjectGate(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Similarity.randomProject(t(s, dir, "embeddings"),
+      inDim = 64, outDim = 16)
+
   /** Corpus-self-trained bigram LM quality score (add-one smoothing, mean
     * nll in nats) — [[graft.ops.CorpusOps.lmScore]]; the oracle retrains
     * the same model in SQL. Exact gate.

@@ -108,6 +108,7 @@ object SparkEntry {
     "q_sample_weighted"      -> (Queries.sampleWeightedGate _),
     "q_shuffle"              -> (Queries.shuffleGate _),
     "q_kmeans"               -> (Queries.kmeansGate _),
+    "q_random_project"       -> (Queries.randomProjectGate _),
     "q_lm_score"             -> (Queries.lmScoreGate _),
     "q_key_skew"             -> (Queries.keySkewGate _),
     "q_contamination"        -> (Queries.contaminationGate _),
@@ -1127,6 +1128,21 @@ object SparkEntry {
         |             % 1000000,
         |             doc_id) - 1 AS pos
         |FROM documents""".stripMargin,
+
+    // JL projection replayed: plane weight (j,d) from the double-fold
+    // hash at stride 4096, salt 23; y_j = Σ_d x_d·w(j,d), 6-dp
+    "q_random_project" ->
+      """WITH w AS (
+        |  SELECT j.range AS j, d.range AS dim,
+        |    (((j.range*4096 + d.range + 23) % 1000003 * 2654435761 + 23) % 1000000
+        |     + ((j.range*4096 + d.range + 23) % 999983 * 2246822518) % 1000000)
+        |    % 1000000 AS b
+        |  FROM range(0, 16) j CROSS JOIN range(0, 64) d)
+        |SELECT e.vec_id, CAST(w.j AS INT) AS j,
+        |       round(sum(CAST(e.embedding[w.dim+1] AS DOUBLE)
+        |                 * ((w.b + 0.5)/1000000.0 - 0.5)), 6) AS y
+        |FROM embeddings e CROSS JOIN w
+        |GROUP BY 1, 2""".stripMargin,
 
     // one portable Lloyd round: id-ordered seeds → rounded-cosine argmax
     // (ties to the lowest cell) → rounded per-dim means → final assign;

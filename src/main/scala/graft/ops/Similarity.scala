@@ -148,6 +148,48 @@ object Similarity {
   private def round6(x: Double): Double =
     BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
 
+  /** Scalar twin of [[graft.ops.Sampling.bucket]]'s double-fold hash —
+    * the ENGINE-PORTABLE pseudo-random source for [[randomProject]]'s
+    * plane matrix: weight(j,d) is zero-mean uniform in [-0.5, 0.5),
+    * reproducible by any engine from (j, d, salt) with exact integer
+    * arithmetic (every product < 2^52).
+    */
+  private def planeWeight(j: Int, d: Int, salt: Long): Double = {
+    val id = j.toLong * 4096L + d.toLong
+    val b = (((id + salt) % 1000003L * 2654435761L + salt) % 1000000L +
+      ((id + salt) % 999983L * 2246822518L) % 1000000L) % 1000000L
+    (b + 0.5) / 1000000.0 - 0.5
+  }
+
+  /** Johnson–Lindenstrauss random projection with a PORTABLE plane
+    * matrix: project `inDim`-dim embeddings onto `outDim` pseudo-random
+    * hyperplanes whose components derive from the double-fold integer
+    * hash (no RNG state, no broadcast, cross-engine reproducible — the
+    * driver gate value-checks the projected coordinates themselves).
+    * The cheap first stage of an embedding pipeline: project 1k-dim
+    * vectors to 16–64 dims BEFORE LSH banding / k-means / pair mining,
+    * and the downstream ops touch 16× less data with JL-bounded
+    * distortion. Emits long form (id, j, y), y rounded to 6 dp.
+    *
+    * Shape: one zero-shuffle codegen'd projection — outDim literal dot
+    * products over the vector column; the corpus never shuffles and the
+    * scan prunes to (id, vector).
+    */
+  def randomProject(embs: DataFrame, inDim: Int, outDim: Int,
+                    salt: Long = 23L, idCol: String = "vec_id",
+                    vecCol: String = "embedding"): DataFrame = {
+    require(inDim > 0 && outDim > 0, "dims must be positive")
+    require(inDim <= 4096, "inDim above the 4096 plane stride would alias weights")
+    val v = col(vecCol).cast("array<double>")
+    val comps = (0 until outDim).map { j =>
+      val terms = (0 until inDim).map(d =>
+        element_at(v, d + 1) * lit(planeWeight(j, d, salt)))
+      struct(lit(j).as("j"), round(terms.reduce(_ + _), 6).as("y"))
+    }
+    embs.select(col(idCol), explode(array(comps: _*)).as("p"))
+      .select(col(idCol), col("p.j").as("j"), col("p.y").as("y"))
+  }
+
   /** Portable spherical k-means (Lloyd's under cosine) with a full
     * cross-engine determinism contract — the corpus-clustering op behind
     * SemDeDup-style curation, cluster-balanced sampling, and topic

@@ -229,6 +229,29 @@ class SimilaritySpec extends SparkSpec {
     assert(out.size === 4)
   }
 
+  test("randomProject: one-hot vectors read the plane matrix back; zero-shuffle") {
+    // vec i = e_i (one-hot at dim i) → y_j = weight(j, i) exactly
+    val oneHots = (0 until 4).map(i =>
+      (i.toLong, Seq.tabulate(8)(d => if (d == i) 1.0 else 0.0)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.randomProject(oneHots, inDim = 8, outDim = 3)
+      .as[(Long, Int, Double)].collect()
+    assert(out.length === 12)
+    def r6(x: Double): Double = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def w(j: Int, d: Int): Double = {
+      val id = j.toLong * 4096L + d
+      val b = (((id + 23) % 1000003L * 2654435761L + 23) % 1000000L +
+        ((id + 23) % 999983L * 2246822518L) % 1000000L) % 1000000L
+      (b + 0.5) / 1000000.0 - 0.5
+    }
+    out.foreach { case (i, j, y) => assert(y === r6(w(j, i.toInt)), s"($i,$j)") }
+    // weights are spread over [-0.5, 0.5), not collapsed
+    assert(out.map(_._3).distinct.length > 8)
+    val plan = Similarity.randomProject(oneHots, 8, 3)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
+
   test("kmeansAssign recovers the planted clusters and is rerun-identical") {
     val corpus = clusteredCorpus(160) // ids 0..7 are one seed per true cluster
     val out = Similarity.kmeansAssign(corpus, k = 8, iters = 2)
