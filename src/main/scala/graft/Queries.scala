@@ -1470,6 +1470,14 @@ object Queries {
   def lmScoreGate(s: SparkSession, dir: String): DataFrame =
     graft.ops.CorpusOps.lmScore(t(s, dir, "documents"))
 
+  /** Per-event-type distinct users: exact count + HLL-within-5% boolean —
+    * [[graft.ops.Sketches.groupDistinctBound]], the grouped form of the
+    * q_vocab_size swap-in contract. Exact gate.
+    */
+  def groupDistinctGate(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Sketches.groupDistinctBound(t(s, dir, "events"),
+      "event_type", "user_id")
+
   /** Hot-key profile over events.user_id: top-20 keys with share and
     * hotness ratio — [[graft.ops.EventAnalytics.keySkew]], the input to
     * any salting / AQE-skew decision. Exact gate.

@@ -111,6 +111,7 @@ object SparkEntry {
     "q_random_project"       -> (Queries.randomProjectGate _),
     "q_lm_score"             -> (Queries.lmScoreGate _),
     "q_key_skew"             -> (Queries.keySkewGate _),
+    "q_group_distinct"       -> (Queries.groupDistinctGate _),
     "q_contamination"        -> (Queries.contaminationGate _),
     "q_rrf"                  -> (Queries.rrfGate _),
     "q_constraints"          -> (Queries.constraintsGate _),
@@ -1284,6 +1285,13 @@ object SparkEntry {
         |SELECT doc_id, round(sum(1.0 / (60 + rank)), 6) AS rrf,
         |       count(*) AS n_runs
         |FROM u GROUP BY 1 ORDER BY rrf DESC, doc_id LIMIT 20""".stripMargin,
+
+    // exact per-group distinct + the HLL-within-bound boolean (the sketch
+    // itself is engine-internal; the oracle asserts the CONTRACT held)
+    "q_group_distinct" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_exact,
+        |       TRUE AS approx_ok
+        |FROM events GROUP BY 1""".stripMargin,
 
     // hot-key profile: count, corpus share, hotness ratio (count ÷ mean)
     "q_key_skew" ->

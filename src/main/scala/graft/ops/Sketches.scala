@@ -48,4 +48,25 @@ object Sketches {
       .select(col(itemCol), col("x.r").as("r"), col("x.bucket").as("bucket"))
       .join(broadcast(sketch), Seq("r", "bucket"), "left")
       .groupBy(itemCol).agg(min(coalesce(col("cnt"), lit(0L))).as("cm_est"))
+
+  /** Per-group cardinality with the honest swap-in contract
+    * ([[graft.ops.CorpusOps.vocabSize]]'s pattern, grouped): the exact
+    * distinct count per group NEXT TO a boolean asserting the mergeable
+    * HLL++ sketch lands within `maxRelErr` of it. At 10^12 rows the exact
+    * count (one dedup shuffle per group's values) gives way to the
+    * sketch-only aggregation — per-group daily-active counts, per-source
+    * unique-document tallies — and this gate is what makes that swap
+    * evidence-backed rather than vibes. Empty-string-safe; null values
+    * are not counted by either side.
+    */
+  def groupDistinctBound(df: DataFrame, groupCol: String, valueCol: String,
+                         maxRelErr: Double = 0.05): DataFrame = {
+    require(maxRelErr > 0, s"maxRelErr must be positive, got $maxRelErr")
+    df.groupBy(col(groupCol))
+      .agg(countDistinct(col(valueCol)).as("n_exact"),
+        approx_count_distinct(col(valueCol)).as("_a"))
+      .select(col(groupCol), col("n_exact"),
+        (abs(col("_a") - col("n_exact")).cast("double") / col("n_exact")
+          <= maxRelErr).as("approx_ok"))
+  }
 }

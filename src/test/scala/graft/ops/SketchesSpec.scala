@@ -29,4 +29,14 @@ class SketchesSpec extends SparkSpec {
       .as[(String, Long)].collect().head._2
     assert(unseen >= 0L)
   }
+
+  test("groupDistinctBound: exact per-group distinct, HLL within bound") {
+    val df = (1 to 100).map(i => (if (i % 2 == 0) "a" else "b", i.toLong % 30))
+      .toDF("g", "v")
+    val out = Sketches.groupDistinctBound(df, "g", "v")
+      .as[(String, Long, Boolean)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    // g=a: v = even i % 30 → 15 distinct; g=b: odd i % 30 → 15 distinct
+    assert(out("a") === ((15L, true)))
+    assert(out("b") === ((15L, true)))
+  }
 }
