@@ -1446,6 +1446,13 @@ object Queries {
     graft.ops.Sampling.shufflePositions(t(s, dir, "documents"), nShards = 8)
       .select("doc_id", "pos")
 
+  /** Deterministic contrastive negatives (k = 4 per anchor) —
+    * [[graft.ops.Sampling.negativePairs]]; the oracle replays the
+    * position permutation and the composite partner hash. Exact gate.
+    */
+  def negativePairsGate(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Sampling.negativePairs(t(s, dir, "documents"), k = 4)
+
   /** Portable spherical k-means (one Lloyd round, k = 8): id-ordered
     * seeds, rounded-cosine argmax, rounded centroid means —
     * [[graft.ops.Similarity.kmeansAssign]]; the oracle replays the same

@@ -107,6 +107,7 @@ object SparkEntry {
     "q_transitions"          -> (Queries.transitionsGate _),
     "q_sample_weighted"      -> (Queries.sampleWeightedGate _),
     "q_shuffle"              -> (Queries.shuffleGate _),
+    "q_negative_pairs"       -> (Queries.negativePairsGate _),
     "q_kmeans"               -> (Queries.kmeansGate _),
     "q_random_project"       -> (Queries.randomProjectGate _),
     "q_lm_score"             -> (Queries.lmScoreGate _),
@@ -1129,6 +1130,36 @@ object SparkEntry {
         |             % 1000000,
         |             doc_id) - 1 AS pos
         |FROM documents""".stripMargin,
+
+    // negatives replayed: permutation (salt 29) + composite partner hash
+    // (salts 30/31, 10^12 range) + the self-collision +1 shift
+    "q_negative_pairs" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |    row_number() OVER (
+        |      ORDER BY (((((doc_id + 29) % 1000003) * 2654435761 + 29) % 1000000)
+        |                + ((((doc_id + 29) % 999983) * 2246822518) % 1000000))
+        |               % 1000000,
+        |               doc_id) - 1 AS pos
+        |  FROM documents),
+        |nn AS (SELECT count(*) AS n FROM p),
+        |a AS (SELECT p.doc_id AS anchor_id, p.pos AS apos, j.range AS j, nn.n,
+        |        p.doc_id * 4 + j.range AS seed
+        |      FROM p CROSS JOIN range(0, 4) j CROSS JOIN nn),
+        |h AS (SELECT anchor_id, apos, j, n,
+        |        ((((((seed + 30) % 1000003) * 2654435761 + 30) % 1000000)
+        |          + ((((seed + 30) % 999983) * 2246822518) % 1000000)) % 1000000)
+        |        * 1000000 +
+        |        (((((seed + 31) % 1000003) * 2654435761 + 31) % 1000000)
+        |         + ((((seed + 31) % 999983) * 2246822518) % 1000000)) % 1000000
+        |        AS wide
+        |      FROM a),
+        |q AS (SELECT anchor_id, j,
+        |        CASE WHEN wide % n = apos THEN (wide % n + 1) % n
+        |             ELSE wide % n END AS ppos
+        |      FROM h)
+        |SELECT q.anchor_id, CAST(q.j AS INT) AS j, p.doc_id AS neg_id
+        |FROM q JOIN p ON p.pos = q.ppos""".stripMargin,
 
     // JL projection replayed: plane weight (j,d) from the double-fold
     // hash at stride 4096, salt 23; y_j = Σ_d x_d·w(j,d), 6-dp

@@ -156,6 +156,22 @@ class SamplingSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), plan)
   }
 
+  test("negativePairs: k partners per anchor, never self, rerun-identical") {
+    val out = Sampling.negativePairs(docs, k = 3)
+      .as[(Long, Int, Long)].collect()
+    assert(out.length === 3000) // 1000 anchors × 3
+    out.foreach { case (a, _, neg) => assert(a !== neg, s"self pair $a") }
+    // every anchor has exactly js 0,1,2
+    val byAnchor = out.groupBy(_._1)
+    assert(byAnchor.size === 1000)
+    byAnchor.values.foreach(v => assert(v.map(_._2).sorted.toSeq === Seq(0, 1, 2)))
+    // partners are spread, not degenerate
+    assert(out.map(_._3).distinct.length > 500)
+    val again = Sampling.negativePairs(docs, k = 3)
+      .as[(Long, Int, Long)].collect()
+    assert(out.sortBy(r => (r._1, r._2)).toSeq === again.sortBy(r => (r._1, r._2)).toSeq)
+  }
+
   test("quota per group keeps exactly the top-n by the given total order") {
     val scored = Seq(
       (1L, "en", 0.9), (2L, "en", 0.8), (3L, "en", 0.8), (4L, "en", 0.1),
