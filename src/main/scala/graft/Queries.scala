@@ -1503,6 +1503,23 @@ object Queries {
       docs.filter(col("doc_id") % 97 === 0), n = 5)
   }
 
+  /** Bloom-prefiltered semi-join (orders with at least one lineitem):
+    * result must be EXACTLY the plain left-semi join —
+    * [[graft.ops.Joins.bloomSemiJoin]]; the oracle is the SQL EXISTS.
+    */
+  def bloomSemiGate(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Joins.bloomSemiJoin(t(s, dir, "orders"), t(s, dir, "lineitem"),
+        "o_orderkey", "l_orderkey")
+      .select("o_orderkey", "o_custkey", "o_orderstatus")
+
+  /** Morton/Z-order layout key over (l_partkey, l_suppkey), 16 bits each —
+    * [[graft.ops.Layout.zOrder2]]; the oracle interleaves the same bits
+    * in SQL. Exact gate.
+    */
+  def zorderGate(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem").select(col("l_orderkey"), col("l_linenumber"),
+      graft.ops.Layout.zOrder2(col("l_partkey"), col("l_suppkey"), 16).as("z"))
+
   /** Salted fact↔dim join (salt 8, spread = l_linenumber): result must be
     * EXACTLY the plain inner join — [[graft.ops.Skew.saltedJoin]]; the
     * oracle is the unsalted SQL join. Exact gate.

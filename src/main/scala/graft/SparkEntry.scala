@@ -117,6 +117,8 @@ object SparkEntry {
     "q_rrf"                  -> (Queries.rrfGate _),
     "q_constraints"          -> (Queries.constraintsGate _),
     "q_salted_join"          -> (Queries.saltedJoinGate _),
+    "q_bloom_semi"           -> (Queries.bloomSemiGate _),
+    "q_zorder"               -> (Queries.zorderGate _),
     "q_profile"              -> (Queries.profileGate _),
     "q_sessions"             -> (Queries.sessionIdsGate _),
     "q_pmi"                  -> (Queries.pmi _),
@@ -1213,6 +1215,20 @@ object SparkEntry {
         |           ORDER BY round(dp/(sqrt(nx)*sqrt(nc)), 6) DESC, cell) AS rk
         |       FROM d2)
         |SELECT vec_id, cell, cos FROM a2 WHERE rk = 1""".stripMargin,
+
+    // the bloom prefilter must not change the semi-join result
+    "q_bloom_semi" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus FROM orders o
+        |WHERE EXISTS (SELECT 1 FROM lineitem l
+        |              WHERE l.l_orderkey = o.o_orderkey)""".stripMargin,
+
+    // the same 16-bit Morton interleave in SQL bit algebra
+    "q_zorder" -> {
+      val terms = (0 until 16).flatMap(i => Seq(
+        s"(((l_partkey >> $i) & 1) << ${2 * i})",
+        s"(((l_suppkey >> $i) & 1) << ${2 * i + 1})"))
+      s"SELECT l_orderkey, l_linenumber, ${terms.mkString(" | ")} AS z FROM lineitem"
+    },
 
     // the salted join must reproduce the plain inner join exactly
     "q_salted_join" ->
