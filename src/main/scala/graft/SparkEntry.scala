@@ -1161,7 +1161,8 @@ object SparkEntry {
         |             ELSE wide % n END AS ppos
         |      FROM h)
         |SELECT q.anchor_id, CAST(q.j AS INT) AS j, p.doc_id AS neg_id
-        |FROM q JOIN p ON p.pos = q.ppos""".stripMargin,
+        |FROM q JOIN p ON p.pos = q.ppos
+        |WHERE p.doc_id <> q.anchor_id""".stripMargin,
 
     // JL projection replayed: plane weight (j,d) from the double-fold
     // hash at stride 4096, salt 23; y_j = Σ_d x_d·w(j,d), 6-dp

@@ -102,7 +102,9 @@ object CorpusOps {
     val toks = docs.select(explode(split(lower(trim(col(textCol))), "\\s+")).as("token"))
     toks.agg(
         countDistinct(col("token")).as("n_exact"),
-        approx_count_distinct(col("token")).as("_n_approx"))
+        // sketch rsd = bound/3 — a bound equal to the sketch's own sigma
+        // would breach ~1/3 of the time once past HLL's exact range
+        approx_count_distinct(col("token"), maxRelErr / 3).as("_n_approx"))
       .select(col("n_exact"),
         (abs(col("_n_approx") - col("n_exact")).cast("double") / col("n_exact")
           <= maxRelErr).as("approx_ok"))

@@ -30,7 +30,11 @@ object Joins {
                     leftKey: String, rightKey: String,
                     expectedItems: Long = 1L << 22,
                     numBits: Long = 1L << 25): DataFrame = {
-    val rk = right.select(col(rightKey)).distinct()
+    // no distinct() anywhere: bloom insertion dedups inherently (duplicate
+    // inserts are free map-side), and left_semi never multiplies rows —
+    // a dedup shuffle of the right keys would be pure waste, twice (the
+    // eager bloom build AND the final plan would each recompute it)
+    val rk = right.select(col(rightKey))
     val bloomBytes = rk
       .agg(graft.functions.functions
         .bloomAgg(xxhash64(col(rightKey)), expectedItems, numBits).as("bf"))

@@ -367,19 +367,23 @@ object Multimodal {
       val bpp = channels
       val stride = width * bpp
       val raw = new Array[Byte](height * (stride + 1))
+      // try/finally: the early-return and DataFormatException paths must
+      // still release the Inflater's native buffers — a corrupt-heavy
+      // corpus would otherwise leak off-heap until finalization
       val inflater = new java.util.zip.Inflater()
-      inflater.setInput(idat.toByteArray)
       var off = 0
-      while (off < raw.length && !inflater.finished()) {
-        val n = inflater.inflate(raw, off, raw.length - off)
-        // n == 0 without needing input also covers needsDictionary(): a
-        // zlib header with the FDICT flag set would otherwise make
-        // inflate() return 0 forever — an infinite loop on a corrupt
-        // payload instead of the documented degrade-to-None
-        if (n == 0) return None // truncated / preset-dictionary stream
-        off += n
-      }
-      inflater.end()
+      try {
+        inflater.setInput(idat.toByteArray)
+        while (off < raw.length && !inflater.finished()) {
+          val n = inflater.inflate(raw, off, raw.length - off)
+          // n == 0 without needing input also covers needsDictionary(): a
+          // zlib header with the FDICT flag set would otherwise make
+          // inflate() return 0 forever — an infinite loop on a corrupt
+          // payload instead of the documented degrade-to-None
+          if (n == 0) return None // truncated / preset-dictionary stream
+          off += n
+        }
+      } finally inflater.end()
       if (off != raw.length) return None
       val px = new Array[Byte](height * stride)
       var y = 0

@@ -62,11 +62,16 @@ object Sketches {
   def groupDistinctBound(df: DataFrame, groupCol: String, valueCol: String,
                          maxRelErr: Double = 0.05): DataFrame = {
     require(maxRelErr > 0, s"maxRelErr must be positive, got $maxRelErr")
+    // sketch rsd = bound/3: asserting a 1-sigma bound on the default-rsd
+    // sketch would breach ~1/3 of the time on large groups — the bound
+    // must be ≈3 sigma of the sketch it gates. An all-NULL group is 0 vs
+    // 0 → within bound (the division there is NULL; coalesce keeps the
+    // boolean a boolean).
     df.groupBy(col(groupCol))
       .agg(countDistinct(col(valueCol)).as("n_exact"),
-        approx_count_distinct(col(valueCol)).as("_a"))
+        approx_count_distinct(col(valueCol), maxRelErr / 3).as("_a"))
       .select(col(groupCol), col("n_exact"),
-        (abs(col("_a") - col("n_exact")).cast("double") / col("n_exact")
-          <= maxRelErr).as("approx_ok"))
+        coalesce(abs(col("_a") - col("n_exact")).cast("double") / col("n_exact")
+          <= maxRelErr, lit(true)).as("approx_ok"))
   }
 }

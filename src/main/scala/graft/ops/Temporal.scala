@@ -164,7 +164,10 @@ object Temporal {
         Seq(col(leftTime).as("_t"), lit(1).as("_side")) ++
         leftPayload.map(col) ++
         Seq(lit(null).cast(mType).as("_m")): _*)
-    val rSide = right.select(
+    // a NULL rightTime can never satisfy "rt <= t": drop such rows BEFORE
+    // the union — unioned, their NULL _t would sort FIRST and their
+    // non-null match struct would pollute every row's running last
+    val rSide = right.filter(col(rightTime).isNotNull).select(
       keys.map(col) ++
         Seq(col(rightTime).as("_t"), lit(0).as("_side")) ++
         leftPayload.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++

@@ -170,6 +170,9 @@ class SamplingSpec extends SparkSpec {
     val again = Sampling.negativePairs(docs, k = 3)
       .as[(Long, Int, Long)].collect()
     assert(out.sortBy(r => (r._1, r._2)).toSeq === again.sortBy(r => (r._1, r._2)).toSeq)
+    // a 1-row corpus has no valid partner: zero pairs, never (x, x)
+    val solo = Seq(42L).toDF("doc_id")
+    assert(Sampling.negativePairs(solo, k = 2).count() === 0L)
   }
 
   test("quota per group keeps exactly the top-n by the given total order") {
