@@ -1560,6 +1560,18 @@ object Queries {
         Seq("event_id", "user_id", "event_type", "value", "props"))
       .withColumnRenamed("column", "col_name")
 
+  /** 20-bin fixed-width histogram of events.value — the distribution half
+    * of the drift snapshot; [[graft.ops.Checks.histogram]]. Exact gate.
+    */
+  def histogramGate(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Checks.histogram(t(s, dir, "events"), "value", nBins = 20)
+
+  /** Per-source exact-duplication report —
+    * [[graft.ops.Dedup.dedupStats]]. Exact gate.
+    */
+  def dedupStatsGate(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Dedup.dedupStats(t(s, dir, "documents"), "source")
+
   /** Reciprocal-rank fusion of the BM25 top-20 run and the quality top-20
     * run — [[graft.ops.Search.rrfFuse]]; the oracle re-ranks the two
     * already-value-exact dumps (q_bm25, q_quality) and replays the

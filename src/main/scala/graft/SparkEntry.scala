@@ -119,6 +119,8 @@ object SparkEntry {
     "q_salted_join"          -> (Queries.saltedJoinGate _),
     "q_bloom_semi"           -> (Queries.bloomSemiGate _),
     "q_zorder"               -> (Queries.zorderGate _),
+    "q_histogram"            -> (Queries.histogramGate _),
+    "q_dedup_stats"          -> (Queries.dedupStatsGate _),
     "q_profile"              -> (Queries.profileGate _),
     "q_sessions"             -> (Queries.sessionIdsGate _),
     "q_pmi"                  -> (Queries.pmi _),
@@ -1216,6 +1218,25 @@ object SparkEntry {
         |           ORDER BY round(dp/(sqrt(nx)*sqrt(nc)), 6) DESC, cell) AS rk
         |       FROM d2)
         |SELECT vec_id, cell, cos FROM a2 WHERE rk = 1""".stripMargin,
+
+    // same bin arithmetic: ((v-lo)*20)/(hi-lo), floored, max folds into
+    // the last bin
+    "q_histogram" ->
+      """WITH b AS (SELECT min(value) AS lo, max(value) AS hi
+        |           FROM events WHERE value IS NOT NULL)
+        |SELECT CASE WHEN b.hi = b.lo THEN 0
+        |       ELSE LEAST(19, CAST(floor((value - b.lo) * 20 / (b.hi - b.lo))
+        |                           AS BIGINT)) END AS bin,
+        |       count(*) AS n
+        |FROM events CROSS JOIN b WHERE value IS NOT NULL
+        |GROUP BY 1""".stripMargin,
+
+    // per-source duplication audit
+    "q_dedup_stats" ->
+      """SELECT source, count(*) AS n_docs,
+        |       count(DISTINCT text) AS n_unique,
+        |       round(1.0 - count(DISTINCT text) * 1.0 / count(*), 6) AS dup_rate
+        |FROM documents GROUP BY 1""".stripMargin,
 
     // the bloom prefilter must not change the semi-join result
     "q_bloom_semi" ->

@@ -97,4 +97,27 @@ object Checks {
           col("_d").as("n_distinct"))
     }.reduce(_ unionByName _)
   }
+
+  /** Fixed-width histogram of a numeric column — the distribution half of
+    * the drift snapshot (compare bin masses batch-over-batch; a shifted
+    * mode is drift [[profile]]'s counts can't see). Bin i covers
+    * [min + i·w, min + (i+1)·w) with w = (max−min)/nBins; the max value
+    * folds into the last bin, NULLs drop. Two passes: a 1-row (min, max)
+    * broadcast, then one codegen'd bin projection + count — both
+    * map-side-partial aggregations, nothing driver-side. Degenerate
+    * min == max puts every row in bin 0.
+    */
+  def histogram(df: DataFrame, c: String, nBins: Int): DataFrame = {
+    require(nBins >= 1, s"nBins must be >= 1, got $nBins")
+    val v = col(c).cast("double")
+    val bounds = df.filter(v.isNotNull)
+      .agg(min(v).as("_lo"), max(v).as("_hi"))
+    val bin = least(lit(nBins - 1),
+      floor((v - col("_lo")) * nBins / (col("_hi") - col("_lo"))))
+    df.filter(v.isNotNull)
+      .crossJoin(broadcast(bounds))
+      .select(when(col("_hi") === col("_lo"), lit(0L))
+        .otherwise(bin.cast("long")).as("bin"))
+      .groupBy("bin").agg(count(lit(1)).as("n"))
+  }
 }

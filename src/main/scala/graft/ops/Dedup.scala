@@ -247,4 +247,21 @@ object Dedup {
   def embeddingNearDupPairs(embs: DataFrame, threshold: Double, bits: Int = 16,
                             idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
     Similarity.cosinePairsLsh(embs, threshold, bits, idCol, vecCol)
+
+  /** Per-group exact-duplication report — the audit row a dedup run emits
+    * per source/domain/shard: document count, distinct-content count, and
+    * the duplication rate 1 − unique/docs. Sources with a spiking
+    * dup_rate are crawler echoes or template farms; the report is what
+    * decides WHERE [[exactDedup]] pays for itself. One grouped
+    * aggregation; at corpus scale count distinct content HASHES (the
+    * [[exactDedup]] move) so the shuffle carries 8-byte keys, not bodies
+    * — identical counts short of a 64-bit collision.
+    */
+  def dedupStats(docs: DataFrame, groupCol: String,
+                 textCol: String = "text"): DataFrame =
+    docs.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col(textCol)).as("n_unique"))
+      .withColumn("dup_rate",
+        round(lit(1.0) - col("n_unique") / col("n_docs"), 6))
 }

@@ -35,6 +35,19 @@ class ChecksSpec extends SparkSpec {
     assert(plan.contains("LeftAnti"), plan)
   }
 
+  test("histogram: fixed-width bins, max in last bin, nulls drop") {
+    val df = (Seq(0.0, 0.5, 0.99, 1.0, 3.9, 4.0).map(Some(_)) :+
+      (None: Option[Double])).toDF("v")
+    // lo=0, hi=4, 4 bins of width 1: [0,1)→3, [1,2)→1, [3,4]→2
+    val out = Checks.histogram(df, "v", nBins = 4)
+      .as[(Long, Long)].collect().toMap
+    assert(out === Map(0L -> 3L, 1L -> 1L, 3L -> 2L))
+    // degenerate min == max: everything in bin 0
+    val flat = Seq(7.0, 7.0).toDF("v")
+    assert(Checks.histogram(flat, "v", 4).as[(Long, Long)].collect().toMap
+      === Map(0L -> 2L))
+  }
+
   test("profile: per-column null and exact-distinct counts") {
     val df = Seq((1L, Some("a")), (2L, Some("a")), (3L, None))
       .toDF("id", "s")

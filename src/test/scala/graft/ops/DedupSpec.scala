@@ -112,4 +112,16 @@ class DedupSpec extends SparkSpec {
       .collect().map(r0 => (r0.getLong(0), r0.getLong(1))).toSet
     assert(prefiltered == reference)
   }
+
+  test("dedupStats: per-group duplication rate") {
+    import spark.implicits._
+    val docs = Seq(
+      ("a", "x"), ("a", "x"), ("a", "y"), ("a", "x"), // 4 docs, 2 unique
+      ("b", "z")                                      // clean source
+    ).toDF("source", "text")
+    val out = Dedup.dedupStats(docs, "source")
+      .as[(String, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(out("a") === (("a", 4L, 2L, 0.5)))
+    assert(out("b") === (("b", 1L, 1L, 0.0)))
+  }
 }
