@@ -1572,6 +1572,24 @@ object Queries {
   def dedupStatsGate(s: SparkSession, dir: String): DataFrame =
     graft.ops.Dedup.dedupStats(t(s, dir, "documents"), "source")
 
+  /** The composed curation chain (quality ≥ 0.5 → exact dedup → decontam
+    * → train cut) — [[graft.ops.Curation.curate]]; the oracle replays the
+    * WHOLE chain in SQL, stage order included. Exact gate.
+    */
+  def curationGate(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    graft.ops.Curation.curate(docs, docs.filter(col("doc_id") % 97 === 0))
+      .select("doc_id", "lang", "quality")
+  }
+
+  /** Stage-by-stage row counts for the same chain —
+    * [[graft.ops.Curation.curationAudit]]. Exact gate.
+    */
+  def curationAuditGate(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    graft.ops.Curation.curationAudit(docs, docs.filter(col("doc_id") % 97 === 0))
+  }
+
   /** Reciprocal-rank fusion of the BM25 top-20 run and the quality top-20
     * run — [[graft.ops.Search.rrfFuse]]; the oracle re-ranks the two
     * already-value-exact dumps (q_bm25, q_quality) and replays the

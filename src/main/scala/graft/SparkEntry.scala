@@ -121,6 +121,8 @@ object SparkEntry {
     "q_zorder"               -> (Queries.zorderGate _),
     "q_histogram"            -> (Queries.histogramGate _),
     "q_dedup_stats"          -> (Queries.dedupStatsGate _),
+    "q_curation"             -> (Queries.curationGate _),
+    "q_curation_audit"       -> (Queries.curationAuditGate _),
     "q_profile"              -> (Queries.profileGate _),
     "q_sessions"             -> (Queries.sessionIdsGate _),
     "q_pmi"                  -> (Queries.pmi _),
@@ -1230,6 +1232,85 @@ object SparkEntry {
         |       count(*) AS n
         |FROM events CROSS JOIN b WHERE value IS NOT NULL
         |GROUP BY 1""".stripMargin,
+
+    // the COMPOSED curation chain replayed end-to-end: quality (the
+    // q_quota formula) → keep-first dedup → 5-gram decontam (q_decontam's
+    // construction) → the salt-3 train cut (q_split's hash)
+    "q_curation" ->
+      """WITH base AS (
+        |  SELECT doc_id, lang, text,
+        |    greatest(len(regexp_split_to_array(lower(trim(text)), '\s+')), 1) AS n,
+        |    len(list_distinct(regexp_split_to_array(lower(trim(text)), '\s+'))) AS nd,
+        |    length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS na,
+        |    greatest(length(text), 1) AS lt
+        |  FROM documents),
+        |scored AS (
+        |  SELECT doc_id, lang, text,
+        |    round(least(n * 1.0 / 64.0, 1.0) * 0.3 + (na * 1.0 / lt) * 0.35 +
+        |          (nd * 1.0 / n) * 0.35, 6) AS quality
+        |  FROM base),
+        |q AS (SELECT * FROM scored WHERE quality >= 0.5),
+        |dd AS (SELECT * FROM (
+        |        SELECT *, row_number() OVER (PARTITION BY text
+        |                                     ORDER BY doc_id) AS rn
+        |        FROM q) WHERE rn = 1),
+        |t2 AS (SELECT doc_id,
+        |         regexp_split_to_array(lower(trim(text)), '\s+') AS w
+        |       FROM documents),
+        |g AS (SELECT doc_id,
+        |        CASE WHEN len(w) < 5 THEN CAST([] AS VARCHAR[])
+        |             ELSE list_transform(range(1, len(w) - 3),
+        |                    i -> array_to_string(w[i:i+4], ' ')) END AS gs
+        |      FROM t2),
+        |bench AS (SELECT DISTINCT unnest(gs) AS gr FROM g WHERE doc_id % 97 = 0),
+        |hits AS (SELECT DISTINCT doc_id
+        |         FROM (SELECT doc_id, unnest(gs) AS gr FROM g) x
+        |         JOIN bench USING (gr)),
+        |clean AS (SELECT dd.* FROM dd
+        |          WHERE dd.doc_id NOT IN (SELECT doc_id FROM hits))
+        |SELECT doc_id, lang, quality FROM clean
+        |WHERE (((((doc_id + 3) % 1000003) * 2654435761 + 3) % 1000000)
+        |       + ((((doc_id + 3) % 999983) * 2246822518) % 1000000))
+        |      % 1000000 < 800000""".stripMargin,
+
+    // the same chain's per-stage row counts
+    "q_curation_audit" ->
+      """WITH base AS (
+        |  SELECT doc_id, text,
+        |    greatest(len(regexp_split_to_array(lower(trim(text)), '\s+')), 1) AS n,
+        |    len(list_distinct(regexp_split_to_array(lower(trim(text)), '\s+'))) AS nd,
+        |    length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS na,
+        |    greatest(length(text), 1) AS lt
+        |  FROM documents),
+        |q AS (SELECT doc_id, text FROM base
+        |      WHERE round(least(n * 1.0 / 64.0, 1.0) * 0.3 + (na * 1.0 / lt) * 0.35 +
+        |                  (nd * 1.0 / n) * 0.35, 6) >= 0.5),
+        |dd AS (SELECT doc_id, text FROM (
+        |        SELECT doc_id, text, row_number() OVER (PARTITION BY text
+        |                                     ORDER BY doc_id) AS rn
+        |        FROM q) WHERE rn = 1),
+        |t2 AS (SELECT doc_id,
+        |         regexp_split_to_array(lower(trim(text)), '\s+') AS w
+        |       FROM documents),
+        |g AS (SELECT doc_id,
+        |        CASE WHEN len(w) < 5 THEN CAST([] AS VARCHAR[])
+        |             ELSE list_transform(range(1, len(w) - 3),
+        |                    i -> array_to_string(w[i:i+4], ' ')) END AS gs
+        |      FROM t2),
+        |bench AS (SELECT DISTINCT unnest(gs) AS gr FROM g WHERE doc_id % 97 = 0),
+        |hits AS (SELECT DISTINCT doc_id
+        |         FROM (SELECT doc_id, unnest(gs) AS gr FROM g) x
+        |         JOIN bench USING (gr)),
+        |clean AS (SELECT dd.doc_id FROM dd
+        |          WHERE dd.doc_id NOT IN (SELECT doc_id FROM hits))
+        |SELECT 'input' AS stage, count(*) AS n_rows FROM documents
+        |UNION ALL SELECT 'quality', count(*) FROM q
+        |UNION ALL SELECT 'dedup', count(*) FROM dd
+        |UNION ALL SELECT 'decontam', count(*) FROM clean
+        |UNION ALL SELECT 'train', count(*) FROM clean
+        |WHERE (((((doc_id + 3) % 1000003) * 2654435761 + 3) % 1000000)
+        |       + ((((doc_id + 3) % 999983) * 2246822518) % 1000000))
+        |      % 1000000 < 800000""".stripMargin,
 
     // per-source duplication audit
     "q_dedup_stats" ->
