@@ -1437,6 +1437,15 @@ object Queries {
         weightCol = "n_chars")
       .select("doc_id", "n_chars", "wkey")
 
+  /** Per-language weighted draw (k = 10, weight = n_chars) —
+    * [[graft.ops.Sampling.sampleWeightedPerGroup]]; the oracle recomputes
+    * key and per-group cut in SQL. Exact gate.
+    */
+  def sampleWeightedGroupGate(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Sampling.sampleWeightedPerGroup(t(s, dir, "documents"),
+        "lang", k = 10, weightCol = "n_chars")
+      .select("doc_id", "lang", "wkey")
+
   /** Deterministic epoch-order shuffle: rank under the (hash, id) total
     * order via the sharded two-pass global index —
     * [[graft.ops.Sampling.shufflePositions]]; the oracle recomputes the

@@ -106,6 +106,7 @@ object SparkEntry {
     "q_ntile"                -> (Queries.ntileGate _),
     "q_transitions"          -> (Queries.transitionsGate _),
     "q_sample_weighted"      -> (Queries.sampleWeightedGate _),
+    "q_sample_weighted_grp"  -> (Queries.sampleWeightedGroupGate _),
     "q_shuffle"              -> (Queries.shuffleGate _),
     "q_negative_pairs"       -> (Queries.negativePairsGate _),
     "q_kmeans"               -> (Queries.kmeansGate _),
@@ -1125,6 +1126,21 @@ object SparkEntry {
         |    1.0 / n_chars), 6) AS wkey
         |FROM documents WHERE n_chars > 0
         |ORDER BY wkey DESC, doc_id LIMIT 50""".stripMargin,
+
+    // the same A-Res key, cut per language by a rank window
+    "q_sample_weighted_grp" ->
+      """SELECT doc_id, lang, wkey FROM (
+        |  SELECT doc_id, lang, wkey,
+        |    row_number() OVER (PARTITION BY lang
+        |                       ORDER BY wkey DESC, doc_id) AS rk
+        |  FROM (SELECT doc_id, lang,
+        |    round(pow(
+        |      ((((doc_id % 1000003) * 2654435761) % 1000000
+        |        + ((doc_id % 999983) * 2246822518) % 1000000) % 1000000
+        |       + 0.5) / 1000000.0,
+        |      1.0 / n_chars), 6) AS wkey
+        |    FROM documents WHERE n_chars > 0))
+        |WHERE rk <= 10""".stripMargin,
 
     // global training-order permutation: rank under the (hash, doc_id)
     // total order — one window here, the sharded two-pass index in Spark

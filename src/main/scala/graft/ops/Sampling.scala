@@ -213,6 +213,31 @@ object Sampling {
       .limit(k)
   }
 
+  /** [[sampleWeighted]] per group — the per-domain/per-language form of
+    * the weighted draw ("k quality-weighted documents from EVERY source"):
+    * same A-Res key u^(1/w), cut per group by a rank window under the
+    * (rounded key DESC, id) total order. Where [[quotaPerGroup]] takes the
+    * deterministic TOP-k by an explicit order, this draws a weighted
+    * RANDOM k — high-weight rows are likelier, not guaranteed. One hash
+    * shuffle on the group key; the key projection is zero-shuffle codegen.
+    */
+  def sampleWeightedPerGroup(df: DataFrame, groupCol: String, k: Int,
+                             weightCol: String, idCol: String = "doc_id",
+                             salt: Long = 0L): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    import org.apache.spark.sql.expressions.Window
+    val u = (bucket(col(idCol), salt).cast("double") + lit(0.5)) /
+      lit(Buckets.toDouble)
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col("wkey").desc, col(idCol))
+    df.filter(col(weightCol) > 0)
+      .withColumn("wkey",
+        round(pow(u, lit(1.0) / col(weightCol).cast("double")), 6))
+      .withColumn("_wrk", row_number().over(w))
+      .filter(col("_wrk") <= k)
+      .drop("_wrk")
+  }
+
   /** Deterministic global training-order shuffle: every row gets its rank
     * (0-based) under the (hash, id) total order — i.e. `pos` enumerates a
     * seeded pseudorandom permutation of the corpus, the order an epoch

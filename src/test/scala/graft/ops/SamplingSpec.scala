@@ -156,6 +156,22 @@ class SamplingSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), plan)
   }
 
+  test("sampleWeightedPerGroup: k per group, weight-biased, deterministic") {
+    val wdocs = (0L until 300L).map(i =>
+      (i, if (i % 3 == 0) "a" else "b", if (i < 150) 10000L else 1L))
+      .toDF("doc_id", "lang", "n_chars")
+    val out = Sampling.sampleWeightedPerGroup(wdocs, "lang", k = 10,
+        weightCol = "n_chars")
+      .select("doc_id", "lang").as[(Long, String)].collect()
+    assert(out.count(_._2 == "a") === 10)
+    assert(out.count(_._2 == "b") === 10)
+    // heavy-weight rows (ids < 150) dominate both groups
+    assert(out.count(_._1 < 150L) >= 16, out.mkString(","))
+    val again = Sampling.sampleWeightedPerGroup(wdocs, "lang", 10, "n_chars")
+      .select("doc_id", "lang").as[(Long, String)].collect()
+    assert(out.sortBy(_._1).toSeq === again.sortBy(_._1).toSeq)
+  }
+
   test("negativePairs: k partners per anchor, never self, rerun-identical") {
     val out = Sampling.negativePairs(docs, k = 3)
       .as[(Long, Int, Long)].collect()
