@@ -1628,6 +1628,16 @@ object Queries {
   def fuzzyGate(s: SparkSession, dir: String): DataFrame =
     graft.kg.Canonicalize.fuzzyPairs(t(s, dir, "part"), "p_name", maxDist = 3)
 
+  /** Jaro-Winkler linkage scores over the same Levenshtein-gated pair set
+    * — [[graft.kg.Canonicalize.jaroScoredPairs]] via the native
+    * [[graft.functions.JaroWinkler]] expression. Membership is the
+    * integer edit-distance filter; every float score is value-checked
+    * against DuckDB's jaro_winkler_similarity at 6 dp.
+    */
+  def jaroWinklerGate(s: SparkSession, dir: String): DataFrame =
+    graft.kg.Canonicalize.jaroScoredPairs(t(s, dir, "part"), "p_name", maxDist = 3)
+      .select(col("a"), col("b"), col("dist"), round(col("jw"), 6).as("jw"))
+
   /** Per-event-type decile assignment under the (value, event_id) total
     * order — [[graft.ops.EventAnalytics.equiDepthBuckets]]; SQL-standard
     * ntile on both engines, exact gate.

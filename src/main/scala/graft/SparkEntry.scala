@@ -103,6 +103,7 @@ object SparkEntry {
     "q_dialogue"             -> (Queries.dialogueGate _),
     "q_centroids"            -> (Queries.centroidsGate _),
     "q_fuzzy"                -> (Queries.fuzzyGate _),
+    "q_jaro_winkler"         -> (Queries.jaroWinklerGate _),
     "q_ntile"                -> (Queries.ntileGate _),
     "q_transitions"          -> (Queries.transitionsGate _),
     "q_sample_weighted"      -> (Queries.sampleWeightedGate _),
@@ -1089,6 +1090,18 @@ object SparkEntry {
       """WITH n AS (SELECT DISTINCT p_name AS nm FROM part)
         |SELECT a.nm AS a, b.nm AS b,
         |       CAST(levenshtein(a.nm, b.nm) AS INT) AS dist
+        |FROM n a JOIN n b
+        |  ON substr(a.nm, 1, 1) = substr(b.nm, 1, 1) AND a.nm < b.nm
+        |WHERE levenshtein(a.nm, b.nm) <= 3""".stripMargin,
+
+    // Jaro-Winkler values checked cell-by-cell on the Levenshtein-gated
+    // pair set; DuckDB's jaro_winkler_similarity is the byte-level
+    // semantics the native expression was pinned to
+    "q_jaro_winkler" ->
+      """WITH n AS (SELECT DISTINCT p_name AS nm FROM part)
+        |SELECT a.nm AS a, b.nm AS b,
+        |       CAST(levenshtein(a.nm, b.nm) AS INT) AS dist,
+        |       round(jaro_winkler_similarity(a.nm, b.nm), 6) AS jw
         |FROM n a JOIN n b
         |  ON substr(a.nm, 1, 1) = substr(b.nm, 1, 1) AND a.nm < b.nm
         |WHERE levenshtein(a.nm, b.nm) <= 3""".stripMargin,

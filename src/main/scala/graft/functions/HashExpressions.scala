@@ -175,6 +175,12 @@ object functions {
 
   def regexpGroups(c: Column, pattern: String): Column =
     call_function("graft_regexp_groups", c, lit(pattern))
+
+  /** Jaro-Winkler similarity (byte-level, DuckDB-parity — see
+    * [[graft.functions.JaroWinkler]]).
+    */
+  def jaroWinkler(a: Column, b: Column): Column =
+    call_function("graft_jaro_winkler", a, b)
 }
 
 /** `spark.sql.extensions=graft.functions.GraftExtensions` — the public
@@ -202,6 +208,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(args.length == 2, "graft_regexp_groups(text, pattern)")
         require(args(1).foldable, "graft_regexp_groups: pattern must be a literal")
         RegexpGroups(args.head, args(1).eval().toString)
+      }))
+    ext.injectFunction((FunctionIdentifier("graft_jaro_winkler"),
+      new ExpressionInfo(classOf[JaroWinkler].getName, "graft_jaro_winkler"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "graft_jaro_winkler(a, b)")
+        JaroWinkler(args(0), args(1))
       }))
     // Spark ships BloomFilterAggregate/BloomFilterMightContain for its own
     // runtime row-filtering but does not register them as SQL functions;

@@ -128,4 +128,23 @@ object Canonicalize {
       .filter(col("dist") <= maxDist)
       .select(col("l._n").as("a"), col("r._n").as("b"), col("dist"))
   }
+
+  /** Jaro-Winkler-scored candidate pairs — the record-linkage scorer the
+    * reference's merge-key identity model implies for near-key matches.
+    * Same prefix-blocked, `a < b` self-join as [[fuzzyPairs]]; pair
+    * MEMBERSHIP is decided by the integer Levenshtein gate (portable
+    * across engines, no float-threshold row-membership hazard) and the
+    * Jaro-Winkler score rides along as the ranking value, computed by
+    * the native codegen'd [[graft.functions.JaroWinkler]] expression
+    * (byte-level, DuckDB-parity semantics).
+    *
+    * Production use thresholds on `jw` for linkage decisions; keeping the
+    * discrete distance as the candidate filter means a cross-engine
+    * verifier can re-derive the exact row set and then check every score
+    * value — the strongest gate shape for a float-valued comparator.
+    */
+  def jaroScoredPairs(df: DataFrame, nameCol: String, maxDist: Int,
+                      blockPrefix: Int = 1): DataFrame =
+    fuzzyPairs(df, nameCol, maxDist, blockPrefix)
+      .withColumn("jw", graft.functions.functions.jaroWinkler(col("a"), col("b")))
 }
