@@ -1014,6 +1014,29 @@ object Queries {
         "event_type", "user_id")
       .orderBy("a", "b")
 
+  /** Strongly connected components of the "rapid handoff" digraph: an
+    * edge u→v when v's event follows u's event in the SAME event stream
+    * within 30 seconds (gap compared in exact epoch microseconds on both
+    * engines) — [[graft.kg.GraphAlgos.scc]] min-label partition
+    * refinement vs a DuckDB recursive-CTE transitive-closure oracle. At
+    * sf0.01 this yields one 50-node component plus singletons, so both
+    * the cycle-collapse and the DAG paths are exercised.
+    */
+  def sccGate(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("event_type").orderBy(col("ts"), col("event_id"))
+    val seq = t(s, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("nxt", lead(col("user_id"), 1).over(w))
+      .withColumn("nts", lead(col("ts"), 1).over(w))
+    val edges = seq.filter(col("nxt").isNotNull && col("nxt") =!= col("user_id") &&
+        unix_micros(col("nts").cast("timestamp")) -
+          unix_micros(col("ts").cast("timestamp")) <= 30000000L)
+      .select(col("user_id").as("src"), col("nxt").as("dst")).distinct()
+    // threshold 50 so the gate exercises the DISTRIBUTED refinement rounds
+    // for the bulk and the Tarjan cutover for the tail — both code paths
+    graft.kg.GraphAlgos.scc(edges, localThreshold = 50)
+  }
+
   /** Per-node degree stats over the directed user→event_type graph. */
   def degrees(s: SparkSession, dir: String): DataFrame =
     graft.kg.GraphAlgos.degrees(

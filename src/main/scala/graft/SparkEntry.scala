@@ -146,6 +146,7 @@ object SparkEntry {
     "q_clustering"           -> (Queries.clusteringGate _),
     "q_kcore_check"          -> (Queries.kcoreCheck _),
     "q_degrees"              -> (Queries.degrees _),
+    "q_scc"                  -> (Queries.sccGate _),
     // multimodal plumbing (stub kernel)
     "q_incremental"          -> (Queries.incremental _),
     "q_incremental_edges"    -> (Queries.incrementalEdges _),
@@ -1629,6 +1630,31 @@ object SparkEntry {
         |       COALESCE(i.in_deg, 0) AS in_deg,
         |       COALESCE(o.out_deg, 0) + COALESCE(i.in_deg, 0) AS degree
         |FROM o FULL OUTER JOIN i ON o.node = i.node""".stripMargin,
+
+    // SCC ground truth by brute force: recursive-CTE transitive closure,
+    // then scc_id(u) = min over {u} ∪ {v : u →* v ∧ v →* u} — tractable
+    // because the handoff digraph has ≤ |users| nodes at gate scale
+    "q_scc" ->
+      """WITH RECURSIVE seq AS (
+        |  SELECT user_id, ts, event_id,
+        |         lead(user_id) OVER (PARTITION BY event_type
+        |                             ORDER BY ts, event_id) AS nxt,
+        |         lead(ts) OVER (PARTITION BY event_type
+        |                        ORDER BY ts, event_id) AS nts
+        |  FROM events),
+        |edges AS (SELECT DISTINCT user_id AS src, nxt AS dst FROM seq
+        |          WHERE nxt IS NOT NULL AND nxt <> user_id
+        |            AND epoch_us(nts) - epoch_us(ts) <= 30000000),
+        |nodes AS (SELECT src AS n FROM edges UNION SELECT dst FROM edges),
+        |reach(s, d) AS (
+        |  SELECT src, dst FROM edges
+        |  UNION
+        |  SELECT r.s, e.dst FROM reach r JOIN edges e ON r.d = e.src),
+        |mutual AS (SELECT r1.s AS u, r1.d AS v FROM reach r1
+        |           JOIN reach r2 ON r1.d = r2.s AND r2.d = r1.s)
+        |SELECT n.n AS node, least(n.n, coalesce(min(m.v), n.n)) AS scc_id
+        |FROM nodes n LEFT JOIN mutual m ON m.u = n.n
+        |GROUP BY n.n""".stripMargin,
 
     "q_pagerank" ->
       """WITH ed AS (SELECT DISTINCT 'u:' || user_id AS src, 'e:' || event_type AS dst

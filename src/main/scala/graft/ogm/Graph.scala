@@ -373,6 +373,21 @@ final case class Graph(nodes: DataFrame, edges: DataFrame) {
       .drop("_node_id", "n")
   }
 
+  /** Strongly connected components of this graph's DIRECTED edges
+    * (optionally one rel type), membership joined back to node rows —
+    * [[graft.kg.GraphAlgos.scc]]. `scc_id` is the minimum `_node_id` of
+    * the component; nodes without any (typed) edge carry no row, matching
+    * the operator's node universe.
+    */
+  def scc(mergeKeys: Seq[String], relType: Option[String] = None): DataFrame = {
+    val e = relType.fold(edges)(t => edges.filter(col(RelSetOps.RelType) === t))
+    val comp = graft.kg.GraphAlgos.scc(e,
+      srcCol = RelSetOps.SrcId, dstCol = RelSetOps.DstId)
+    RelSetOps.withNodeId(nodes, mergeKeys)
+      .join(comp, col("_node_id") === comp("node"))
+      .drop("_node_id", "node")
+  }
+
   /** Personalized PageRank seeded at the nodes matching `filters` (random
     * walk with restart to the seed set), ranks joined back to node rows —
     * [[graft.kg.GraphAlgos.pageRankPersonalized]].

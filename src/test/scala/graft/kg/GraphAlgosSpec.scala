@@ -362,4 +362,46 @@ class GraphAlgosSpec extends SparkSpec {
       .map { case (k, l, h) => k -> (l, h) }.toMap
     assert(out === Map("a" -> (3, 9), "b" -> (1, 7), "c" -> (4, 4)))
   }
+
+  // run scc through BOTH code paths — full distributed refinement
+  // (localThreshold = 0) and the driver-side Tarjan cutover (default
+  // threshold swallows these tiny graphs whole) — and demand identical
+  // assignments before returning them
+  private def sccBoth(es: org.apache.spark.sql.DataFrame): Map[Any, Any] = {
+    val dist = GraphAlgos.scc(es, localThreshold = 0L)
+      .collect().map(r => r.get(0) -> r.get(1)).toMap
+    val local = GraphAlgos.scc(es)
+      .collect().map(r => r.get(0) -> r.get(1)).toMap
+    assert(dist === local, "distributed refinement and Tarjan cutover disagree")
+    dist
+  }
+
+  test("scc: cycles, tails, and bridges resolve to min-node component ids") {
+    // 1→2→3→1 (SCC {1,2,3}), 3→4 bridge, 5⇄6 (SCC {5,6}), 4→5,
+    // singleton 4; detached 2-cycle 8⇄9 with tail 7→8
+    val es = Seq(
+      (1, 2), (2, 3), (3, 1), (3, 4), (4, 5), (5, 6), (6, 5), (7, 8), (8, 9), (9, 8)
+    ).toDF("src", "dst")
+    assert(sccBoth(es) === Map(1 -> 1, 2 -> 1, 3 -> 1, 4 -> 4, 5 -> 5, 6 -> 5,
+      7 -> 7, 8 -> 8, 9 -> 8))
+  }
+
+  test("scc: pure DAG is all singletons (the path-graph worst case of FW-BW)") {
+    val es = Seq((1, 2), (2, 3), (3, 4), (4, 5), (1, 4)).toDF("src", "dst")
+    assert(sccBoth(es) === Map(1 -> 1, 2 -> 2, 3 -> 3, 4 -> 4, 5 -> 5))
+  }
+
+  test("scc: one giant cycle, self-loops ignored, empty input") {
+    val ring = (1 to 12).map(i => (i, i % 12 + 1)) :+ ((3, 3))
+    assert(sccBoth(ring.toDF("src", "dst")) === (1 to 12).map(i => i -> 1).toMap)
+    assert(GraphAlgos.scc(Seq.empty[(Int, Int)].toDF("src", "dst")).count() === 0)
+    // only-self-loop input: no non-loop edges → no incident nodes
+    assert(GraphAlgos.scc(Seq((4, 4)).toDF("src", "dst")).count() === 0)
+  }
+
+  test("scc: string node ids and a two-SCC condensation chain") {
+    val es = Seq(("a", "b"), ("b", "a"), ("b", "c"), ("c", "d"), ("d", "c"))
+      .toDF("src", "dst")
+    assert(sccBoth(es) === Map("a" -> "a", "b" -> "a", "c" -> "c", "d" -> "c"))
+  }
 }
