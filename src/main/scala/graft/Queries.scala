@@ -1022,20 +1022,33 @@ object Queries {
     * sf0.01 this yields one 50-node component plus singletons, so both
     * the cycle-collapse and the DAG paths are exercised.
     */
-  def sccGate(s: SparkSession, dir: String): DataFrame = {
+  /** The "rapid handoff" digraph shared by q_scc and q_walks: u→v when
+    * v's event follows u's in the same event stream within 30 seconds
+    * (exact epoch-microsecond comparison on both engines).
+    */
+  private def handoffEdges(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy("event_type").orderBy(col("ts"), col("event_id"))
     val seq = t(s, dir, "events")
       .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
       .withColumn("nxt", lead(col("user_id"), 1).over(w))
       .withColumn("nts", lead(col("ts"), 1).over(w))
-    val edges = seq.filter(col("nxt").isNotNull && col("nxt") =!= col("user_id") &&
+    seq.filter(col("nxt").isNotNull && col("nxt") =!= col("user_id") &&
         unix_micros(col("nts").cast("timestamp")) -
           unix_micros(col("ts").cast("timestamp")) <= 30000000L)
       .select(col("user_id").as("src"), col("nxt").as("dst")).distinct()
+  }
+
+  def sccGate(s: SparkSession, dir: String): DataFrame =
     // threshold 50 so the gate exercises the DISTRIBUTED refinement rounds
     // for the bulk and the Tarjan cutover for the tail — both code paths
-    graft.kg.GraphAlgos.scc(edges, localThreshold = 50)
-  }
+    graft.kg.GraphAlgos.scc(handoffEdges(s, dir), localThreshold = 50)
+
+  /** Deterministic 4-step random walks over the handoff digraph —
+    * [[graft.kg.GraphAlgos.randomWalks]]; every hop replayed bit-for-bit
+    * by the portable-hash SQL oracle.
+    */
+  def walksGate(s: SparkSession, dir: String): DataFrame =
+    graft.kg.GraphAlgos.randomWalks(handoffEdges(s, dir), walkLen = 4, seed = 7)
 
   /** Per-node degree stats over the directed user→event_type graph. */
   def degrees(s: SparkSession, dir: String): DataFrame =

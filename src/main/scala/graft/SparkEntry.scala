@@ -147,6 +147,7 @@ object SparkEntry {
     "q_kcore_check"          -> (Queries.kcoreCheck _),
     "q_degrees"              -> (Queries.degrees _),
     "q_scc"                  -> (Queries.sccGate _),
+    "q_walks"                -> (Queries.walksGate _),
     // multimodal plumbing (stub kernel)
     "q_incremental"          -> (Queries.incremental _),
     "q_incremental_edges"    -> (Queries.incrementalEdges _),
@@ -1655,6 +1656,44 @@ object SparkEntry {
         |SELECT n.n AS node, least(n.n, coalesce(min(m.v), n.n)) AS scc_id
         |FROM nodes n LEFT JOIN mutual m ON m.u = n.n
         |GROUP BY n.n""".stripMargin,
+
+    // every walk hop replayed in SQL: rank = portable double-fold hash of
+    // (start, step) and (node, step) summed, mod the out-degree, over the
+    // id-ranked adjacency — the q_split/q_shuffle determinism contract
+    "q_walks" -> {
+      def b(x: String, s: Long) =
+        s"(((($x + $s) % 1000003) * 2654435761 + $s) % 1000000" +
+          s" + ((($x + $s) % 999983) * 2246822518) % 1000000) % 1000000"
+      val seed = 7L
+      val hops = (1 to 4).map { k =>
+        s"""w$k AS (SELECT w.start, r.dst AS node
+           |  FROM w${k - 1} w
+           |  JOIN deg d ON w.node = d.src
+           |  JOIN ranked r ON r.src = w.node
+           |   AND r.rk = (${b("w.start", seed + k)} + ${b("w.node", seed + 1000 + k)})
+           |              % 1000000 % d.deg)""".stripMargin
+      }.mkString(",\n")
+      val unions = (0 to 4).map(k =>
+        s"SELECT start, CAST($k AS INT) AS step, node FROM w$k").mkString("\nUNION ALL ")
+      s"""WITH seq AS (
+         |  SELECT user_id, ts, event_id,
+         |         lead(user_id) OVER (PARTITION BY event_type
+         |                             ORDER BY ts, event_id) AS nxt,
+         |         lead(ts) OVER (PARTITION BY event_type
+         |                        ORDER BY ts, event_id) AS nts
+         |  FROM events),
+         |edges AS (SELECT DISTINCT user_id AS src, nxt AS dst FROM seq
+         |          WHERE nxt IS NOT NULL AND nxt <> user_id
+         |            AND epoch_us(nts) - epoch_us(ts) <= 30000000),
+         |ranked AS (SELECT src, dst,
+         |             row_number() OVER (PARTITION BY src ORDER BY dst) - 1 AS rk
+         |           FROM edges),
+         |deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY 1),
+         |starts AS (SELECT src AS n FROM edges UNION SELECT dst FROM edges),
+         |w0 AS (SELECT n AS start, n AS node FROM starts),
+         |$hops
+         |$unions""".stripMargin
+    },
 
     "q_pagerank" ->
       """WITH ed AS (SELECT DISTINCT 'u:' || user_id AS src, 'e:' || event_type AS dst

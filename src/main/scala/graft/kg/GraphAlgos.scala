@@ -853,6 +853,73 @@ object GraphAlgos {
     out
   }
 
+  /** Deterministic random walks — the sequence generator for graph
+    * embedding pipelines (DeepWalk / node2vec input: one walk per start
+    * node, corpus of node sequences out). "Random" is a PORTABLE
+    * deterministic function, not an RNG: at step k a walk at node u picks
+    * out-neighbor rank
+    *   (bucket(start, seed+k) + bucket(u, seed+1000+k)) % deg(u)
+    * over the node's out-neighbors ranked by id — [[graft.ops.Sampling
+    * .bucket]] is the repo's double-fold multiplicative hash, exact in
+    * 64-bit integer arithmetic on any engine, so a SQL oracle replays
+    * every step bit-for-bit (the same portable-determinism contract as
+    * the sampling and shuffle operators). Folding BOTH the walk identity
+    * and the current node into the choice decorrelates walks that meet at
+    * the same node mid-walk.
+    *
+    * Scale shape: the ranked adjacency (one row_number window over the
+    * out-edges) and out-degrees are computed once; each step is one hash
+    * equi-join keyed on the current node — walkLen shuffles total, state
+    * is (start, node) pairs. Walks terminate early at sink nodes (the
+    * join drops them). Node ids must be integral (the portable hash is
+    * integer arithmetic).
+    *
+    * Returns (start, step, node) long-form walks, step 0 = the start node
+    * itself, one walk per node incident to any edge.
+    */
+  def randomWalks(edges: DataFrame, walkLen: Int, seed: Long,
+                  srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
+    require(walkLen >= 1 && walkLen <= 16,
+      s"walkLen must be in [1,16] (each step is an unrolled join), got $walkLen")
+    val e = edges.select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"))
+      .filter(col("src") =!= col("dst")).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("src").orderBy("dst")
+    val ranked = e.withColumn("rk", row_number().over(w) - 1)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // renamed projections per use — a walk revisits `ranked` every step,
+    // and Dataset-tagged column references across that self-join are
+    // ambiguous; unique NAMES resolve cleanly
+    val degR = e.groupBy("src").agg(count(lit(1)).as("_deg"))
+      .select(col("src").as("_ds"), col("_deg"))
+    val rankedR = ranked.select(col("src").as("_rs"), col("dst").as("_rd"),
+      col("rk").as("_rk"))
+    val starts = e.select(col("src").as("n")).unionAll(e.select(col("dst").as("n")))
+      .distinct()
+    var cur = starts.select(col("n").as("start"), col("n").as("node"))
+    val steps = scala.collection.mutable.ArrayBuffer[DataFrame](
+      cur.withColumn("step", lit(0)))
+    var k = 1
+    while (k <= walkLen) {
+      val pick = pmod(
+        graft.ops.Sampling.bucket(col("start"), seed + k) +
+          graft.ops.Sampling.bucket(col("node"), seed + 1000 + k),
+        lit(graft.ops.Sampling.Buckets))
+      cur = cur.join(degR, col("node") === col("_ds"))
+        .withColumn("_pick", pick % col("_deg"))
+        .join(rankedR, col("node") === col("_rs") && col("_pick") === col("_rk"))
+        .select(col("start"), col("_rd").as("node"))
+      steps += cur.withColumn("step", lit(k))
+      k += 1
+    }
+    val out = steps.reduceLeft(_ unionAll _).select("start", "step", "node")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    ranked.unpersist(); e.unpersist()
+    out
+  }
+
   /** Iterative Tarjan over an index-based adjacency list (explicit stacks,
     * no recursion — a 100k-node chain must not overflow the driver stack).
     * Returns a component index per node; component indices are arbitrary.

@@ -404,4 +404,35 @@ class GraphAlgosSpec extends SparkSpec {
       .toDF("src", "dst")
     assert(sccBoth(es) === Map("a" -> "a", "b" -> "a", "c" -> "c", "d" -> "c"))
   }
+
+  test("randomWalks: every hop follows an edge, sinks stop, runs reproduce") {
+    // ring 1→2→3→1 with branch 2→4 (4 is a sink), detached 9→10
+    val es = Seq((1, 2), (2, 3), (3, 1), (2, 4), (9, 10)).toDF("src", "dst")
+    val eset = es.collect().map(r => (r.getInt(0).toLong, r.getInt(1).toLong)).toSet
+    val out = GraphAlgos.randomWalks(es, walkLen = 3, seed = 42)
+      .as[(Long, Int, Long)].collect()
+    val byWalk = out.groupBy(_._1).map { case (s, rows) =>
+      s -> rows.sortBy(_._2).map(_._3).toSeq
+    }
+    // step 0 is the start node, one walk per incident node
+    assert(byWalk.keySet === Set(1L, 2L, 3L, 4L, 9L, 10L))
+    byWalk.foreach { case (s, seq) => assert(seq.head === s) }
+    // every consecutive hop is a real edge
+    byWalk.values.foreach(seq =>
+      seq.sliding(2).filter(_.size == 2).foreach(p => assert(eset((p(0), p(1))))))
+    // sinks terminate immediately; a walk only falls short of walkLen+1
+    // entries by dying at the sink (node 4)
+    assert(byWalk(4L) === Seq(4L))
+    assert(byWalk(10L) === Seq(10L))
+    assert(byWalk(3L).length === 4) // 3→1→2→{3|4}: can't die before step 3
+    Seq(1L, 2L, 3L).foreach { s =>
+      val seq = byWalk(s)
+      assert(seq.length === 4 || seq.last === 4L,
+        s"walk from $s stopped early without hitting the sink: $seq")
+    }
+    // bit-reproducible: same seed → same walks; different seed may differ
+    val again = GraphAlgos.randomWalks(es, walkLen = 3, seed = 42)
+      .as[(Long, Int, Long)].collect().toSet
+    assert(again === out.toSet)
+  }
 }
