@@ -1022,6 +1022,30 @@ object Queries {
     * sf0.01 this yields one 50-node component plus singletons, so both
     * the cycle-collapse and the DAG paths are exercised.
     */
+  /** Per-user trailing EWMA (k=6, α=0.5) of event values under the
+    * (ts, event_id) total order — [[graft.ops.EventAnalytics.ewma]].
+    * Powers of 0.5 are exact IEEE doubles and the oracle unrolls the
+    * identical lag expression, so values match bit-for-bit before the
+    * 6-dp display rounding.
+    */
+  def ewmaGate(s: SparkSession, dir: String): DataFrame =
+    graft.ops.EventAnalytics.ewma(t(s, dir, "events"), "value",
+        groupCols = Seq("user_id"), orderCols = Seq("ts", "event_id"),
+        k = 6, alpha = 0.5)
+      .select(col("event_id"), round(col("ewma"), 6).as("ewma"))
+
+  /** 2-D Pareto frontier over documents: maximize distinct-token count,
+    * minimize total token count (the "densest vocabulary per token paid"
+    * curation skyline) — [[graft.ops.CorpusOps.paretoFrontier]]. Integer
+    * dimensions, exact gate.
+    */
+  def paretoGate(s: SparkSession, dir: String): DataFrame = {
+    val toks = split(lower(trim(col("text"))), "\\s+")
+    val base = t(s, dir, "documents").select(col("doc_id"),
+      size(array_distinct(toks)).as("d"), size(toks).as("n"))
+    graft.ops.CorpusOps.paretoFrontier(base, "d", "n").select("doc_id", "d", "n")
+  }
+
   /** The "rapid handoff" digraph shared by q_scc and q_walks: u→v when
     * v's event follows u's in the same event stream within 30 seconds
     * (exact epoch-microsecond comparison on both engines).

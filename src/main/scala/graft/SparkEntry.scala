@@ -148,6 +148,8 @@ object SparkEntry {
     "q_degrees"              -> (Queries.degrees _),
     "q_scc"                  -> (Queries.sccGate _),
     "q_walks"                -> (Queries.walksGate _),
+    "q_ewma"                 -> (Queries.ewmaGate _),
+    "q_pareto"               -> (Queries.paretoGate _),
     // multimodal plumbing (stub kernel)
     "q_incremental"          -> (Queries.incremental _),
     "q_incremental_edges"    -> (Queries.incrementalEdges _),
@@ -1656,6 +1658,43 @@ object SparkEntry {
         |SELECT n.n AS node, least(n.n, coalesce(min(m.v), n.n)) AS scc_id
         |FROM nodes n LEFT JOIN mutual m ON m.u = n.n
         |GROUP BY n.n""".stripMargin,
+
+    // identical unrolled-lag expression, same addition order, 0.5^j exact
+    // IEEE literals cast to DOUBLE (DuckDB decimal literals would switch
+    // the arithmetic to DECIMAL)
+    "q_ewma" -> {
+      val lags = (1 to 5).map(j => s"lag(value, $j) OVER w AS l$j").mkString(", ")
+      val num = (0 to 5).map { j =>
+        val x = if (j == 0) "value" else s"l$j"
+        s"coalesce($x * CAST(${math.pow(0.5, j)} AS DOUBLE), CAST(0 AS DOUBLE))"
+      }.mkString(" + ")
+      val den = (0 to 5).map { j =>
+        val x = if (j == 0) "value" else s"l$j"
+        s"coalesce(CASE WHEN $x IS NOT NULL THEN CAST(${math.pow(0.5, j)} AS DOUBLE) END, CAST(0 AS DOUBLE))"
+      }.mkString(" + ")
+      s"""SELECT event_id,
+         |  CASE WHEN ($den) > 0 THEN round(($num) / ($den), 6) END AS ewma
+         |FROM (SELECT event_id, value, $lags
+         |      FROM events
+         |      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))""".stripMargin
+    },
+
+    // the non-quadratic skyline: per-d min cost, exclusive running min
+    // down the d order, semi-join back — same shape both engines
+    "q_pareto" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |    len(list_distinct(regexp_split_to_array(lower(trim(text)), '\s+'))) AS d,
+        |    len(regexp_split_to_array(lower(trim(text)), '\s+')) AS n
+        |  FROM documents),
+        |pv AS (SELECT d, min(n) AS vmin FROM base GROUP BY 1),
+        |pv2 AS (SELECT d, vmin,
+        |          min(vmin) OVER (ORDER BY d DESC
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS better
+        |        FROM pv),
+        |fr AS (SELECT d, vmin FROM pv2 WHERE better IS NULL OR vmin < better)
+        |SELECT b.doc_id, b.d, b.n
+        |FROM base b JOIN fr ON b.d = fr.d AND b.n = fr.vmin""".stripMargin,
 
     // every walk hop replayed in SQL: rank = portable double-fold hash of
     // (start, step) and (node, step) summed, mod the out-degree, over the

@@ -267,4 +267,33 @@ object CorpusOps {
       .groupBy(idCol)
       .agg(count(lit(1)).as("n_bigrams"), round(avg(col("_nll")), 6).as("nll"))
   }
+
+  /** 2-D Pareto frontier (skyline): rows not dominated on
+    * (maximize `maxCol`, minimize `minCol`). Row r is dominated iff some
+    * s has maxCol ≥ r's AND minCol ≤ r's with at least one strict — the
+    * curation read: "no other document gives at least as much of the good
+    * dimension for no more of the cost dimension". Ties on BOTH
+    * dimensions are mutually non-dominating and all kept.
+    *
+    * Dataflow — NOT the quadratic NOT-EXISTS self-join: collapse to the
+    * per-maxCol-value minimum cost (one hash aggregation), take the
+    * running exclusive minimum down the maxCol order (one window over
+    * DISTINCT maxCol values — orders of magnitude smaller than the
+    * corpus), and keep rows matching their value's min cost where that
+    * min strictly beats every higher value's. Dimensions should be exact
+    * (integer or already-rounded) so cross-engine grouping is stable.
+    */
+  def paretoFrontier(df: DataFrame, maxCol: String, minCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy(col(maxCol).desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val perValue = df.groupBy(col(maxCol))
+      .agg(min(col(minCol)).as("_vmin"))
+      .withColumn("_better", min(col("_vmin")).over(w))
+      .filter(col("_better").isNull || col("_vmin") < col("_better"))
+      .select(col(maxCol), col("_vmin"))
+    df.join(perValue,
+      df(maxCol) === perValue(maxCol) && df(minCol) === perValue("_vmin"),
+      "left_semi")
+  }
 }

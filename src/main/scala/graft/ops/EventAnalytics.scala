@@ -189,4 +189,37 @@ object EventAnalytics {
       .filter(abs(col("z")) >= threshold)
       .drop("_mu", "_sd")
   }
+
+  /** Per-group trailing EWMA (exponentially weighted moving average) over
+    * the last `k` observations under the (orderCols) total order:
+    *   ewma_i = Σ_{j<k} r^j·x_{i−j} / Σ_{j<k} r^j,  r = 1−alpha,
+    * with missing lags (sequence head) truncated from BOTH sums — the
+    * standard finite-window form of exponential smoothing (burst
+    * detection, drift baselines). The k lag terms share one window spec,
+    * so Catalyst evaluates them in a SINGLE Window pass — one shuffle on
+    * the group key, no self-joins; r is chosen by the caller and with
+    * r = 0.5 every weight is an exact IEEE double, so a SQL oracle with
+    * the same unrolled lag expression reproduces the value bit-for-bit
+    * before rounding.
+    */
+  def ewma(df: DataFrame, valueCol: String, groupCols: Seq[String],
+           orderCols: Seq[String], k: Int, alpha: Double,
+           outCol: String = "ewma"): DataFrame = {
+    require(groupCols.nonEmpty, "ewma needs at least one group column")
+    require(k >= 1 && k <= 32, s"k must be in [1,32] (unrolled lags), got $k")
+    require(alpha > 0 && alpha < 1, s"alpha must be in (0,1), got $alpha")
+    val w = Window.partitionBy(groupCols.map(col): _*)
+      .orderBy(orderCols.map(col): _*)
+    val r = 1.0 - alpha
+    val terms = (0 until k).map { j =>
+      val x = if (j == 0) col(valueCol) else lag(col(valueCol), j).over(w)
+      (when(x.isNotNull, x * lit(math.pow(r, j))),
+       when(x.isNotNull, lit(math.pow(r, j))))
+    }
+    val num = terms.map(t => coalesce(t._1, lit(0.0))).reduce(_ + _)
+    val den = terms.map(t => coalesce(t._2, lit(0.0))).reduce(_ + _)
+    // den = 0 only when every windowed value is null — emit null, not the
+    // engine-dependent 0/0 (NaN on Spark, NULL on DuckDB)
+    df.withColumn(outCol, when(den > 0, num / den))
+  }
 }

@@ -139,4 +139,25 @@ class CorpusOpsSpec extends SparkSpec {
     assert(out(1L) === ((3L, r6((pab + pba + pab) / 3))))
     assert(out(2L) === ((1L, r6(pab))))
   }
+
+  test("paretoFrontier matches the brute-force dominance definition") {
+    import spark.implicits._
+    // (id, maximize d, minimize n); includes a both-dims tie pair (4, 5)
+    val rows = Seq(
+      (1L, 10, 100), (2L, 10, 90), (3L, 8, 50), (4L, 8, 50), (5L, 8, 60),
+      (6L, 5, 40), (7L, 5, 45), (8L, 12, 95), (9L, 3, 40), (10L, 2, 10)
+    )
+    val df = rows.toDF("id", "d", "n")
+    val got = CorpusOps.paretoFrontier(df, "d", "n")
+      .select("id").as[Long].collect().toSet
+    val brute = rows.filter { r =>
+      !rows.exists(s => s._2 >= r._2 && s._3 <= r._3 &&
+        (s._2 > r._2 || s._3 < r._3))
+    }.map(_._1).toSet
+    assert(got === brute)
+    // spot-check the shape: 8=(12,95) beats 2=(10,90)? no — 95 > 90, both stay
+    assert(got.contains(8L) && got.contains(2L) && got.contains(10L))
+    assert(!got.contains(1L) && !got.contains(5L)) // dominated
+    assert(got.contains(3L) && got.contains(4L))   // exact ties both kept
+  }
 }

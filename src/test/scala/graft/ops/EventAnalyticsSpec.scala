@@ -106,4 +106,27 @@ class EventAnalyticsSpec extends SparkSpec {
       ("click", "view") -> ((1L, 0.5)),   // click splits 50/50
       ("click", "buy")  -> ((1L, 0.5))))
   }
+
+  test("ewma: truncated trailing weights, hand-computed, head handled") {
+    import spark.implicits._
+    val ev = Seq(
+      ("u1", 1L, 10.0), ("u1", 2L, 20.0), ("u1", 3L, 40.0),
+      ("u2", 4L, 8.0)
+    ).toDF("user_id", "event_id", "value")
+    val out = EventAnalytics.ewma(ev, "value", Seq("user_id"), Seq("event_id"),
+        k = 3, alpha = 0.5)
+      .select("event_id", "ewma").as[(Long, Double)].collect().toMap
+    assert(out(1L) === 10.0)                                  // head: only itself
+    assert(out(2L) === (20.0 + 0.5 * 10.0) / 1.5)             // two terms
+    assert(out(3L) === (40.0 + 0.5 * 20.0 + 0.25 * 10.0) / 1.75)
+    assert(out(4L) === 8.0)
+  }
+
+  test("ewma: single window pass (one Exchange, one Window)") {
+    import spark.implicits._
+    val ev = Seq(("u1", 1L, 10.0)).toDF("user_id", "event_id", "value")
+    val plan = EventAnalytics.ewma(ev, "value", Seq("user_id"), Seq("event_id"),
+      k = 6, alpha = 0.5).queryExecution.executedPlan.toString
+    assert(plan.split("Window").length - 1 === 1, plan)
+  }
 }
