@@ -1334,6 +1334,127 @@ object Queries {
       } finally runner.close()
     })
 
+  /** Streaming sessionization gate: [[graft.streaming.SessionTracker]]
+    * run as a REAL multi-micro-batch stream (file source, one file per
+    * trigger) over events reshaped as turns, each conversation's turns
+    * deliberately SPLIT ACROSS batches (pmod(turn_idx, 3)), plus two
+    * far-future flush batches so the event-time watermark passes every
+    * real session's last_ts + gap and the `closed` timeout rows fire.
+    * Dumped rows are the closed sessions only; oracle = the one-shot
+    * batch recompute in SQL (count / min / max / arg_max per conv) — a
+    * tracker that loses cross-batch state, double-counts a replayed turn,
+    * or mis-folds last_role cannot match it.
+    */
+  def streamSessions(s: SparkSession, dir: String): DataFrame = {
+    import graft.schema.TranscriptTurn
+    import org.apache.spark.sql.streaming.Trigger
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val turns = t(s, dir, "events").select(
+      concat(lit("c:"), col("user_id")).as("conv_id"),
+      (row_number().over(w) - 1).as("turn_idx"),
+      col("event_type").as("role"),
+      lit("").as("text"), lit(null).cast("string").as("tool"),
+      col("ts").cast("timestamp").as("ts"))
+    val maxTs = turns.agg(max("ts")).head().getTimestamp(0)
+    val inDir = java.nio.file.Files.createTempDirectory("graft-sess-in").toString
+    val ckDir = java.nio.file.Files.createTempDirectory("graft-sess-ck").toString
+    (0 until 3).foreach { b =>
+      turns.filter(pmod(col("turn_idx"), lit(3)) === b)
+        .coalesce(1).write.mode("append").parquet(inDir)
+    }
+    // flush batches: each trigger's watermark reflects the PREVIOUS
+    // batch's max event time, so two advancing batches are needed for the
+    // +365d mark to actually fire the real sessions' timeouts
+    import s.implicits._
+    Seq(1, 2).foreach { i =>
+      Seq((s"flush:$i", 0, "x", "", null: String,
+          new java.sql.Timestamp(maxTs.getTime + (464L + i) * 86400000L)))
+        .toDF("conv_id", "turn_idx", "role", "text", "tool", "ts")
+        .coalesce(1).write.mode("append").parquet(inDir)
+    }
+    val schema = org.apache.spark.sql.Encoders.product[TranscriptTurn].schema
+    val stream = s.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+      .parquet(inDir)
+    // Three knobs, jointly chosen so each conversation forms exactly ONE
+    // session whose stats must ACCUMULATE across the three interleaved
+    // micro-batches (the cross-batch-state property under test;
+    // gap-splitting semantics are value-gated by the batch q_sessionize):
+    //  - gap 60 days > any intra-conversation gap → no mid-corpus split;
+    //  - watermark delay 400 days > the corpus span → the pmod-interleaved
+    //    batches are never "late" (a short delay silently DROPS most rows
+    //    of batches 1-2 before the stateful operator — observed as 2/3-
+    //    truncated sessions);
+    //  - flush batches at +465/466 days → final watermark ≈ max_ts + 65d
+    //    clears every last_ts + 60d, firing all closed rows, while the
+    //    flush sessions' own timeouts stay in the future (filtered out).
+    val sessions = graft.streaming.SessionTracker.sessionize(
+      stream.withWatermark("ts", "400 days").as[TranscriptTurn],
+      gapMs = 60L * 86400000L)
+    val sink = s"graft_sess_out_${System.nanoTime()}"
+    sessions.writeStream
+      .option("checkpointLocation", ckDir)
+      .trigger(Trigger.AvailableNow())
+      .format("memory").queryName(sink)
+      .start().awaitTermination(300000)
+    val closed = s.table(sink)
+      .filter(col("closed") && col("conv_id").startsWith("c:"))
+      // encoder round-trip yields session-tz timestamps; cast back to NTZ
+      // so the dump carries the int64-µs type the oracle compares against
+      // (UTC session ⇒ wall clock preserved) — the q_sessionize precedent
+      .select(col("conv_id"), col("n_turns"),
+        col("first_ts").cast("timestamp_ntz").as("first_ts"),
+        col("last_ts").cast("timestamp_ntz").as("last_ts"),
+        col("last_role"))
+      .localCheckpoint()
+    val nConvs = turns.filter(col("conv_id").startsWith("c:"))
+      .select("conv_id").distinct().count()
+    require(closed.count() == nConvs,
+      s"stream sessions: expected $nConvs closed sessions, got ${closed.count()}")
+    closed
+  }
+
+  /** Streaming exact-dedup gate: [[graft.streaming.StreamingDedup]] over
+    * a 3-micro-batch documents stream with a watermark wide enough that
+    * no state evicts mid-run — the streaming output must then carry
+    * EXACTLY one row per distinct text (the batch-dedup contract). The
+    * dump is (sha256(text), n_kept) so a duplicate emission or a dropped
+    * document shows as a value mismatch, not just a row-count drift;
+    * within-batch duplicate winners are arbitrary, which is why the gate
+    * compares content hashes, never doc_ids.
+    */
+  def streamDedup(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val docs = t(s, dir, "documents").select(
+      col("doc_id"), col("text"),
+      timestamp_seconds(lit(1704067200L) + col("doc_id")).as("ts"))
+    val inDir = java.nio.file.Files.createTempDirectory("graft-sdd-in").toString
+    val ckDir = java.nio.file.Files.createTempDirectory("graft-sdd-ck").toString
+    (0 until 3).foreach { b =>
+      docs.filter(pmod(col("doc_id"), lit(3)) === b)
+        .coalesce(1).write.mode("append").parquet(inDir)
+    }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("ts",
+        org.apache.spark.sql.types.TimestampType)))
+    val stream = s.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+      .parquet(inDir)
+    val dd = graft.streaming.StreamingDedup.dedupStream(stream,
+      watermark = "3650 days")
+    val sink = s"graft_sdd_out_${System.nanoTime()}"
+    dd.writeStream
+      .option("checkpointLocation", ckDir)
+      .trigger(Trigger.AvailableNow())
+      .format("memory").queryName(sink)
+      .start().awaitTermination(300000)
+    s.table(sink)
+      .groupBy(sha2(col("text"), 256).as("h"))
+      .agg(count(lit(1)).as("n_kept"))
+  }
+
   /** Streaming incremental-merge gate (node face): the final node table of
     * the 3-micro-batch + replayed-batch run above; oracle = the one-shot
     * batch recompute in SQL — a multi-batch merge that double-counts,

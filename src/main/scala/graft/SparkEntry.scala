@@ -152,6 +152,8 @@ object SparkEntry {
     "q_pareto"               -> (Queries.paretoGate _),
     // multimodal plumbing (stub kernel)
     "q_incremental"          -> (Queries.incremental _),
+    "q_stream_sessions"      -> (Queries.streamSessions _),
+    "q_stream_dedup"         -> (Queries.streamDedup _),
     "q_incremental_edges"    -> (Queries.incrementalEdges _),
 
     "q_multimodal"           -> (Queries.multimodal _),
@@ -649,6 +651,25 @@ object SparkEntry {
         |       'bucket:' || CAST(FLOOR(value / 100) AS BIGINT) AS end_name,
         |       event_type AS pred, count(*) AS support
         |FROM events GROUP BY 1, 2, 3""".stripMargin,
+
+    // closed sessions of the multi-micro-batch tracker = the one-shot
+    // batch recompute per conversation
+    "q_stream_sessions" ->
+      """WITH turns AS (
+        |  SELECT 'c:' || user_id AS conv_id,
+        |         row_number() OVER (PARTITION BY user_id
+        |                            ORDER BY ts, event_id) - 1 AS turn_idx,
+        |         event_type AS role, ts
+        |  FROM events)
+        |SELECT conv_id, count(*) AS n_turns,
+        |       min(ts) AS first_ts, max(ts) AS last_ts,
+        |       max_by(role, turn_idx) AS last_role
+        |FROM turns GROUP BY conv_id""".stripMargin,
+
+    // the streaming dedup must keep EXACTLY one row per distinct text
+    "q_stream_dedup" ->
+      """SELECT sha256(text) AS h, CAST(1 AS BIGINT) AS n_kept
+        |FROM (SELECT DISTINCT text FROM documents)""".stripMargin,
 
     // PNG pixel-decode gate: Spark ENCODES 120 real PNGs (zlib IDAT, CRCs,
     // per-row filter = row % 5) from the closed-form pixel formula, DECODES

@@ -70,8 +70,14 @@ object SessionTracker {
       state.update(s)
       // event-time timeout: fires once the watermark passes last turn + gap.
       // gapMs=0 disables it — REQUIRED in batch mode, where every group is
-      // seen exactly once and no watermark exists to time out against
-      if (gapMs > 0) state.setTimeoutTimestamp(s.lastTs.get.getTime + gapMs)
+      // seen exactly once and no watermark exists to time out against.
+      // Clamped to just past the CURRENT watermark: out-of-order arrivals
+      // (a turn older than the watermark, legal within the watermark
+      // delay or via multi-batch replays) would otherwise compute a
+      // timeout in the past, which Spark rejects — such a session is
+      // already expired and closes at the next watermark advance
+      if (gapMs > 0) state.setTimeoutTimestamp(
+        math.max(s.lastTs.get.getTime + gapMs, state.getCurrentWatermarkMs() + 1))
       Iterator(toRow(key, s, closed = false))
     }
   }
