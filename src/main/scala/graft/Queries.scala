@@ -1022,6 +1022,38 @@ object Queries {
     * sf0.01 this yields one 50-node component plus singletons, so both
     * the cycle-collapse and the DAG paths are exercised.
     */
+  /** MMR diversity selection (k=5, λ=0.7) over the embeddings corpus,
+    * query = vector 0, candidates = everything else —
+    * [[graft.ops.Similarity.mmrSelect]]. The oracle replays all five
+    * greedy rounds with unrolled SQL.
+    */
+  def mmrGate(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val q = emb.filter(col("vec_id") === 0)
+      .select(col("embedding").cast("array<double>")).head().getSeq[Double](0)
+    graft.ops.Similarity.mmrSelect(emb.filter(col("vec_id") =!= 0), q,
+        k = 5, lambda = 0.7)
+      .withColumnRenamed("id", "vec_id")
+  }
+
+  /** The fixed merge vocabulary for the q_bpe encoder gate (the trainer
+    * is spec-tested; the encoder's replace-chain contract is what the
+    * cross-engine oracle can replay verbatim).
+    */
+  val BpeMerges: Seq[(String, String)] = Seq(
+    ("t", "h"), ("th", "e"), ("i", "n"), ("a", "n"), ("an", "d"), ("e", "r"),
+    ("o", "n"), ("r", "e"), ("o", "r"), ("s", "t"), ("a", "t"), ("e", "n"))
+
+  /** BPE-merge segmentation over documents with a fixed 12-merge
+    * vocabulary — [[graft.ops.TextOps.bpeSegment]]. The dump carries the
+    * token count and the sha256 of the full segmentation, so a single
+    * mis-merged character anywhere in the corpus breaks the gate.
+    */
+  def bpeGate(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(col("doc_id"),
+      TextOps.bpeTokenCount(col("text"), BpeMerges).as("n_tokens"),
+      sha2(TextOps.bpeSegment(col("text"), BpeMerges), 256).as("seg_sha"))
+
   /** Per-user trailing EWMA (k=6, α=0.5) of event values under the
     * (ts, event_id) total order — [[graft.ops.EventAnalytics.ewma]].
     * Powers of 0.5 are exact IEEE doubles and the oracle unrolls the

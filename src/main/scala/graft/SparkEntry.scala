@@ -149,6 +149,8 @@ object SparkEntry {
     "q_scc"                  -> (Queries.sccGate _),
     "q_walks"                -> (Queries.walksGate _),
     "q_ewma"                 -> (Queries.ewmaGate _),
+    "q_bpe"                  -> (Queries.bpeGate _),
+    "q_mmr"                  -> (Queries.mmrGate _),
     "q_pareto"               -> (Queries.paretoGate _),
     // multimodal plumbing (stub kernel)
     "q_incremental"          -> (Queries.incremental _),
@@ -1679,6 +1681,72 @@ object SparkEntry {
         |SELECT n.n AS node, least(n.n, coalesce(min(m.v), n.n)) AS scc_id
         |FROM nodes n LEFT JOIN mutual m ON m.u = n.n
         |GROUP BY n.n""".stripMargin,
+
+    // the full greedy MMR trajectory unrolled: round i picks argmax of
+    // 0.7·rel − 0.3·max(6dp sims to s1..s_{i−1}), ties by id — rel and
+    // sims are 6dp-rounded cosines so the score is an exact IEEE function
+    // of engine-identical inputs
+    "q_mmr" -> {
+      def simCte(j: Int) =
+        s"""m$j AS (
+           |  SELECT id, round(sum(cx*sx) / (sqrt(sum(cx*cx)) * sqrt(sum(sx*sx))), 6)
+           |           AS ms$j
+           |  FROM (SELECT c.id, CAST(unnest(c.e) AS DOUBLE) AS cx,
+           |               CAST(unnest(s.e) AS DOUBLE) AS sx
+           |        FROM cand c, s$j s) x
+           |  GROUP BY id)""".stripMargin
+      def pickCte(i: Int) = {
+        val joins = (1 until i).map(j => s"JOIN m$j USING (id)").mkString(" ")
+        val ms = if (i == 1) "0"
+                 else if (i == 2) "m1.ms1"
+                 else s"greatest(${(1 until i).map(j => s"m$j.ms$j").mkString(", ")})"
+        val excl = if (i == 1) ""
+                   else "WHERE c.id NOT IN (" +
+                     (1 until i).map(j => s"SELECT id FROM s$j").mkString(" UNION ALL ") + ")"
+        s"""s$i AS (
+           |  SELECT c.id, c.e, 0.7*r.rel - 0.3*($ms) AS mraw
+           |  FROM cand c JOIN rel r USING (id) $joins
+           |  $excl
+           |  ORDER BY mraw DESC, c.id LIMIT 1)""".stripMargin
+      }
+      val ctes = (1 to 5).map(i =>
+        pickCte(i) + (if (i < 5) ",\n" + simCte(i) else "")).mkString(",\n")
+      val out = (1 to 5).map(i =>
+        s"SELECT CAST($i AS INT) AS rank, id AS vec_id, round(mraw, 6) AS mmr FROM s$i")
+        .mkString("\nUNION ALL ")
+      s"""WITH q AS (SELECT embedding AS e FROM embeddings WHERE vec_id = 0),
+         |cand AS (SELECT vec_id AS id, embedding AS e FROM embeddings
+         |         WHERE vec_id <> 0),
+         |rel AS (
+         |  SELECT id, round(sum(cx*qx) / (sqrt(sum(cx*cx)) * sqrt(sum(qx*qx))), 6)
+         |           AS rel
+         |  FROM (SELECT c.id, CAST(unnest(c.e) AS DOUBLE) AS cx,
+         |               CAST(unnest(q.e) AS DOUBLE) AS qx
+         |        FROM cand c, q) x
+         |  GROUP BY id),
+         |$ctes
+         |$out""".stripMargin
+    },
+
+    // the BPE replace chain replayed verbatim: both engines' replace() is
+    // leftmost-non-overlapping, so the segmentation matches byte-for-byte
+    "q_bpe" -> {
+      val chain = Queries.BpeMerges.foldLeft(
+        "' ' || trim(regexp_replace(w, '(.)', '\\1 ', 'g')) || ' '") {
+        case (s, (a, b)) => s"replace($s, ' $a $b ', ' $a$b ')"
+      }
+      s"""WITH seg AS (
+         |  SELECT doc_id,
+         |    array_to_string(list_transform(
+         |      regexp_split_to_array(lower(trim(text)), '\\s+'),
+         |      w -> trim($chain)), ' | ') AS s
+         |  FROM documents)
+         |SELECT doc_id,
+         |  CAST(len(list_filter(string_split(s, ' '), t -> t <> '|')) AS INT)
+         |    AS n_tokens,
+         |  sha256(s) AS seg_sha
+         |FROM seg""".stripMargin
+    },
 
     // identical unrolled-lag expression, same addition order, 0.5^j exact
     // IEEE literals cast to DOUBLE (DuckDB decimal literals would switch

@@ -392,4 +392,65 @@ object Similarity {
         posexplode(col(vecCol)).as(Seq("dim", "_v")))
       .groupBy("label", "dim")
       .agg(avg(col("_v").cast("double")).as("mean"), count(lit(1)).as("n"))
+
+  /** Maximal Marginal Relevance selection: greedily pick `k` vectors
+    * maximizing  λ·rel(x) − (1−λ)·max_{s∈selected} sim(x, s)  — the
+    * diversity-aware subset selector (eval-set curation, dedup-aware
+    * retrieval: relevance to the query minus redundancy against what is
+    * already chosen). Greedy MMR is inherently sequential in k, so the
+    * loop collects ONE winning row per round (the bounded-k MLlib
+    * pattern); the marginal scores themselves are computed distributed,
+    * each round one codegen'd projection over the remaining candidates —
+    * the selected vectors ride in as literals, never a join.
+    *
+    * Portability contract: rel and every pairwise sim are cosines ROUNDED
+    * to 6 dp before entering the score, so the score is an exact IEEE
+    * function of engine-identical inputs and a SQL oracle replays the
+    * whole greedy trajectory (ties broken by id). max over the empty
+    * selected set is 0, so round 1 ranks by λ·rel ≡ rel.
+    *
+    * Returns (rank, id, mmr) with mmr rounded to 6 dp for display.
+    */
+  def mmrSelect(corpus: DataFrame, query: Seq[Double], k: Int, lambda: Double,
+                idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(k >= 1 && k <= 64, s"k must be in [1,64], got $k")
+    require(lambda >= 0 && lambda <= 1, s"lambda must be in [0,1], got $lambda")
+    val spark = corpus.sparkSession
+    val qlit = array(query.map(lit): _*)
+    val base = corpus.select(col(idCol).as("id"),
+        col(vecCol).cast("array<double>").as("e"))
+      .withColumn("rel", round(cosine(col("e"), qlit), 6))
+      .localCheckpoint()
+    val picked = scala.collection.mutable.ArrayBuffer.empty[(Any, Seq[Double], Double)]
+    var remaining = base
+    var i = 0
+    while (i < k && !remaining.isEmpty) {
+      val ms = picked.toSeq.map { case (_, e, _) =>
+        round(cosine(col("e"), array(e.map(lit): _*)), 6)
+      } match {
+        case Seq()  => lit(0.0)
+        case Seq(s) => s
+        case sims   => greatest(sims: _*)
+      }
+      val top = remaining
+        .withColumn("_mmr", lit(lambda) * col("rel") - lit(1.0 - lambda) * ms)
+        .orderBy(col("_mmr").desc, col("id"))
+        .limit(1).collect()(0)
+      picked += ((top.get(0), top.getSeq[Double](1), top.getDouble(top.length - 1)))
+      remaining = remaining.filter(col("id") =!= lit(top.get(0)))
+      i += 1
+    }
+    val idType = base.schema("id").dataType
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("rank",
+        org.apache.spark.sql.types.IntegerType),
+      org.apache.spark.sql.types.StructField("id", idType),
+      org.apache.spark.sql.types.StructField("mmr",
+        org.apache.spark.sql.types.DoubleType)))
+    val rows = new java.util.ArrayList[org.apache.spark.sql.Row](picked.size)
+    picked.zipWithIndex.foreach { case ((id, _, mmr), j) =>
+      rows.add(org.apache.spark.sql.Row(j + 1, id, round6(mmr)))
+    }
+    spark.createDataFrame(rows, schema)
+  }
 }

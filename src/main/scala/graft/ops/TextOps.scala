@@ -275,4 +275,100 @@ object TextOps {
     turns.withColumn("context", concat_ws("\n",
       collect_list(concat(col(roleCol), lit(": "), col(textCol))).over(w)))
   }
+
+  /** BPE-merge SEGMENTATION (the encoder half of byte-pair encoding):
+    * lower-cased whitespace words are exploded to space-joined character
+    * sequences and the merge list is applied IN ORDER, each merge being
+    * one leftmost-non-overlapping `replace(" a b ", " ab ")` pass over
+    * the sentinel-padded sequence. That single-pass replace is the
+    * PORTABLE CONTRACT: Spark's `replace` and DuckDB's `replace` share
+    * leftmost-non-overlapping semantics byte-for-byte, so a SQL oracle
+    * reproduces every segmentation exactly. (Canonical BPE re-scans after
+    * each merged occurrence, which only differs on self-overlapping
+    * repeats like "a a a" — a deviation this engine accepts for
+    * cross-engine determinism, same spirit as the rounded-Lloyd k-means
+    * contract.)
+    *
+    * Returns one string per document: words joined by `" | "`, tokens
+    * within a word by single spaces — both the token stream and the
+    * word boundaries are visible to a value-exact gate. Pure codegen'd
+    * projection (regexp char-split + a fixed replace chain inside one
+    * `transform`), zero shuffles.
+    */
+  def bpeSegment(text: Column, merges: Seq[(String, String)]): Column = {
+    require(merges.nonEmpty, "bpeSegment needs at least one merge")
+    merges.foreach { case (a, b) =>
+      require(a.nonEmpty && b.nonEmpty && !a.contains(" ") && !b.contains(" "),
+        s"merge tokens must be non-empty and space-free, got ($a, $b)")
+    }
+    val words = split(lower(trim(text)), "\\s+")
+    val segWord = (w: Column) => {
+      val chars = concat(lit(" "), trim(regexp_replace(w, "(.)", "$1 ")), lit(" "))
+      val merged = merges.foldLeft(chars) { case (s, (a, b)) =>
+        call_function("replace", s, lit(s" $a $b "), lit(s" $a$b "))
+      }
+      trim(merged)
+    }
+    concat_ws(" | ", transform(words, segWord))
+  }
+
+  /** Total BPE token count per document under the same merge list (the
+    * " | " word separator splits to a standalone "|" element — filtered).
+    */
+  def bpeTokenCount(text: Column, merges: Seq[(String, String)]): Column =
+    size(filter(split(bpeSegment(text, merges), " "), t => t =!= "|"))
+
+  /** BPE-merge TRAINER: learns `numMerges` merges from the corpus by the
+    * classic greedy loop — count adjacent token pairs over the current
+    * segmentation of every word occurrence, take the most frequent pair
+    * (ties → lexicographically smallest, a total order so the result is a
+    * pure function of the corpus), merge it everywhere, repeat.
+    *
+    * Each round is ONE distributed pair-count aggregation (explode of
+    * adjacent pairs, map-side partial counts over the distinct-word
+    * frequency table — the corpus text is segmented once, not per round)
+    * plus a 1-row collect of the winning pair: the bounded driver loop of
+    * the MLlib/k-means pattern (numMerges is a training hyperparameter,
+    * never data-sized). Merge application between rounds is the same
+    * portable replace pass the encoder uses, so train → apply →
+    * re-count is self-consistent.
+    */
+  def bpeTrain(docs: DataFrame, numMerges: Int,
+               textCol: String = "text"): Seq[(String, String)] = {
+    require(numMerges >= 1 && numMerges <= 4096,
+      s"numMerges must be in [1,4096], got $numMerges")
+    import org.apache.spark.storage.StorageLevel
+    // distinct words with occurrence counts: pair counting then weighs by
+    // freq instead of re-walking every occurrence
+    var seg = docs.select(explode(split(lower(trim(col(textCol))), "\\s+")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+      .select(concat(lit(" "), trim(regexp_replace(col("w"), "(.)", "$1 ")),
+        lit(" ")).as("s"), col("freq"))
+      .localCheckpoint()
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var round = 0
+    var exhausted = false
+    while (round < numMerges && !exhausted) {
+      val pairs = seg.select(col("freq"), explode(expr(
+          """zip_with(slice(split(trim(s), ' '), 1, size(split(trim(s), ' ')) - 1),
+            |         slice(split(trim(s), ' '), 2, size(split(trim(s), ' ')) - 1),
+            |         (a, b) -> named_struct('a', a, 'b', b))""".stripMargin)).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum(col("freq")).as("n"))
+      val top = pairs.orderBy(col("n").desc, col("a"), col("b")).limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val (a, b) = (top(0).getString(0), top(0).getString(1))
+        out += ((a, b))
+        val next = seg.select(
+            call_function("replace", col("s"), lit(s" $a $b "), lit(s" $a$b ")).as("s"),
+            col("freq"))
+          .localCheckpoint()
+        seg = next
+        round += 1
+      }
+    }
+    out.toSeq
+  }
 }

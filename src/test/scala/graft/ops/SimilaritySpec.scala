@@ -274,4 +274,24 @@ class SimilaritySpec extends SparkSpec {
     assert(!plan.contains("Exchange"), plan)
     assert(!plan.contains("Join"), plan)
   }
+
+  test("mmrSelect trades relevance against redundancy as lambda moves") {
+    import spark.implicits._
+    // q = (1,0); A dup-of-query, B relevant-but-redundant, C orthogonal
+    val vs = Seq((1L, Seq(1.0f, 0.0f)), (2L, Seq(0.8f, 0.6f)), (3L, Seq(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val q = Seq(1.0, 0.0)
+    def order(lambda: Double) =
+      Similarity.mmrSelect(vs, q, k = 3, lambda = lambda)
+        .orderBy("rank").select("id").as[Long].collect().toSeq
+    // λ=0.7: relevance wins → A, then B (0.7·0.8−0.3·0.8 = 0.32 > 0), then C
+    assert(order(0.7) === Seq(1L, 2L, 3L))
+    // λ=0.3: redundancy dominates → A, then C (0 > 0.3·0.8−0.7·0.8), then B
+    assert(order(0.3) === Seq(1L, 3L, 2L))
+    // k caps at the corpus; ranks are 1-based and mmr is 6dp-rounded
+    val full = Similarity.mmrSelect(vs, q, k = 10, lambda = 0.5)
+      .as[(Int, Long, Double)].collect().sortBy(_._1)
+    assert(full.map(_._1).toSeq === Seq(1, 2, 3))
+    assert(full.head._3 === 0.5) // 0.5·rel(A)=0.5·1.0
+  }
 }

@@ -180,4 +180,34 @@ class TextOpsSpec extends SparkSpec {
     assert(out(("c1", 3)) === "bot: hello\nuser: how") // frame slides past turn 0
     assert(out(("c2", 0)) === "")
   }
+
+  test("bpeTrain learns the classic greedy merges (hand-computed)") {
+    import spark.implicits._
+    val docs = Seq("low lower lowest low", "low").toDF("text")
+    // word freqs: low:3, lower:1, lowest:1
+    // r1: (l,o)=5 ties (o,w)=5 → lexicographic a → (l,o)
+    // r2: (lo,w)=5 → (lo,w); r3: (low,e)=2 → (low,e)
+    // r4: (lowe,r)=1 (lowe,s)=1 (s,t)=1 → (lowe,r)
+    val merges = TextOps.bpeTrain(docs, numMerges = 4)
+    assert(merges === Seq(("l", "o"), ("lo", "w"), ("low", "e"), ("lowe", "r")))
+  }
+
+  test("bpeSegment applies merges in order; leftmost-non-overlap contract") {
+    import spark.implicits._
+    val merges = Seq(("l", "o"), ("lo", "w"), ("low", "e"), ("lowe", "r"))
+    val seg = Seq("low lower lowest").toDF("text")
+      .select(TextOps.bpeSegment(col("text"), merges).as("s"),
+        TextOps.bpeTokenCount(col("text"), merges).as("n"))
+      .as[(String, Int)].head()
+    assert(seg === (("low | lower | lowe s t", 5)))
+    // single-pass replace does NOT re-scan after a merge: "aaaa" → aa a a
+    // (canonical BPE would give aa aa) — the documented portable contract
+    val rep = Seq("aaaa").toDF("text")
+      .select(TextOps.bpeSegment(col("text"), Seq(("a", "a"))).as("s"))
+      .as[String].head()
+    assert(rep === "aa a a")
+    // trainer exhausts cleanly when fewer merges exist than asked
+    val tiny = TextOps.bpeTrain(Seq("ab").toDF("text"), numMerges = 10)
+    assert(tiny === Seq(("a", "b")))
+  }
 }
