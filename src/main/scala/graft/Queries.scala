@@ -1022,6 +1022,18 @@ object Queries {
     * sf0.01 this yields one 50-node component plus singletons, so both
     * the cycle-collapse and the DAG paths are exercised.
     */
+  /** n-gram containment near-superset pairs within the 'en' block —
+    * [[graft.ops.Dedup.ngramContainmentPairs]] over hashed 3-gram
+    * shingles; oracle recomputes the same shingle sets as strings.
+    * Integer set sizes → the score and the threshold are exact on both
+    * engines.
+    */
+  def ngramContainment(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Dedup.ngramContainmentPairs(
+        t(s, dir, "documents").filter(col("lang") === "en"), "lang",
+        threshold = 0.1)
+      .select(col("a"), col("b"), round(col("containment"), 6).as("containment"))
+
   /** MMR diversity selection (k=5, λ=0.7) over the embeddings corpus,
     * query = vector 0, candidates = everything else —
     * [[graft.ops.Similarity.mmrSelect]]. The oracle replays all five

@@ -151,6 +151,7 @@ object SparkEntry {
     "q_ewma"                 -> (Queries.ewmaGate _),
     "q_bpe"                  -> (Queries.bpeGate _),
     "q_mmr"                  -> (Queries.mmrGate _),
+    "q_ngram_containment"    -> (Queries.ngramContainment _),
     "q_pareto"               -> (Queries.paretoGate _),
     // multimodal plumbing (stub kernel)
     "q_incremental"          -> (Queries.incremental _),
@@ -348,6 +349,26 @@ object SparkEntry {
         |FROM t a JOIN t b ON a.lang = b.lang AND a.doc_id < b.doc_id
         |WHERE len(list_intersect(a.sh, b.sh)) * 1.0 /
         |      (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5""".stripMargin,
+
+    // 3-gram shingle sets rebuilt as strings (hashes preserve set sizes);
+    // containment = |A∩B| / min — integer arithmetic, exact threshold
+    "q_ngram_containment" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(regexp_split_to_array(lower(trim(text)), '\s+')) < 3
+        |      THEN [array_to_string(regexp_split_to_array(lower(trim(text)), '\s+'), ' ')]
+        |      ELSE list_distinct(list_transform(
+        |        generate_series(1, len(regexp_split_to_array(lower(trim(text)), '\s+')) - 2),
+        |        i -> array_to_string(
+        |               (regexp_split_to_array(lower(trim(text)), '\s+'))[i:i+2], ' ')))
+        |    END AS sh
+        |  FROM documents WHERE lang = 'en')
+        |SELECT a.doc_id AS a, b.doc_id AS b,
+        |       round(len(list_intersect(a.sh, b.sh)) * 1.0 /
+        |             least(len(a.sh), len(b.sh)), 6) AS containment
+        |FROM t a JOIN t b ON a.doc_id < b.doc_id
+        |WHERE len(list_intersect(a.sh, b.sh)) * 1.0 /
+        |      least(len(a.sh), len(b.sh)) >= 0.1""".stripMargin,
 
     "q_token_counts" ->
       """SELECT doc_id,

@@ -264,4 +264,35 @@ object Dedup {
         countDistinct(col(textCol)).as("n_unique"))
       .withColumn("dup_rate",
         round(lit(1.0) - col("n_unique") / col("n_docs"), 6))
+
+  /** n-gram CONTAINMENT pairs: |A∩B| / min(|A|,|B|) ≥ threshold — the
+    * near-SUPERSET detector Jaccard structurally misses (a paragraph
+    * quoted whole inside a 10× longer page has tiny Jaccard but
+    * containment ≈ 1; boilerplate wrappers around copied cores are the
+    * classic web-crawl case). Same per-block equi-join shape and
+    * `maxBlockSize` gate as [[ngramJaccardPairs]]; the size-ratio
+    * prefilter is NOT applicable (containment is deliberately
+    * size-asymmetric), so the block gate is the only quadratic bound —
+    * at corpus scale feed LSH band pairs in as blocks. The score is an
+    * exact ratio of integer set sizes: value-exact cross-engine.
+    */
+  def ngramContainmentPairs(docs: DataFrame, blockCol: String, threshold: Double,
+                            idCol: String = "doc_id", textCol: String = "text",
+                            maxBlockSize: Int = 10000): DataFrame = {
+    require(maxBlockSize > 1, s"maxBlockSize must be > 1, got $maxBlockSize")
+    require(threshold > 0 && threshold <= 1, s"threshold must be in (0,1], got $threshold")
+    val base = docs.select(col(blockCol).as("blk"), col(idCol).as("id"),
+      wordShingleHashes(col(textCol)).as("sh"))
+    val gated = base
+      .withColumn("_bsz", count(lit(1)).over(Window.partitionBy("blk")))
+      .filter(col("_bsz") <= maxBlockSize)
+      .drop("_bsz")
+    val l = gated.alias("l"); val r = gated.alias("r")
+    l.join(r, col("l.blk") === col("r.blk") && col("l.id") < col("r.id"))
+      .withColumn("containment",
+        size(array_intersect(col("l.sh"), col("r.sh"))).cast("double") /
+          least(size(col("l.sh")), size(col("r.sh"))))
+      .filter(col("containment") >= threshold)
+      .select(col("l.id").as("a"), col("r.id").as("b"), col("containment"))
+  }
 }

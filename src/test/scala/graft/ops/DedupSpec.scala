@@ -124,4 +124,21 @@ class DedupSpec extends SparkSpec {
     assert(out("a") === (("a", 4L, 2L, 0.5)))
     assert(out("b") === (("b", 1L, 1L, 0.0)))
   }
+
+  test("ngramContainmentPairs catches the near-superset Jaccard misses") {
+    import spark.implicits._
+    val core = "alpha beta gamma delta epsilon zeta"
+    val wrapper = ("pad" * 1 + " w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12 " +
+      core + " x1 x2 x3 x4 x5 x6 x7 x8 x9 x10 x11 x12").trim
+    val docs = Seq((1L, core), (2L, wrapper), (3L, "totally different words here now"))
+      .toDF("doc_id", "text").withColumn("blk", lit("g"))
+    val cont = Dedup.ngramContainmentPairs(docs, "blk", threshold = 0.9)
+      .as[(Long, Long, Double)].collect()
+    // every 3-gram of the core appears in the wrapper → containment 1.0
+    assert(cont.toSeq === Seq((1L, 2L, 1.0)))
+    // while Jaccard on the same pair is far below 0.9 (wrapper is 7× longer)
+    val jac = Dedup.ngramJaccardPairs(docs, "blk", threshold = 0.9)
+      .as[(Long, Long, Double)].collect()
+    assert(jac.isEmpty)
+  }
 }
