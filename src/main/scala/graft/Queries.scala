@@ -1106,10 +1106,22 @@ object Queries {
       .select(col("user_id").as("src"), col("nxt").as("dst")).distinct()
   }
 
+  // q_scc and q_condensation share one SCC run on the same edge set
+  private val sccCache = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+
   def sccGate(s: SparkSession, dir: String): DataFrame =
     // threshold 50 so the gate exercises the DISTRIBUTED refinement rounds
     // for the bulk and the Tarjan cutover for the tail — both code paths
-    graft.kg.GraphAlgos.scc(handoffEdges(s, dir), localThreshold = 50)
+    sccCache.getOrElseUpdate(dir,
+      graft.kg.GraphAlgos.scc(handoffEdges(s, dir), localThreshold = 50))
+
+  /** Condensation DAG of the handoff digraph with longest-path layering —
+    * [[graft.kg.GraphAlgos.condensationLevels]]; oracle recomputes the
+    * SCCs, the condensed edges, and the longest paths via recursive CTE.
+    */
+  def condensationGate(s: SparkSession, dir: String): DataFrame =
+    graft.kg.GraphAlgos.condensationLevels(handoffEdges(s, dir),
+      precomputedScc = Some(sccGate(s, dir)))
 
   /** Deterministic 4-step random walks over the handoff digraph —
     * [[graft.kg.GraphAlgos.randomWalks]]; every hop replayed bit-for-bit

@@ -147,6 +147,7 @@ object SparkEntry {
     "q_kcore_check"          -> (Queries.kcoreCheck _),
     "q_degrees"              -> (Queries.degrees _),
     "q_scc"                  -> (Queries.sccGate _),
+    "q_condensation"         -> (Queries.condensationGate _),
     "q_walks"                -> (Queries.walksGate _),
     "q_ewma"                 -> (Queries.ewmaGate _),
     "q_bpe"                  -> (Queries.bpeGate _),
@@ -1843,6 +1844,44 @@ object SparkEntry {
          |$hops
          |$unions""".stripMargin
     },
+
+    // SCC → condensed DAG → longest path per component, all in SQL: the
+    // recursive `paths` CTE is finite because the condensation is acyclic
+    "q_condensation" ->
+      """WITH RECURSIVE seq AS (
+        |  SELECT user_id, ts, event_id,
+        |         lead(user_id) OVER (PARTITION BY event_type
+        |                             ORDER BY ts, event_id) AS nxt,
+        |         lead(ts) OVER (PARTITION BY event_type
+        |                        ORDER BY ts, event_id) AS nts
+        |  FROM events),
+        |edges AS (SELECT DISTINCT user_id AS src, nxt AS dst FROM seq
+        |          WHERE nxt IS NOT NULL AND nxt <> user_id
+        |            AND epoch_us(nts) - epoch_us(ts) <= 30000000),
+        |nodes AS (SELECT src AS n FROM edges UNION SELECT dst FROM edges),
+        |reach(s, d) AS (
+        |  SELECT src, dst FROM edges
+        |  UNION
+        |  SELECT r.s, e.dst FROM reach r JOIN edges e ON r.d = e.src),
+        |mutual AS (SELECT r1.s AS u, r1.d AS v FROM reach r1
+        |           JOIN reach r2 ON r1.d = r2.s AND r2.d = r1.s),
+        |comp AS (SELECT n.n AS node, least(n.n, coalesce(min(m.v), n.n)) AS scc_id
+        |         FROM nodes n LEFT JOIN mutual m ON m.u = n.n GROUP BY n.n),
+        |ce AS (SELECT DISTINCT c1.scc_id AS cs, c2.scc_id AS cd
+        |       FROM edges e JOIN comp c1 ON e.src = c1.node
+        |                    JOIN comp c2 ON e.dst = c2.node
+        |       WHERE c1.scc_id <> c2.scc_id),
+        |paths(d, lvl) AS (
+        |  SELECT cd, 1 FROM ce
+        |  UNION
+        |  SELECT ce.cd, p.lvl + 1 FROM paths p JOIN ce ON ce.cs = p.d),
+        |lv AS (SELECT c.scc_id, coalesce(max(p.lvl), 0) AS level
+        |       FROM (SELECT DISTINCT scc_id FROM comp) c
+        |       LEFT JOIN paths p ON p.d = c.scc_id
+        |       GROUP BY c.scc_id)
+        |SELECT lv.scc_id, CAST(lv.level AS INT) AS level, m.n_members
+        |FROM lv JOIN (SELECT scc_id, count(*) AS n_members
+        |              FROM comp GROUP BY 1) m USING (scc_id)""".stripMargin,
 
     "q_pagerank" ->
       """WITH ed AS (SELECT DISTINCT 'u:' || user_id AS src, 'e:' || event_type AS dst

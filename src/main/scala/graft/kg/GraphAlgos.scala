@@ -920,6 +920,59 @@ object GraphAlgos {
     out
   }
 
+  /** Condensation of a directed graph: collapse each SCC (from [[scc]])
+    * to one node and keep the distinct cross-component edges — by
+    * construction a DAG — then layer it by LONGEST path from the sources:
+    * level(c) = max over in-edges of level(parent) + 1, 0 at sources.
+    * The KG reading: a dependency/flow ordering over mutually-entangled
+    * clusters ("which rings feed which"), and the standard preprocessing
+    * step before any topological computation on a cyclic graph.
+    *
+    * The level fixpoint is one hash join + max-aggregation per round over
+    * (component, int) state, rounds bounded by the DAG depth, plans
+    * truncated per round (the [[scc]] discipline). Throws if `maxRounds`
+    * is exhausted — on a true DAG that means depth > maxRounds, never
+    * divergence.
+    *
+    * Returns (scc_id, level, n_members).
+    */
+  def condensationLevels(edges: DataFrame, maxRounds: Int = 1000,
+                         srcCol: String = "src", dstCol: String = "dst",
+                         sccLocalThreshold: Long = 100000L,
+                         precomputedScc: Option[DataFrame] = None): DataFrame = {
+    // callers that already ran scc on these edges pass it in — the SCC
+    // fixpoint dominates the cost and need not run twice
+    val comp = precomputedScc.getOrElse(scc(edges, srcCol = srcCol,
+      dstCol = dstCol, localThreshold = sccLocalThreshold))
+    val e = edges.select(col(srcCol).as("_s"), col(dstCol).as("_d"))
+    val ce = e
+      .join(comp.select(col("node").as("_s"), col("scc_id").as("cs")), "_s")
+      .join(comp.select(col("node").as("_d"), col("scc_id").as("cd")), "_d")
+      .filter(col("cs") =!= col("cd"))
+      .select("cs", "cd").distinct()
+      .localCheckpoint()
+    var lvl = comp.select(col("scc_id")).distinct()
+      .withColumn("level", lit(0)).localCheckpoint()
+    var changed = 1L
+    var round = 0
+    while (changed > 0) {
+      round += 1
+      require(round <= maxRounds,
+        s"condensationLevels: depth exceeds $maxRounds rounds")
+      val cand = ce.join(lvl, ce("cs") === lvl("scc_id"))
+        .groupBy(col("cd").as("scc_id")).agg((max(col("level")) + 1).as("c"))
+      val next = lvl.join(cand, Seq("scc_id"), "left_outer")
+        .select(col("scc_id"),
+          greatest(col("level"), coalesce(col("c"), col("level"))).as("level"),
+          (col("c").isNotNull && col("c") > col("level")).as("_chg"))
+        .localCheckpoint()
+      changed = next.filter(col("_chg")).count()
+      lvl = next.select("scc_id", "level")
+    }
+    val members = comp.groupBy("scc_id").agg(count(lit(1)).as("n_members"))
+    lvl.join(members, "scc_id")
+  }
+
   /** Iterative Tarjan over an index-based adjacency list (explicit stacks,
     * no recursion — a 100k-node chain must not overflow the driver stack).
     * Returns a component index per node; component indices are arbitrary.

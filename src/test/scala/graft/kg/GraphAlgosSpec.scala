@@ -405,6 +405,18 @@ class GraphAlgosSpec extends SparkSpec {
     assert(sccBoth(es) === Map("a" -> "a", "b" -> "a", "c" -> "c", "d" -> "c"))
   }
 
+  test("condensationLevels: SCCs collapse to a DAG layered by longest path") {
+    // ring {1,2,3} → 4 → ring {5,6}; separate 7 → ring {8,9}
+    val es = Seq(
+      (1, 2), (2, 3), (3, 1), (3, 4), (4, 5), (5, 6), (6, 5), (7, 8), (8, 9), (9, 8)
+    ).toDF("src", "dst")
+    val out = GraphAlgos.condensationLevels(es)
+      .as[(Int, Int, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out === Map(
+      1 -> ((0, 3L)), 4 -> ((1, 1L)), 5 -> ((2, 2L)),
+      7 -> ((0, 1L)), 8 -> ((1, 2L))))
+  }
+
   test("randomWalks: every hop follows an edge, sinks stop, runs reproduce") {
     // ring 1→2→3→1 with branch 2→4 (4 is a sink), detached 9→10
     val es = Seq((1, 2), (2, 3), (3, 1), (2, 4), (9, 10)).toDF("src", "dst")
