@@ -1022,6 +1022,30 @@ object Queries {
     * sf0.01 this yields one 50-node component plus singletons, so both
     * the cycle-collapse and the DAG paths are exercised.
     */
+  /** Per-user time-weighted average of event values (each value held
+    * until the next sample) — [[graft.ops.Temporal.timeWeightedAvg]];
+    * exact integer-µs weights, 6-dp display rounding.
+    */
+  def twaGate(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Temporal.timeWeightedAvg(t(s, dir, "events"), Seq("user_id"),
+        "ts", "value", orderCols = Seq("event_id"))
+      .select(col("user_id"), round(col("twa"), 6).as("twa"))
+
+  /** Cross-split exact-content leakage audit under the q_split
+    * assignment — [[graft.ops.Curation.splitLeakage]]; integer counts,
+    * exact gate.
+    */
+  def splitLeakageGate(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Curation.splitLeakage(t(s, dir, "documents"),
+      Seq("train", "val", "test"), Seq(0.8, 0.1, 0.1), salt = 3L)
+
+  /** Per-dimension z-scored embeddings in long form —
+    * [[graft.ops.Similarity.standardize]], 6-dp rounding.
+    */
+  def standardizeGate(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Similarity.standardize(t(s, dir, "embeddings"))
+      .withColumnRenamed("id", "vec_id")
+
   /** n-gram containment near-superset pairs within the 'en' block —
     * [[graft.ops.Dedup.ngramContainmentPairs]] over hashed 3-gram
     * shingles; oracle recomputes the same shingle sets as strings.

@@ -153,6 +153,9 @@ object SparkEntry {
     "q_bpe"                  -> (Queries.bpeGate _),
     "q_mmr"                  -> (Queries.mmrGate _),
     "q_ngram_containment"    -> (Queries.ngramContainment _),
+    "q_twa"                  -> (Queries.twaGate _),
+    "q_split_leakage"        -> (Queries.splitLeakageGate _),
+    "q_standardize"          -> (Queries.standardizeGate _),
     "q_pareto"               -> (Queries.paretoGate _),
     // multimodal plumbing (stub kernel)
     "q_incremental"          -> (Queries.incremental _),
@@ -370,6 +373,54 @@ object SparkEntry {
         |FROM t a JOIN t b ON a.doc_id < b.doc_id
         |WHERE len(list_intersect(a.sh, b.sh)) * 1.0 /
         |      least(len(a.sh), len(b.sh)) >= 0.1""".stripMargin,
+
+    // interval-weighted mean: exact integer-µs holding times, last sample
+    // weightless, single-sample keys null
+    "q_twa" ->
+      """WITH x AS (
+        |  SELECT user_id, value, epoch_us(ts) AS t,
+        |         lead(epoch_us(ts)) OVER (PARTITION BY user_id
+        |                                  ORDER BY ts, event_id) AS nt
+        |  FROM events)
+        |SELECT user_id,
+        |  CASE WHEN sum(CASE WHEN nt IS NOT NULL
+        |                     THEN CAST(nt - t AS DOUBLE) END) > 0
+        |    THEN round(
+        |      sum(CASE WHEN nt IS NOT NULL THEN value * CAST(nt - t AS DOUBLE) END)
+        |      / sum(CASE WHEN nt IS NOT NULL THEN CAST(nt - t AS DOUBLE) END), 6)
+        |  END AS twa
+        |FROM x GROUP BY user_id""".stripMargin,
+
+    // same portable split hash as q_split + sha256 membership against train
+    "q_split_leakage" ->
+      """WITH a AS (
+        |  SELECT doc_id, sha256(text) AS h,
+        |    CASE WHEN b < 800000 THEN 'train'
+        |         WHEN b < 900000 THEN 'val' ELSE 'test' END AS split
+        |  FROM (SELECT doc_id, text,
+        |          (((((doc_id + 3) % 1000003) * 2654435761 + 3) % 1000000)
+        |           + ((((doc_id + 3) % 999983) * 2246822518) % 1000000)) % 1000000 AS b
+        |        FROM documents)),
+        |tr AS (SELECT DISTINCT h FROM a WHERE split = 'train'),
+        |lk AS (SELECT split, count(*) AS n_leaked FROM a
+        |       WHERE split <> 'train' AND h IN (SELECT h FROM tr)
+        |       GROUP BY split)
+        |SELECT a.split, count(*) AS n_docs,
+        |       coalesce(any_value(lk.n_leaked), 0) AS n_leaked
+        |FROM a LEFT JOIN lk ON a.split = lk.split
+        |GROUP BY a.split""".stripMargin,
+
+    // per-dim corpus stats by element indexing (the q_centroids pattern)
+    "q_standardize" ->
+      """WITH d AS (SELECT range AS dim FROM range(0, 64)),
+        |long AS (SELECT vec_id, CAST(dim AS INTEGER) AS dim,
+        |                CAST(embedding[dim + 1] AS DOUBLE) AS v
+        |         FROM embeddings, d),
+        |st AS (SELECT dim, avg(v) AS mu, stddev_samp(v) AS sd
+        |       FROM long GROUP BY dim)
+        |SELECT l.vec_id, l.dim,
+        |       CASE WHEN st.sd > 0 THEN round((l.v - st.mu) / st.sd, 6) END AS z
+        |FROM long l JOIN st USING (dim)""".stripMargin,
 
     "q_token_counts" ->
       """SELECT doc_id,

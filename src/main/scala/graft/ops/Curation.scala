@@ -74,4 +74,36 @@ object Curation {
     Seq(scored, deduped, clean).foreach(_.unpersist())
     counts.toDF("stage", "n_rows")
   }
+
+  /** Cross-split leakage audit: for each non-train split, how many of its
+    * documents share exact content with ANY train document — the eval-set
+    * contamination a per-doc dedup pass upstream of the split prevents,
+    * and the number a training run must report before results are
+    * credible. Splits come from [[Sampling.splitAssign]] (the persisted-
+    * membership contract); comparison is by sha256(text) so the semi-join
+    * shuffles 64-hex keys, never bodies.
+    *
+    * Returns (split, n_docs, n_leaked) for every split including train
+    * (train's n_leaked is 0 by definition — kept as the audit's sanity
+    * row).
+    */
+  def splitLeakage(docs: DataFrame, names: Seq[String], weights: Seq[Double],
+                   salt: Long, idCol: String = "doc_id",
+                   textCol: String = "text"): DataFrame = {
+    val assigned = Sampling.splitAssign(docs, names, weights, idCol, salt)
+      .select(col(idCol), col("split"), sha2(col(textCol), 256).as("_h"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val trainHashes = assigned.filter(col("split") === names.head)
+      .select(col("_h")).distinct()
+    val leaked = assigned.filter(col("split") =!= names.head)
+      .join(trainHashes, Seq("_h"), "left_semi")
+      .groupBy("split").agg(count(lit(1)).as("n_leaked"))
+    val out = assigned.groupBy("split").agg(count(lit(1)).as("n_docs"))
+      .join(leaked, Seq("split"), "left_outer")
+      .select(col("split"), col("n_docs"),
+        coalesce(col("n_leaked"), lit(0L)).as("n_leaked"))
+      .localCheckpoint()
+    assigned.unpersist()
+    out
+  }
 }

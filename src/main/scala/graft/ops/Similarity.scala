@@ -393,6 +393,28 @@ object Similarity {
       .groupBy("label", "dim")
       .agg(avg(col("_v").cast("double")).as("mean"), count(lit(1)).as("n"))
 
+  /** Per-dimension corpus standardization (z-scoring) of embeddings in
+    * long (id, dim, z) form — the feature-scaling pass before distance-
+    * based ops when dimensions carry wildly different variances. Stats
+    * are one |dims|-row aggregation over the posexploded corpus
+    * (map-side partials; vectors cross the wire once), joined back by
+    * broadcast. z is ROUNDED to 6 dp (the cross-engine contract for
+    * accumulation-order float noise); zero-variance dimensions null out
+    * rather than divide by zero.
+    */
+  def standardize(embs: DataFrame, idCol: String = "vec_id",
+                  vecCol: String = "embedding"): DataFrame = {
+    val long = embs.select(col(idCol).as("id"),
+      posexplode(col(vecCol)).as(Seq("dim", "_v")))
+      .withColumn("_v", col("_v").cast("double"))
+    val stats = long.groupBy("dim")
+      .agg(avg(col("_v")).as("_mu"), stddev_samp(col("_v")).as("_sd"))
+    long.join(broadcast(stats), "dim")
+      .select(col("id"), col("dim"),
+        when(col("_sd") > 0, round((col("_v") - col("_mu")) / col("_sd"), 6))
+          .as("z"))
+  }
+
   /** Maximal Marginal Relevance selection: greedily pick `k` vectors
     * maximizing  λ·rel(x) − (1−λ)·max_{s∈selected} sim(x, s)  — the
     * diversity-aware subset selector (eval-set curation, dedup-aware

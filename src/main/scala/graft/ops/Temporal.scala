@@ -202,4 +202,33 @@ object Temporal {
         leftPayload.map(col) ++
         outCols.map(c => col("_m").getField(c).as(c)): _*)
   }
+
+  /** Time-weighted average per key: each sample holds its value until the
+    * next sample, so the mean weighs every value by its holding interval —
+    * Σ vᵢ·(tᵢ₊₁−tᵢ) / (t_last − t_first) — the correct aggregate for
+    * irregularly-sampled telemetry (a plain AVG over-counts burst
+    * periods). The last sample bounds the window and carries no weight;
+    * single-sample keys have a zero-width window and yield null.
+    *
+    * Weights are exact integer microsecond deltas (NTZ cast through the
+    * UTC session zone), so the products and their sum are the same IEEE
+    * doubles on any engine. One key shuffle; the lead and the aggregation
+    * share the sort.
+    */
+  def timeWeightedAvg(df: DataFrame, keys: Seq[String], timeCol: String,
+                      valueCol: String, orderCols: Seq[String] = Seq.empty,
+                      outCol: String = "twa"): DataFrame = {
+    require(keys.nonEmpty, "timeWeightedAvg needs at least one key column")
+    val ord = (col(timeCol) +: orderCols.map(col)).toSeq
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(ord: _*)
+    val us = unix_micros(col(timeCol).cast("timestamp"))
+    val nextUs = unix_micros(lead(col(timeCol), 1).over(w).cast("timestamp"))
+    df.withColumn("_dt", (nextUs - us).cast("double"))
+      .groupBy(keys.map(col): _*)
+      .agg(
+        sum(when(col("_dt").isNotNull, col(valueCol) * col("_dt"))).as("_num"),
+        sum(when(col("_dt").isNotNull, col("_dt"))).as("_den"))
+      .withColumn(outCol, when(col("_den") > 0, col("_num") / col("_den")))
+      .drop("_num", "_den")
+  }
 }

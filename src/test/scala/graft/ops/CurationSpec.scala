@@ -30,4 +30,24 @@ class CurationSpec extends SparkSpec {
     assert(audit === Map("input" -> 4L, "quality" -> 3L, "dedup" -> 2L,
       "decontam" -> 1L, "train" -> 1L))
   }
+
+  test("splitLeakage counts eval docs sharing exact content with train") {
+    import spark.implicits._
+    val docs = (0L until 8L).map(i => (i, if (i % 2 == 0) "SHARED" else s"uniq$i"))
+      .toDF("doc_id", "text")
+    val out = Curation.splitLeakage(docs, Seq("train", "heldout"),
+        Seq(0.5, 0.5), salt = 1L)
+      .as[(String, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    // derive the expectation from the same split op the impl composes
+    val assign = graft.ops.Sampling.splitAssign(docs, Seq("train", "heldout"),
+        Seq(0.5, 0.5), "doc_id", 1L)
+      .select("doc_id", "text", "split")
+      .as[(Long, String, String)].collect()
+    val trainTexts = assign.filter(_._3 == "train").map(_._2).toSet
+    val held = assign.filter(_._3 == "heldout")
+    val expLeak = held.count(h => trainTexts.contains(h._2)).toLong
+    assert(out("train")._2 === 0L)
+    assert(out("heldout") === ((held.length.toLong, expLeak)))
+    assert(out("train")._1 + out("heldout")._1 === 8L)
+  }
 }

@@ -161,4 +161,22 @@ class TemporalSpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
     assert(!plan.contains("CartesianProduct"), plan)
   }
+
+  test("timeWeightedAvg weighs each value by its holding interval") {
+    import spark.implicits._
+    // u1: 10 held 2s, 40 held 6s, last sample weightless → (20+240)/8 = 32.5
+    val ev = Seq(
+      ("u1", java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 10.0, 1L),
+      ("u1", java.sql.Timestamp.valueOf("2024-01-01 00:00:02"), 40.0, 2L),
+      ("u1", java.sql.Timestamp.valueOf("2024-01-01 00:00:08"), 999.0, 3L),
+      ("u2", java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 7.0, 4L)
+    ).toDF("user_id", "ts", "value", "event_id")
+    val out = Temporal.timeWeightedAvg(ev, Seq("user_id"), "ts", "value",
+        orderCols = Seq("event_id"))
+      .select("user_id", "twa").collect()
+      .map(r => r.getString(0) -> Option(r.get(1)).map(_.asInstanceOf[Double]))
+      .toMap
+    assert(out("u1") === Some(32.5))
+    assert(out("u2") === None) // single sample: zero-width window
+  }
 }
