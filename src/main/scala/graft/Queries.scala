@@ -1014,14 +1014,6 @@ object Queries {
         "event_type", "user_id")
       .orderBy("a", "b")
 
-  /** Strongly connected components of the "rapid handoff" digraph: an
-    * edge u→v when v's event follows u's event in the SAME event stream
-    * within 30 seconds (gap compared in exact epoch microseconds on both
-    * engines) — [[graft.kg.GraphAlgos.scc]] min-label partition
-    * refinement vs a DuckDB recursive-CTE transitive-closure oracle. At
-    * sf0.01 this yields one 50-node component plus singletons, so both
-    * the cycle-collapse and the DAG paths are exercised.
-    */
   /** Per-user time-weighted average of event values (each value held
     * until the next sample) — [[graft.ops.Temporal.timeWeightedAvg]];
     * exact integer-µs weights, 6-dp display rounding.
@@ -1131,12 +1123,23 @@ object Queries {
   }
 
   // q_scc and q_condensation share one SCC run on the same edge set
-  private val sccCache = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+  private val sccCache =
+    scala.collection.concurrent.TrieMap.empty[(Int, String), DataFrame]
 
+  /** Strongly connected components of the "rapid handoff" digraph (30s
+    * gap, exact epoch-µs comparison on both engines) —
+    * [[graft.kg.GraphAlgos.scc]] min-label partition refinement vs a
+    * DuckDB recursive-CTE transitive-closure oracle. At sf0.01 this
+    * yields one 50-node component plus singletons, so both the
+    * cycle-collapse and the DAG paths are exercised; localThreshold 50
+    * makes the gate run the DISTRIBUTED refinement for the bulk and the
+    * Tarjan cutover for the tail — both code paths. Cached per
+    * (session, dir): q_condensation reuses the run, and keying on the
+    * session keeps a restarted SparkSession from resurrecting checkpoints
+    * of a stopped context.
+    */
   def sccGate(s: SparkSession, dir: String): DataFrame =
-    // threshold 50 so the gate exercises the DISTRIBUTED refinement rounds
-    // for the bulk and the Tarjan cutover for the tail — both code paths
-    sccCache.getOrElseUpdate(dir,
+    sccCache.getOrElseUpdate((System.identityHashCode(s), dir),
       graft.kg.GraphAlgos.scc(handoffEdges(s, dir), localThreshold = 50))
 
   /** Condensation DAG of the handoff digraph with longest-path layering —

@@ -383,11 +383,13 @@ object SparkEntry {
         |                                  ORDER BY ts, event_id) AS nt
         |  FROM events)
         |SELECT user_id,
-        |  CASE WHEN sum(CASE WHEN nt IS NOT NULL
+        |  CASE WHEN sum(CASE WHEN nt IS NOT NULL AND value IS NOT NULL
         |                     THEN CAST(nt - t AS DOUBLE) END) > 0
         |    THEN round(
-        |      sum(CASE WHEN nt IS NOT NULL THEN value * CAST(nt - t AS DOUBLE) END)
-        |      / sum(CASE WHEN nt IS NOT NULL THEN CAST(nt - t AS DOUBLE) END), 6)
+        |      sum(CASE WHEN nt IS NOT NULL AND value IS NOT NULL
+        |          THEN value * CAST(nt - t AS DOUBLE) END)
+        |      / sum(CASE WHEN nt IS NOT NULL AND value IS NOT NULL
+        |            THEN CAST(nt - t AS DOUBLE) END), 6)
         |  END AS twa
         |FROM x GROUP BY user_id""".stripMargin,
 
@@ -1760,6 +1762,12 @@ object SparkEntry {
     // sims are 6dp-rounded cosines so the score is an exact IEEE function
     // of engine-identical inputs
     "q_mmr" -> {
+      // the EXACT doubles the Spark side computes: lit(lambda) and
+      // lit(1.0 - lambda). A hand-written "0.3" is one ulp off 1.0-0.7
+      // and could flip a greedy tie — interpolate the Scala values
+      val lam = 0.7
+      val lamS = lam.toString
+      val redS = (1.0 - lam).toString
       def simCte(j: Int) =
         s"""m$j AS (
            |  SELECT id, round(sum(cx*sx) / (sqrt(sum(cx*cx)) * sqrt(sum(sx*sx))), 6)
@@ -1777,7 +1785,8 @@ object SparkEntry {
                    else "WHERE c.id NOT IN (" +
                      (1 until i).map(j => s"SELECT id FROM s$j").mkString(" UNION ALL ") + ")"
         s"""s$i AS (
-           |  SELECT c.id, c.e, 0.7*r.rel - 0.3*($ms) AS mraw
+           |  SELECT c.id, c.e, CAST($lamS AS DOUBLE)*r.rel
+           |                    - CAST($redS AS DOUBLE)*($ms) AS mraw
            |  FROM cand c JOIN rel r USING (id) $joins
            |  $excl
            |  ORDER BY mraw DESC, c.id LIMIT 1)""".stripMargin
@@ -1812,11 +1821,10 @@ object SparkEntry {
          |  SELECT doc_id,
          |    array_to_string(list_transform(
          |      regexp_split_to_array(lower(trim(text)), '\\s+'),
-         |      w -> trim($chain)), ' | ') AS s
+         |      w -> trim($chain)), chr(10)) AS s
          |  FROM documents)
          |SELECT doc_id,
-         |  CAST(len(list_filter(string_split(s, ' '), t -> t <> '|')) AS INT)
-         |    AS n_tokens,
+         |  CAST(len(regexp_split_to_array(s, '[\n ]')) AS INT) AS n_tokens,
          |  sha256(s) AS seg_sha
          |FROM seg""".stripMargin
     },

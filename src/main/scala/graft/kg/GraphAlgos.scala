@@ -684,9 +684,12 @@ object GraphAlgos {
     * direction; every inner round is one edge⋈label hash join + one
     * min-aggregation, keyed on node id — no adjacency lists, no driver
     * graph. Labels decrease monotonically, so inner fixpoints terminate
-    * in ≤ partition-diameter rounds; persist + count + release-previous
-    * per round (the [[pageRank]] lineage discipline). Same-part edges are
-    * recomputed ONCE per outer round and shrink as components retire.
+    * in ≤ partition-diameter rounds (pointer jumping cuts that to
+    * O(log)); per-round EAGER localCheckpoints truncate plans, their
+    * retired blocks reclaimed by the ContextCleaner as frames leave
+    * driver reach (MEMORY_AND_DISK — pressure spills, never fails).
+    * Same-part edges are recomputed ONCE per outer round and shrink as
+    * components retire.
     *
     * Returns (node, scc_id) with scc_id = the component's minimum node
     * id, for every node incident to at least one edge (matching the SQL
@@ -699,6 +702,16 @@ object GraphAlgos {
           localThreshold: Long = 100000L): DataFrame = {
     require(maxOuterRounds > 0 && maxInnerRounds > 0,
       s"round budgets must be positive, got ($maxOuterRounds, $maxInnerRounds)")
+    // integral or string ids only: the Tarjan cutover must reproduce the
+    // distributed path's min/least ordering exactly, which float ids
+    // (ulp ties), decimals (scale), and exotic types make treacherous
+    edges.schema(srcCol).dataType match {
+      case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType |
+           org.apache.spark.sql.types.StringType => ()
+      case other => throw new IllegalArgumentException(
+        s"scc supports integral or string node ids, got ${other.simpleString}")
+    }
     val e0 = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .filter(col("src") =!= col("dst")).distinct().localCheckpoint()
 
@@ -753,6 +766,12 @@ object GraphAlgos {
         if (sys.env.contains("GRAFT_SCC_DEBUG"))
           System.err.println(f"[scc] inner round $round changed=$changed " +
             f"${(System.nanoTime() - t0) / 1e9}%.1fs")
+        // superseded checkpoint blocks are released by the ContextCleaner
+        // once the round's frames drop out of driver reach (the same
+        // lifecycle ConnectedComponents relies on — Dataset.unpersist
+        // does not cover RDD-level localCheckpoint storage); they are
+        // MEMORY_AND_DISK, so accumulation across a long run degrades to
+        // disk spill, never OOM or wrong results
         lbl = next.select("n", "dir", "l")
       }
       lbl
@@ -821,15 +840,23 @@ object GraphAlgos {
       val adjB = Array.fill(n)(scala.collection.mutable.ArrayBuffer.empty[Int])
       peL.foreach(r => adjB(nodeIdx(r.get(0))) += nodeIdx(r.get(1)))
       val comp = tarjanScc(adjB.map(_.toArray))
-      // scc_id = the component's minimum member under the id column's own
-      // ordering (numeric for numbers, lexicographic for strings — the
-      // same order Spark's min/least used on the distributed path)
+      // scc_id = the component's minimum member under EXACTLY the order
+      // Spark's min/least used on the distributed path: numeric for the
+      // integral types, UTF-8 BINARY for strings (String.compareTo is
+      // UTF-16 code-unit order, which disagrees beyond the BMP)
       val cmp: (Any, Any) => Int = {
-        case (x: java.lang.Number, y: java.lang.Number)
-            if !x.isInstanceOf[java.lang.Double] && !x.isInstanceOf[java.lang.Float] =>
+        case (x: java.lang.Number, y: java.lang.Number) =>
           java.lang.Long.compare(x.longValue, y.longValue)
-        case (x: String, y: String) => x.compareTo(y)
-        case (a, b) => a.toString.compareTo(b.toString)
+        case (x: String, y: String) =>
+          val (a, b) = (x.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+            y.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          var i = 0
+          var r = 0
+          while (r == 0 && i < a.length && i < b.length) {
+            r = java.lang.Integer.compare(a(i) & 0xff, b(i) & 0xff); i += 1
+          }
+          if (r != 0) r else java.lang.Integer.compare(a.length, b.length)
+        case (a, b) => a.toString.compareTo(b.toString) // unreachable: gated above
       }
       val minOf = new Array[Any](n)
       (0 until n).foreach { i =>

@@ -213,7 +213,9 @@ object Temporal {
     * Weights are exact integer microsecond deltas (NTZ cast through the
     * UTC session zone), so the products and their sum are the same IEEE
     * doubles on any engine. One key shuffle; the lead and the aggregation
-    * share the sort.
+    * share the sort. A NULL-valued sample's holding interval is excluded
+    * from BOTH sums (an unknown segment, not a zero) — it still bounds
+    * its predecessor's interval as an observation time.
     */
   def timeWeightedAvg(df: DataFrame, keys: Seq[String], timeCol: String,
                       valueCol: String, orderCols: Seq[String] = Seq.empty,
@@ -223,11 +225,12 @@ object Temporal {
     val w = Window.partitionBy(keys.map(col): _*).orderBy(ord: _*)
     val us = unix_micros(col(timeCol).cast("timestamp"))
     val nextUs = unix_micros(lead(col(timeCol), 1).over(w).cast("timestamp"))
+    val known = col("_dt").isNotNull && col(valueCol).isNotNull
     df.withColumn("_dt", (nextUs - us).cast("double"))
       .groupBy(keys.map(col): _*)
       .agg(
-        sum(when(col("_dt").isNotNull, col(valueCol) * col("_dt"))).as("_num"),
-        sum(when(col("_dt").isNotNull, col("_dt"))).as("_den"))
+        sum(when(known, col(valueCol) * col("_dt"))).as("_num"),
+        sum(when(known, col("_dt"))).as("_den"))
       .withColumn(outCol, when(col("_den") > 0, col("_num") / col("_den")))
       .drop("_num", "_den")
   }

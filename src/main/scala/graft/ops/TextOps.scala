@@ -289,11 +289,13 @@ object TextOps {
     * cross-engine determinism, same spirit as the rounded-Lloyd k-means
     * contract.)
     *
-    * Returns one string per document: words joined by `" | "`, tokens
+    * Returns one string per document: words joined by NEWLINES, tokens
     * within a word by single spaces — both the token stream and the
-    * word boundaries are visible to a value-exact gate. Pure codegen'd
-    * projection (regexp char-split + a fixed replace chain inside one
-    * `transform`), zero shuffles.
+    * word boundaries are visible to a value-exact gate, and the newline
+    * separator can never collide with a token (words were split on
+    * whitespace, so no token contains any). Pure codegen'd projection
+    * (regexp char-split + a fixed replace chain inside one `transform`),
+    * zero shuffles.
     */
   def bpeSegment(text: Column, merges: Seq[(String, String)]): Column = {
     require(merges.nonEmpty, "bpeSegment needs at least one merge")
@@ -309,14 +311,15 @@ object TextOps {
       }
       trim(merged)
     }
-    concat_ws(" | ", transform(words, segWord))
+    concat_ws("\n", transform(words, segWord))
   }
 
-  /** Total BPE token count per document under the same merge list (the
-    * " | " word separator splits to a standalone "|" element — filtered).
+  /** Total BPE token count per document under the same merge list —
+    * tokens are separated by spaces within a word and newlines between
+    * words, neither of which can occur inside a token.
     */
   def bpeTokenCount(text: Column, merges: Seq[(String, String)]): Column =
-    size(filter(split(bpeSegment(text, merges), " "), t => t =!= "|"))
+    size(split(bpeSegment(text, merges), "[\n ]"))
 
   /** BPE-merge TRAINER: learns `numMerges` merges from the corpus by the
     * classic greedy loop — count adjacent token pairs over the current

@@ -179,4 +179,19 @@ class TemporalSpec extends SparkSpec {
     assert(out("u1") === Some(32.5))
     assert(out("u2") === None) // single sample: zero-width window
   }
+
+  test("timeWeightedAvg excludes null-valued samples' intervals from both sums") {
+    import spark.implicits._
+    // (t=0, 10), (t=2, null), (t=8, 20): null's 6s segment is UNKNOWN →
+    // twa = 10·2 / 2 = 10, not 20/8 = 2.5
+    val ev = Seq(
+      ("u", java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), Some(10.0), 1L),
+      ("u", java.sql.Timestamp.valueOf("2024-01-01 00:00:02"), None: Option[Double], 2L),
+      ("u", java.sql.Timestamp.valueOf("2024-01-01 00:00:08"), Some(20.0), 3L)
+    ).toDF("user_id", "ts", "value", "event_id")
+    val out = Temporal.timeWeightedAvg(ev, Seq("user_id"), "ts", "value",
+        orderCols = Seq("event_id"))
+      .select("twa").as[Double].head()
+    assert(out === 10.0)
+  }
 }

@@ -199,7 +199,7 @@ class TextOpsSpec extends SparkSpec {
       .select(TextOps.bpeSegment(col("text"), merges).as("s"),
         TextOps.bpeTokenCount(col("text"), merges).as("n"))
       .as[(String, Int)].head()
-    assert(seg === (("low | lower | lowe s t", 5)))
+    assert(seg === (("low\nlower\nlowe s t", 5)))
     // single-pass replace does NOT re-scan after a merge: "aaaa" → aa a a
     // (canonical BPE would give aa aa) — the documented portable contract
     val rep = Seq("aaaa").toDF("text")
@@ -209,5 +209,11 @@ class TextOpsSpec extends SparkSpec {
     // trainer exhausts cleanly when fewer merges exist than asked
     val tiny = TextOps.bpeTrain(Seq("ab").toDF("text"), numMerges = 10)
     assert(tiny === Seq(("a", "b")))
+    // a literal "|" word survives the newline word separator intact
+    val pipe = Seq("a | b").toDF("text")
+      .select(TextOps.bpeSegment(col("text"), Seq(("x", "y"))).as("s"),
+        TextOps.bpeTokenCount(col("text"), Seq(("x", "y"))).as("n"))
+      .as[(String, Int)].head()
+    assert(pipe === (("a\n|\nb", 3)))
   }
 }
