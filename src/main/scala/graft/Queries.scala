@@ -1014,6 +1014,14 @@ object Queries {
         "event_type", "user_id")
       .orderBy("a", "b")
 
+  /** Winnowing fingerprints (k=5-gram, window w=4) over documents —
+    * [[graft.ops.TextOps.winnow]]; every selected (print, pos) replayed
+    * in SQL via the portable polynomial hash and the encoded
+    * rightmost-tie window minimum.
+    */
+  def winnowGate(s: SparkSession, dir: String): DataFrame =
+    graft.ops.TextOps.winnow(t(s, dir, "documents"), k = 5, w = 4)
+
   /** Per-user time-weighted average of event values (each value held
     * until the next sample) — [[graft.ops.Temporal.timeWeightedAvg]];
     * exact integer-µs weights, 6-dp display rounding.

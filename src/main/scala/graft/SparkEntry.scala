@@ -154,6 +154,7 @@ object SparkEntry {
     "q_mmr"                  -> (Queries.mmrGate _),
     "q_ngram_containment"    -> (Queries.ngramContainment _),
     "q_twa"                  -> (Queries.twaGate _),
+    "q_winnow"               -> (Queries.winnowGate _),
     "q_split_leakage"        -> (Queries.splitLeakageGate _),
     "q_standardize"          -> (Queries.standardizeGate _),
     "q_pareto"               -> (Queries.paretoGate _),
@@ -373,6 +374,36 @@ object SparkEntry {
         |FROM t a JOIN t b ON a.doc_id < b.doc_id
         |WHERE len(list_intersect(a.sh, b.sh)) * 1.0 /
         |      least(len(a.sh), len(b.sh)) >= 0.1""".stripMargin,
+
+    // the winnow selection replayed exactly: same polynomial gram hashes,
+    // same encoded long whose window MIN is "smallest hash, rightmost pos"
+    "q_winnow" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |    list_transform(regexp_split_to_array(lower(trim(text)), '\s+'),
+        |      t -> list_reduce(list_prepend(CAST(7 AS BIGINT),
+        |             list_transform(string_split(t, ''),
+        |               c -> CAST(unicode(c) AS BIGINT))),
+        |           (a, c) -> (a * 131 + c) % 1000000007)) AS th
+        |  FROM documents),
+        |idx AS (SELECT doc_id, th,
+        |               unnest(generate_series(1, len(th) - 5 + 1)) AS i
+        |        FROM base WHERE len(th) >= 5),
+        |grams AS (
+        |  SELECT doc_id, i - 1 AS gpos, len(th) - 5 + 1 AS ng,
+        |    list_reduce(list_prepend(CAST(7 AS BIGINT), th[i:i+4]),
+        |                (a, x) -> (a * 131 + x) % 1000000007) AS g
+        |  FROM idx),
+        |coded AS (SELECT doc_id, gpos, ng,
+        |                 g * 1048576 + (1048575 - gpos) AS code
+        |          FROM grams),
+        |sel AS (SELECT doc_id, gpos, ng,
+        |          min(code) OVER (PARTITION BY doc_id ORDER BY gpos
+        |            ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS mc
+        |        FROM coded)
+        |SELECT DISTINCT doc_id, mc // 1048576 AS print,
+        |       CAST(1048575 - (mc % 1048576) AS INT) AS pos
+        |FROM sel WHERE gpos <= greatest(ng - 4, 0)""".stripMargin,
 
     // interval-weighted mean: exact integer-µs holding times, last sample
     // weightless, single-sample keys null

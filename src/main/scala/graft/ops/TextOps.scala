@@ -321,6 +321,57 @@ object TextOps {
   def bpeTokenCount(text: Column, merges: Seq[(String, String)]): Column =
     size(split(bpeSegment(text, merges), "[\n ]"))
 
+  /** Winnowing fingerprints (Schleimer/Wilkerson/Aiken, the MOSS
+    * algorithm): position-aware LOCAL fingerprints with a guarantee the
+    * global sketches (minhash/simhash) cannot give — any shared token run
+    * of length ≥ w+k−1 between two documents shares at least one selected
+    * fingerprint. Per document: token k-gram rolling hashes by position,
+    * then from every window of `w` consecutive grams keep the minimum
+    * (ties → RIGHTMOST position, the standard robust-winnowing rule),
+    * deduplicated.
+    *
+    * Everything is exact integer arithmetic on the PORTABLE polynomial
+    * hash (mod 1e9+7), and the rightmost-tie window minimum is computed
+    * over a single encoded long `gram·2²⁰ + (2²⁰−1 − pos)` (min ⇒
+    * smallest gram hash, then largest position) — one ROWS-frame window
+    * min, no per-window explode, value-exact on any engine. Documents
+    * beyond 2²⁰ tokens would overflow the position field — split such
+    * documents upstream (chunking) before fingerprinting.
+    *
+    * Shape: one codegen'd projection builds the gram array (token hashes
+    * folded once per gram), one doc-keyed window pass selects; the
+    * output is (doc_id, print, pos) — join prints across documents for
+    * plagiarism/copy-span detection.
+    */
+  def winnow(docs: DataFrame, k: Int, w: Int, idCol: String = "doc_id",
+             textCol: String = "text"): DataFrame = {
+    require(k >= 1 && k <= 64, s"k must be in [1,64], got $k")
+    require(w >= 1 && w <= 1024, s"w must be in [1,1024], got $w")
+    val th = transform(split(lower(trim(col(textCol))), "\\s+"), t => tokenHash(t))
+    val grams = when(size(col("_th")) >= k,
+      transform(sequence(lit(0), size(col("_th")) - k),
+        i => aggregate(slice(col("_th"), i + 1, lit(k)), lit(7L),
+          (acc, x) => pmod(acc * lit(131L) + x, lit(FpMod)))))
+      .otherwise(array().cast("array<bigint>"))
+    val coded = docs.select(col(idCol).as("doc_id"), th.as("_th"))
+      .select(col("doc_id"), grams.as("_g"))
+      .select(col("doc_id"), size(col("_g")).as("_ng"),
+        posexplode(col("_g")).as(Seq("gpos", "g")))
+      .withColumn("_code",
+        col("g") * lit(1048576L) + (lit(1048575L) - col("gpos")))
+    val fw = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("gpos")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.currentRow, w - 1)
+    coded
+      .withColumn("_mc", min(col("_code")).over(fw))
+      // windows START at positions 0..ng-w (one clamped window when ng<w)
+      .filter(col("gpos") <= greatest(col("_ng") - w, lit(0)))
+      .select(col("doc_id"),
+        expr("_mc div 1048576L").as("print"),
+        (lit(1048575L) - pmod(col("_mc"), lit(1048576L))).cast("int").as("pos"))
+      .distinct()
+  }
+
   /** BPE-merge TRAINER: learns `numMerges` merges from the corpus by the
     * classic greedy loop — count adjacent token pairs over the current
     * segmentation of every word occurrence, take the most frequent pair

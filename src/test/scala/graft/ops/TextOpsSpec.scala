@@ -181,6 +181,44 @@ class TextOpsSpec extends SparkSpec {
     assert(out(("c2", 0)) === "")
   }
 
+  test("winnow matches a brute-force reference and keeps the MOSS guarantee") {
+    import spark.implicits._
+    val mod = 1000000007L
+    def tok(t: String): Long =
+      t.codePoints.toArray.foldLeft(7L)((a, c) => (a * 131 + c) % mod)
+    def gramHashes(text: String, k: Int): Seq[Long] = {
+      val th = text.toLowerCase.trim.split("\\s+").toSeq.map(tok)
+      if (th.length < k) Seq.empty
+      else (0 to th.length - k).map(i =>
+        th.slice(i, i + k).foldLeft(7L)((a, x) => (a * 131 + x) % mod))
+    }
+    def brute(text: String, k: Int, w: Int): Set[(Long, Int)] = {
+      val g = gramHashes(text, k)
+      if (g.isEmpty) Set.empty
+      else (0 to math.max(g.length - w, 0)).map { s =>
+        val win = g.slice(s, math.min(s + w, g.length))
+        val m = win.min
+        val p = s + win.lastIndexOf(m)  // rightmost tie wins
+        (m, p)
+      }.toSet
+    }
+    val textA = "the quick brown fox jumps over the lazy dog and runs far away home"
+    val textB = "completely different words quick brown fox jumps over the lazy dog appears here"
+    val textC = "tiny doc four tokens" // ng = 2 < w: one clamped window
+    val docs = Seq((1L, textA), (2L, textB), (3L, textC), (4L, "below k"))
+      .toDF("doc_id", "text")
+    val out = TextOps.winnow(docs, k = 3, w = 4)
+      .as[(Long, Long, Int)].collect()
+      .groupBy(_._1).map { case (d, rs) => d -> rs.map(r => (r._2, r._3)).toSet }
+    assert(out(1L) === brute(textA, 3, 4))
+    assert(out(2L) === brute(textB, 3, 4))
+    assert(out(3L) === brute(textC, 3, 4))
+    assert(!out.contains(4L)) // shorter than k: no grams, no fingerprints
+    // MOSS guarantee: the shared 8-token run (w+k-1 = 6 ≤ 8) forces a
+    // common fingerprint VALUE between the two documents
+    assert(out(1L).map(_._1).intersect(out(2L).map(_._1)).nonEmpty)
+  }
+
   test("bpeTrain learns the classic greedy merges (hand-computed)") {
     import spark.implicits._
     val docs = Seq("low lower lowest low", "low").toDF("text")
