@@ -1022,6 +1022,14 @@ object Queries {
   def winnowGate(s: SparkSession, dir: String): DataFrame =
     graft.ops.TextOps.winnow(t(s, dir, "documents"), k = 5, w = 4)
 
+  /** Copy-span document pairs by shared winnowed fingerprints —
+    * [[graft.ops.TextOps.winnowPairs]] over the same winnow run; oracle
+    * recomputes the pairs in SQL from the q_winnow dump (two-table-dump
+    * pattern).
+    */
+  def winnowPairsGate(s: SparkSession, dir: String): DataFrame =
+    graft.ops.TextOps.winnowPairs(winnowGate(s, dir), minShared = 2)
+
   /** Per-user time-weighted average of event values (each value held
     * until the next sample) — [[graft.ops.Temporal.timeWeightedAvg]];
     * exact integer-µs weights, 6-dp display rounding.

@@ -155,6 +155,7 @@ object SparkEntry {
     "q_ngram_containment"    -> (Queries.ngramContainment _),
     "q_twa"                  -> (Queries.twaGate _),
     "q_winnow"               -> (Queries.winnowGate _),
+    "q_winnow_pairs"         -> (Queries.winnowPairsGate _),
     "q_split_leakage"        -> (Queries.splitLeakageGate _),
     "q_standardize"          -> (Queries.standardizeGate _),
     "q_pareto"               -> (Queries.paretoGate _),
@@ -374,6 +375,18 @@ object SparkEntry {
         |FROM t a JOIN t b ON a.doc_id < b.doc_id
         |WHERE len(list_intersect(a.sh, b.sh)) * 1.0 /
         |      least(len(a.sh), len(b.sh)) >= 0.1""".stripMargin,
+
+    // shared-print pairs recomputed from the q_winnow dump (the
+    // two-table-dump pattern: q_winnow itself is value-exact, so this
+    // verifies the pairing join and the minShared cut)
+    "q_winnow_pairs" ->
+      """WITH p AS (
+        |  SELECT DISTINCT doc_id, print
+        |  FROM read_parquet('__GRAFT_OUT__/q_winnow/*.parquet'))
+        |SELECT l.doc_id AS a, r.doc_id AS b, count(*) AS n_shared
+        |FROM p l JOIN p r ON l.print = r.print AND l.doc_id < r.doc_id
+        |GROUP BY 1, 2
+        |HAVING count(*) >= 2""".stripMargin,
 
     // the winnow selection replayed exactly: same polynomial gram hashes,
     // same encoded long whose window MIN is "smallest hash, rightmost pos"

@@ -373,6 +373,29 @@ final case class Graph(nodes: DataFrame, edges: DataFrame) {
       .drop("_node_id", "n")
   }
 
+  /** Deterministic random walks over this graph's directed edges
+    * (optionally one rel type) — [[graft.kg.GraphAlgos.randomWalks]];
+    * `_node_id` endpoints are integral, which the portable step hash
+    * requires. Returns (start, step, node) in node-id space (join back
+    * through `RelSetOps.withNodeId` for row-level payloads).
+    */
+  def randomWalks(walkLen: Int, seed: Long,
+                  relType: Option[String] = None): DataFrame = {
+    val e = relType.fold(edges)(t => edges.filter(col(RelSetOps.RelType) === t))
+    graft.kg.GraphAlgos.randomWalks(e, walkLen, seed,
+      srcCol = RelSetOps.SrcId, dstCol = RelSetOps.DstId)
+  }
+
+  /** Condensation DAG levels of this graph's directed edges —
+    * [[graft.kg.GraphAlgos.condensationLevels]]: (scc_id, level,
+    * n_members) with scc_id in `_node_id` space.
+    */
+  def condensationLevels(relType: Option[String] = None): DataFrame = {
+    val e = relType.fold(edges)(t => edges.filter(col(RelSetOps.RelType) === t))
+    graft.kg.GraphAlgos.condensationLevels(e,
+      srcCol = RelSetOps.SrcId, dstCol = RelSetOps.DstId)
+  }
+
   /** Strongly connected components of this graph's DIRECTED edges
     * (optionally one rel type), membership joined back to node rows —
     * [[graft.kg.GraphAlgos.scc]]. `scc_id` is the minimum `_node_id` of

@@ -372,6 +372,29 @@ object TextOps {
       .distinct()
   }
 
+  /** Document pairs sharing winnowed fingerprints: the copy-span detector
+    * over [[winnow]] output — n_shared distinct prints per pair, kept at
+    * ≥ `minShared` (1 shared print ⇐ a common run of w+k−1 tokens). The
+    * join is keyed on the PRINT value: cost is Σ per-print doc-count², so
+    * `maxPrintDocs` drops degenerate boilerplate prints (the co-mention
+    * group-size gate, same spirit) before they go quadratic.
+    */
+  def winnowPairs(prints: DataFrame, minShared: Long = 1,
+                  maxPrintDocs: Int = 10000): DataFrame = {
+    require(minShared >= 1, s"minShared must be >= 1, got $minShared")
+    require(maxPrintDocs > 1, s"maxPrintDocs must be > 1, got $maxPrintDocs")
+    val p = prints.select(col("doc_id"), col("print")).distinct()
+      .withColumn("_n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("print")))
+      .filter(col("_n") <= maxPrintDocs)
+      .drop("_n")
+    val l = p.alias("l"); val r = p.alias("r")
+    l.join(r, col("l.print") === col("r.print") && col("l.doc_id") < col("r.doc_id"))
+      .groupBy(col("l.doc_id").as("a"), col("r.doc_id").as("b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** BPE-merge TRAINER: learns `numMerges` merges from the corpus by the
     * classic greedy loop — count adjacent token pairs over the current
     * segmentation of every word occurrence, take the most frequent pair

@@ -299,4 +299,19 @@ class GraphSpec extends SparkSpec {
       g.matchNodesAs[WrongRow](Seq("Person"))
     }
   }
+
+  test("analytics faces: scc, condensation levels, and random walks in id space") {
+    val g = graph // alice→bob, alice→carol, bob→dave: a DAG → all singletons
+    val comp = g.scc(Seq("name"))
+    assert(comp.count() === 4)
+    // a DAG has only singleton SCCs: every node gets its own component
+    assert(comp.select("scc_id").distinct().count() === 4)
+    val lv = g.condensationLevels()
+      .select("level", "n_members").as[(Int, Long)].collect()
+    assert(lv.length === 4 && lv.forall(_._2 === 1L))
+    assert(lv.map(_._1).sorted.toSeq === Seq(0, 1, 1, 2)) // alice→bob→dave chain
+    val walks = g.randomWalks(walkLen = 3, seed = 1)
+    // every walk starts at step 0 from each of the 4 nodes
+    assert(walks.filter(col("step") === 0).count() === 4)
+  }
 }
