@@ -657,7 +657,11 @@ object Queries {
       .select(col("query_id"), col("item_id"), col("rank"), round(col("cos"), 6).as("cos"))
   }
 
-  /** IVF approximate ANN (scale path; approx → rows-only check). */
+  /** IVF approximate ANN (scale path) — VALUE-EXACT gate: portable
+    * double-fold-hash seeding + rounded-6dp argmax at every comparison
+    * (assign, probe, final rank) let the oracle replay seed → assign →
+    * probe → rank entirely in SQL; the recall floor stays in q_ann_recall.
+    */
   def annIvf(s: SparkSession, dir: String): DataFrame = {
     val embs = t(s, dir, "embeddings")
       .select(col("vec_id"), expr("transform(embedding, x -> cast(x as double))").as("embedding"))
@@ -666,7 +670,9 @@ object Queries {
   }
 
   /** IVF with k-means-trained centroids (2 Lloyd iterations) — tighter
-    * cells, higher recall at the same nProbe (approx → rows-only check).
+    * cells, higher recall at the same nProbe. VALUE-EXACT: the oracle
+    * unrolls both Lloyd rounds (rounded means, keep-old-on-empty) the way
+    * the q_kmeans oracle unrolls one, then replays the probe + rank.
     */
   def annIvfTrained(s: SparkSession, dir: String): DataFrame = {
     val embs = t(s, dir, "embeddings")
@@ -699,11 +705,28 @@ object Queries {
       .select(col("l.vec_id").as("a"), col("r.vec_id").as("b"), col("cos"))
   }
 
-  /** Embedding near-dup via sign-LSH blocking (approx → rows-only). */
+  /** Embedding near-dup via sign-LSH blocking — VALUE-EXACT two-table-dump
+    * gate (the q_simhash_sigs → q_simhash_pairs pattern): the band
+    * signatures themselves are engine-specific (xxhash64 hyperplanes →
+    * q_lsh_sigs stays rows-only), but the PAIR OPERATOR — 4×4-bit banding,
+    * candidate self-join, dedupe, exact rounded-cosine ≥ 0.3 verify — is
+    * recomputed by the oracle in SQL from the dumped signatures.
+    */
   def embedNearDupLsh(s: SparkSession, dir: String): DataFrame = {
     val embs = t(s, dir, "embeddings")
       .select(col("vec_id"), expr("transform(embedding, x -> cast(x as double))").as("embedding"))
     Similarity.cosinePairsLsh(embs, 0.3, bits = 16, bandBits = 4)
+  }
+
+  /** Sign-LSH band-signature dump for q_embed_neardup_lsh's oracle —
+    * (vec_id, sig): 16 hyperplane-sign bits packed into a long, the exact
+    * signatures the pair gate bands 4×4 bits. Rows-only itself (xxhash64-
+    * derived hyperplanes have no portable SQL twin).
+    */
+  def lshSigs(s: SparkSession, dir: String): DataFrame = {
+    val embs = t(s, dir, "embeddings")
+      .select(col("vec_id"), expr("transform(embedding, x -> cast(x as double))").as("embedding"))
+    embs.select(col("vec_id"), Similarity.signLsh(col("embedding"), 16).as("sig"))
   }
 
   /** Recall gate for the approximate similarity operators: each variant's
@@ -811,8 +834,8 @@ object Queries {
     * silently scoring against a stale codebook.
     */
   private val pqCbCache = scala.collection.concurrent.TrieMap.empty[String, graft.ops.Pq.Codebook]
-  private def dirFingerprint(dir: String): String = {
-    val files = Option(new java.io.File(s"$dir/embeddings.parquet"))
+  private def dirFingerprint(dir: String, table: String = "embeddings"): String = {
+    val files = Option(new java.io.File(s"$dir/$table.parquet"))
       .filter(_.exists())
       .map(f => if (f.isDirectory) f.listFiles().toSeq else Seq(f))
       .getOrElse(Seq.empty)
@@ -822,8 +845,31 @@ object Queries {
     pqCbCache.getOrElseUpdate(s"$dir@${dirFingerprint(dir)}",
       graft.ops.Pq.train(embs, m = 8, ksub = 16, iters = 2))
 
-  /** PQ ANN top-k (rows-only: codebooks are engine-specific floats;
-    * quality- and exactness-gated via q_ann_recall's pq rows).
+  /** Trained-codebook dump for the PQ oracles (the two-table-dump pattern):
+    * one row per (subspace j, code c, dim) carrying the centroid component
+    * w AND the per-(j,c) squared norm sqn (dumped rather than recomputed so
+    * the oracle's L2-correction and reconstructed norms use the exact
+    * doubles the engine used — no cross-engine float-summation drift).
+    * Rows-only itself: the training floats are engine-specific; everything
+    * DOWNSTREAM of them (encode, ADC, rescore) is replayed value-exactly by
+    * q_ann_pq / q_ann_ivfpq from this dump.
+    */
+  def pqCodebookDump(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val embs = t(s, dir, "embeddings")
+      .select(col("vec_id"), expr("transform(embedding, x -> cast(x as double))").as("embedding"))
+    val cb = pqCodebook(embs, dir)
+    val sq = cb.sqNorms
+    (for (j <- 0 until cb.m; c <- 0 until cb.ksub; d <- 0 until cb.d)
+      yield (j, c, d, cb.cents(j)(c)(d), sq(j)(c)))
+      .toDF("j", "c", "dim", "w", "sqn")
+  }
+
+  /** PQ ANN top-k — VALUE-EXACT via the q_pq_codebook dump: the oracle
+    * replays encode (rounded-6dp L2 argmax) → reconstructed norms → LUT →
+    * ADC ranking → overscan candidates → exact rescore, all in SQL from
+    * the dumped codebook. q_ann_recall's pq rows keep the quality floor +
+    * the full-overscan structural exactness invariant.
     */
   def annPq(s: SparkSession, dir: String): DataFrame = {
     val embs = t(s, dir, "embeddings")
@@ -832,10 +878,11 @@ object Queries {
     graft.ops.Pq.pqTopK(embs, queries, 5, pqCodebook(embs, dir), overscan = 8)
   }
 
-  /** IVF-PQ ANN top-k, in-memory composed path (rows-only itself: codebook
-    * floats are engine-specific; quality-gated via q_ann_recall's
-    * ivf_pq_full exactness row) — dumped so q_ann_ivfpq_mat's oracle can
-    * assert the MATERIALIZED-table path reproduces it value-exactly.
+  /** IVF-PQ ANN top-k, in-memory composed path — VALUE-EXACT: the oracle
+    * composes the q_ann_ivf replay (portable seeds, rounded probe) with
+    * the q_ann_pq replay (dumped codebook → ADC) and rescores exactly;
+    * q_ann_ivfpq_mat additionally asserts the MATERIALIZED-table path
+    * reproduces this row-for-row.
     */
   def annIvfPq(s: SparkSession, dir: String): DataFrame = {
     val embs = t(s, dir, "embeddings")
@@ -1370,12 +1417,22 @@ object Queries {
         col("asof_event_id"), col("asof_value"))
   }
 
-  /** Multimodal plumbing (stubbed decode kernel) — rows-only smoke. */
-  def multimodal(s: SparkSession, dir: String): DataFrame = {
+  /** Byte-aware media partition assignment, VALUE-EXACT: the two-pass
+    * sharded cumulative-byte bucketing ([[graft.ops.Multimodal
+    * .sizeBucketsByKey]]) over the deterministic synthetic media table.
+    * Payload length is a closed form of the id (65 + id % 192 bytes), so
+    * the oracle recomputes the whole running-sum assignment as ONE window
+    * in SQL — any shard/offset/boundary bug in the distributed two-pass
+    * breaks the match. (This replaces the former q_multimodal stub gate:
+    * JPEG-entropy/video decode stays documented out-of-scope in
+    * [[graft.ops.Multimodal.extractFeatures]] and no gate dumps rows from
+    * that stubbed kernel anymore; the REAL PNG/WAV codecs keep their own
+    * value-exact gates.)
+    */
+  def mediaPartition(s: SparkSession, dir: String): DataFrame = {
     import graft.ops.Multimodal
     val media = Multimodal.syntheticMedia(s, 300)
-    Multimodal.extractFeatures(media).toDF()
-      .groupBy("kind").agg(count(lit(1)).as("n"), sum(col("n_bytes")).as("bytes"))
+    Multimodal.sizeBucketsByKey(media, targetBytes = 4096, nShards = 8)
   }
 
   /** Multimodal header round-trip: encode real PNG/WAV headers from
@@ -1403,7 +1460,10 @@ object Queries {
     */
   private val incrCache = scala.collection.concurrent.TrieMap.empty[String, (DataFrame, DataFrame)]
   private def incrementalRun(s: SparkSession, dir: String): (DataFrame, DataFrame) =
-    incrCache.getOrElseUpdate(dir, {
+    // keyed by dir CONTENT fingerprint (the pqCbCache rule): a regenerated
+    // sf dir in a long-lived JVM must re-run the stream, not serve the
+    // previous dir's results
+    incrCache.getOrElseUpdate(s"$dir@${dirFingerprint(dir, "events")}", {
       import graft.streaming.IncrementalPipeline
       val trip = t(s, dir, "events").select(
         concat(lit("user:"), col("user_id")).as("subj"),
@@ -1808,6 +1868,31 @@ object Queries {
   def zorderGate(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "lineitem").select(col("l_orderkey"), col("l_linenumber"),
       graft.ops.Layout.zOrder2(col("l_partkey"), col("l_suppkey"), 16).as("z"))
+
+  /** MATERIALIZED Z-order layout, served: lineitem is written z-sorted
+    * ([[graft.ops.Layout.writeZOrdered]] — range-partitioned + sorted on
+    * z, so every file's z min/max is tight), then a 2-D box query
+    * (l_partkey ∈ [256,511], l_suppkey ∈ [32,47]) is answered FROM that
+    * table with the corner-code interval zValue(lo)..zValue(hi) pushed to
+    * the scan (a correct superset — z is monotone per coordinate) plus the
+    * exact residual box predicates. VALUE-EXACT: the oracle is the plain
+    * box query on lineitem, so the layout + superset-filter path must
+    * reproduce it row-for-row; PlanCheck asserts the z range lands in
+    * PushedFilters (row-group pruning on BOTH dimensions at once — the
+    * materialized payoff q_ann_ivfpq_mat demonstrates for IVF).
+    */
+  def zorderMat(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Layout
+    val path = java.nio.file.Files.createTempDirectory("graft-zorder-mat").toString
+    Layout.writeZOrdered(
+      t(s, dir, "lineitem").select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"),
+      "l_partkey", "l_suppkey", bits = 16, path = path)
+    val (pLo, pHi, sLo, sHi) = (256L, 511L, 32L, 47L)
+    s.read.parquet(path)
+      .filter(col("z").between(Layout.zValue(pLo, sLo, 16), Layout.zValue(pHi, sHi, 16)) &&
+        col("l_partkey").between(pLo, pHi) && col("l_suppkey").between(sLo, sHi))
+      .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
+  }
 
   /** Salted fact↔dim join (salt 8, spread = l_linenumber): result must be
     * EXACTLY the plain inner join — [[graft.ops.Skew.saltedJoin]]; the

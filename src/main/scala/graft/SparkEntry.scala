@@ -57,7 +57,9 @@ object SparkEntry {
     "q_embed_neardup"        -> (Queries.embedNearDup _),
     "q_quantize"             -> (Queries.quantize _),
     "q_embed_neardup_lsh"    -> (Queries.embedNearDupLsh _),
+    "q_lsh_sigs"             -> (Queries.lshSigs _),
     "q_ann_recall"           -> (Queries.annRecall _),
+    "q_pq_codebook"          -> (Queries.pqCodebookDump _),
     "q_ann_pq"               -> (Queries.annPq _),
     "q_ann_ivfpq"            -> (Queries.annIvfPq _),
     "q_ann_ivfpq_mat"        -> (Queries.annIvfPqMat _),
@@ -121,6 +123,7 @@ object SparkEntry {
     "q_salted_join"          -> (Queries.saltedJoinGate _),
     "q_bloom_semi"           -> (Queries.bloomSemiGate _),
     "q_zorder"               -> (Queries.zorderGate _),
+    "q_zorder_mat"           -> (Queries.zorderMat _),
     "q_histogram"            -> (Queries.histogramGate _),
     "q_dedup_stats"          -> (Queries.dedupStatsGate _),
     "q_curation"             -> (Queries.curationGate _),
@@ -159,13 +162,12 @@ object SparkEntry {
     "q_split_leakage"        -> (Queries.splitLeakageGate _),
     "q_standardize"          -> (Queries.standardizeGate _),
     "q_pareto"               -> (Queries.paretoGate _),
-    // multimodal plumbing (stub kernel)
     "q_incremental"          -> (Queries.incremental _),
     "q_stream_sessions"      -> (Queries.streamSessions _),
     "q_stream_dedup"         -> (Queries.streamDedup _),
     "q_incremental_edges"    -> (Queries.incrementalEdges _),
 
-    "q_multimodal"           -> (Queries.multimodal _),
+    "q_media_partition"      -> (Queries.mediaPartition _),
     "q_media_meta"           -> (Queries.mediaMeta _),
     "q_pixel_stats"          -> (Queries.pixelStats _),
     "q_resize_stats"         -> (Queries.resizeStats _),
@@ -546,6 +548,154 @@ object SparkEntry {
         |         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, item_id) AS rank
         |  FROM scored) WHERE rank <= 5""".stripMargin,
 
+    // FULL IVF replay (seed -> assign -> probe -> rank): seeds are the 16
+    // vectors lowest under the portable double-fold hash (salt 41,
+    // id-tiebroken); every argmax along the path compares the ROUNDED-6dp
+    // cosine with the same tiebreaks the Spark path uses (cell asc /
+    // item_id asc), so the approximate result is an exact function of the
+    // inputs. Parallel unnests zip positionally (the q_kmeans pattern).
+    "q_ann_ivf" ->
+      """WITH h AS (
+        |  SELECT vec_id, embedding,
+        |    ((((vec_id+41) % 1000003) * 2654435761 + 41) % 1000000
+        |     + (((vec_id+41) % 999983) * 2246822518) % 1000000) % 1000000 AS hk
+        |  FROM embeddings),
+        |s AS (SELECT vec_id AS cell, embedding AS cv FROM h
+        |      ORDER BY hk, vec_id LIMIT 16),
+        |e AS (SELECT vec_id, embedding FROM embeddings),
+        |f1 AS (SELECT e.vec_id, s.cell,
+        |         CAST(unnest(e.embedding) AS DOUBLE) AS x,
+        |         CAST(unnest(s.cv) AS DOUBLE) AS c
+        |       FROM e CROSS JOIN s),
+        |d1 AS (SELECT vec_id, cell, sum(x*c) AS dp, sum(x*x) AS nx, sum(c*c) AS nc
+        |       FROM f1 GROUP BY 1, 2),
+        |assign AS (SELECT vec_id AS item_id, cell FROM (
+        |    SELECT vec_id, cell,
+        |      row_number() OVER (PARTITION BY vec_id
+        |        ORDER BY round(dp/(sqrt(nx)*sqrt(nc)), 6) DESC, cell) AS rk
+        |    FROM d1) WHERE rk = 1),
+        |q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 8),
+        |f2 AS (SELECT q.query_id, s.cell,
+        |         CAST(unnest(q.qe) AS DOUBLE) AS x,
+        |         CAST(unnest(s.cv) AS DOUBLE) AS c
+        |       FROM q CROSS JOIN s),
+        |d2 AS (SELECT query_id, cell, sum(x*c) AS dp, sum(x*x) AS nx, sum(c*c) AS nc
+        |       FROM f2 GROUP BY 1, 2),
+        |probe AS (SELECT query_id, cell FROM (
+        |    SELECT query_id, cell,
+        |      row_number() OVER (PARTITION BY query_id
+        |        ORDER BY round(dp/(sqrt(nx)*sqrt(nc)), 6) DESC, cell) AS crk
+        |    FROM d2) WHERE crk <= 4),
+        |cand AS (SELECT p.query_id, a.item_id
+        |         FROM probe p JOIN assign a USING (cell)
+        |         WHERE a.item_id <> p.query_id),
+        |f3 AS (SELECT cand.query_id, cand.item_id,
+        |         CAST(unnest(qq.embedding) AS DOUBLE) AS qx,
+        |         CAST(unnest(ee.embedding) AS DOUBLE) AS cx
+        |       FROM cand
+        |       JOIN embeddings qq ON qq.vec_id = cand.query_id
+        |       JOIN embeddings ee ON ee.vec_id = cand.item_id),
+        |d3 AS (SELECT query_id, item_id, sum(qx*cx) AS dp,
+        |              sum(qx*qx) AS nq, sum(cx*cx) AS nc
+        |       FROM f3 GROUP BY 1, 2),
+        |scored AS (SELECT query_id, item_id,
+        |                  round(dp/(sqrt(nq)*sqrt(nc)), 6) AS cos FROM d3)
+        |SELECT query_id, item_id, rank, cos FROM (
+        |  SELECT query_id, item_id, cos,
+        |         row_number() OVER (PARTITION BY query_id
+        |                            ORDER BY cos DESC, item_id) AS rank
+        |  FROM scored) WHERE rank <= 5""".stripMargin,
+
+    // the q_ann_ivf replay with BOTH Lloyd rounds unrolled between seed and
+    // probe (the q_kmeans oracle's round body, twice): assign on the
+    // rounded-6dp cosine, per-dim means rounded to 6dp, empty cells KEEP
+    // the previous centroid (LEFT JOIN + coalesce)
+    "q_ann_ivf_trained" ->
+      """WITH h AS (
+        |  SELECT vec_id, embedding,
+        |    ((((vec_id+41) % 1000003) * 2654435761 + 41) % 1000000
+        |     + (((vec_id+41) % 999983) * 2246822518) % 1000000) % 1000000 AS hk
+        |  FROM embeddings),
+        |s AS (SELECT vec_id AS cell,
+        |             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+        |      FROM h ORDER BY hk, vec_id LIMIT 16),
+        |e AS (SELECT vec_id, embedding FROM embeddings),
+        |dims AS (SELECT range AS dim FROM range(0, 64)),
+        |f1 AS (SELECT e.vec_id, s.cell,
+        |         CAST(unnest(e.embedding) AS DOUBLE) AS x, unnest(s.cv) AS c
+        |       FROM e CROSS JOIN s),
+        |d1 AS (SELECT vec_id, cell, sum(x*c) AS dp, sum(x*x) AS nx, sum(c*c) AS nc
+        |       FROM f1 GROUP BY 1, 2),
+        |a1 AS (SELECT vec_id, cell FROM (
+        |    SELECT vec_id, cell,
+        |      row_number() OVER (PARTITION BY vec_id
+        |        ORDER BY round(dp/(sqrt(nx)*sqrt(nc)), 6) DESC, cell) AS rk
+        |    FROM d1) WHERE rk = 1),
+        |m1 AS (SELECT a1.cell, dims.dim,
+        |         round(avg(CAST(e.embedding[dims.dim+1] AS DOUBLE)), 6) AS m
+        |       FROM a1 JOIN e USING (vec_id) CROSS JOIN dims
+        |       GROUP BY 1, 2),
+        |m1l AS (SELECT cell, list(m ORDER BY dim) AS mv FROM m1 GROUP BY cell),
+        |c1 AS (SELECT s.cell, coalesce(m1l.mv, s.cv) AS cv
+        |       FROM s LEFT JOIN m1l USING (cell)),
+        |f2 AS (SELECT e.vec_id, c1.cell,
+        |         CAST(unnest(e.embedding) AS DOUBLE) AS x, unnest(c1.cv) AS c
+        |       FROM e CROSS JOIN c1),
+        |d2 AS (SELECT vec_id, cell, sum(x*c) AS dp, sum(x*x) AS nx, sum(c*c) AS nc
+        |       FROM f2 GROUP BY 1, 2),
+        |a2 AS (SELECT vec_id, cell FROM (
+        |    SELECT vec_id, cell,
+        |      row_number() OVER (PARTITION BY vec_id
+        |        ORDER BY round(dp/(sqrt(nx)*sqrt(nc)), 6) DESC, cell) AS rk
+        |    FROM d2) WHERE rk = 1),
+        |m2 AS (SELECT a2.cell, dims.dim,
+        |         round(avg(CAST(e.embedding[dims.dim+1] AS DOUBLE)), 6) AS m
+        |       FROM a2 JOIN e USING (vec_id) CROSS JOIN dims
+        |       GROUP BY 1, 2),
+        |m2l AS (SELECT cell, list(m ORDER BY dim) AS mv FROM m2 GROUP BY cell),
+        |c2 AS (SELECT c1.cell, coalesce(m2l.mv, c1.cv) AS cv
+        |       FROM c1 LEFT JOIN m2l USING (cell)),
+        |f3 AS (SELECT e.vec_id, c2.cell,
+        |         CAST(unnest(e.embedding) AS DOUBLE) AS x, unnest(c2.cv) AS c
+        |       FROM e CROSS JOIN c2),
+        |d3 AS (SELECT vec_id, cell, sum(x*c) AS dp, sum(x*x) AS nx, sum(c*c) AS nc
+        |       FROM f3 GROUP BY 1, 2),
+        |assign AS (SELECT vec_id AS item_id, cell FROM (
+        |    SELECT vec_id, cell,
+        |      row_number() OVER (PARTITION BY vec_id
+        |        ORDER BY round(dp/(sqrt(nx)*sqrt(nc)), 6) DESC, cell) AS rk
+        |    FROM d3) WHERE rk = 1),
+        |q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 8),
+        |f4 AS (SELECT q.query_id, c2.cell,
+        |         CAST(unnest(q.qe) AS DOUBLE) AS x, unnest(c2.cv) AS c
+        |       FROM q CROSS JOIN c2),
+        |d4 AS (SELECT query_id, cell, sum(x*c) AS dp, sum(x*x) AS nx, sum(c*c) AS nc
+        |       FROM f4 GROUP BY 1, 2),
+        |probe AS (SELECT query_id, cell FROM (
+        |    SELECT query_id, cell,
+        |      row_number() OVER (PARTITION BY query_id
+        |        ORDER BY round(dp/(sqrt(nx)*sqrt(nc)), 6) DESC, cell) AS crk
+        |    FROM d4) WHERE crk <= 4),
+        |cand AS (SELECT p.query_id, a.item_id
+        |         FROM probe p JOIN assign a USING (cell)
+        |         WHERE a.item_id <> p.query_id),
+        |f5 AS (SELECT cand.query_id, cand.item_id,
+        |         CAST(unnest(qq.embedding) AS DOUBLE) AS qx,
+        |         CAST(unnest(ee.embedding) AS DOUBLE) AS cx
+        |       FROM cand
+        |       JOIN embeddings qq ON qq.vec_id = cand.query_id
+        |       JOIN embeddings ee ON ee.vec_id = cand.item_id),
+        |d5 AS (SELECT query_id, item_id, sum(qx*cx) AS dp,
+        |              sum(qx*qx) AS nq, sum(cx*cx) AS nc
+        |       FROM f5 GROUP BY 1, 2),
+        |scored AS (SELECT query_id, item_id,
+        |                  round(dp/(sqrt(nq)*sqrt(nc)), 6) AS cos FROM d5)
+        |SELECT query_id, item_id, rank, cos FROM (
+        |  SELECT query_id, item_id, cos,
+        |         row_number() OVER (PARTITION BY query_id
+        |                            ORDER BY cos DESC, item_id) AS rank
+        |  FROM scored) WHERE rank <= 5""".stripMargin,
+
     "q_embed_neardup" ->
       """WITH e AS (SELECT vec_id, label, embedding FROM embeddings),
         |flat AS (
@@ -554,6 +704,35 @@ object SparkEntry {
         |         CAST(unnest(b.embedding) AS DOUBLE) AS xb
         |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id),
         |dots AS (SELECT a, b, sum(xa * xb) AS dp, sum(xa * xa) AS na, sum(xb * xb) AS nb
+        |         FROM flat GROUP BY 1, 2)
+        |SELECT a, b, round(dp / (sqrt(na) * sqrt(nb)), 6) AS cos
+        |FROM dots WHERE round(dp / (sqrt(na) * sqrt(nb)), 6) >= 0.3""".stripMargin,
+
+    // two-table dump check (the q_simhash_pairs pattern): the 16-bit
+    // sign-LSH signatures are engine-specific (q_lsh_sigs stays
+    // rows-only), but the PAIR OPERATOR — 4x4-bit banding, candidate
+    // self-join, dedupe, exact rounded-cosine >= 0.3 verify — is
+    // recomputed here in SQL from the DUMPED signatures
+    "q_embed_neardup_lsh" ->
+      """WITH sigs AS (
+        |  SELECT vec_id, sig
+        |  FROM read_parquet('__GRAFT_OUT__/q_lsh_sigs/*.parquet')),
+        |banded AS (
+        |  SELECT vec_id, bi, (sig >> CAST(bi * 4 AS INTEGER)) & 15 AS k
+        |  FROM sigs, range(4) t(bi)),
+        |cand AS (
+        |  SELECT DISTINCT l.vec_id AS a, r.vec_id AS b
+        |  FROM banded l JOIN banded r
+        |    ON l.bi = r.bi AND l.k = r.k AND l.vec_id < r.vec_id),
+        |flat AS (
+        |  SELECT cand.a, cand.b,
+        |         CAST(unnest(ea.embedding) AS DOUBLE) AS xa,
+        |         CAST(unnest(eb.embedding) AS DOUBLE) AS xb
+        |  FROM cand
+        |  JOIN embeddings ea ON ea.vec_id = cand.a
+        |  JOIN embeddings eb ON eb.vec_id = cand.b),
+        |dots AS (SELECT a, b, sum(xa * xb) AS dp, sum(xa * xa) AS na,
+        |                sum(xb * xb) AS nb
         |         FROM flat GROUP BY 1, 2)
         |SELECT a, b, round(dp / (sqrt(na) * sqrt(nb)), 6) AS cos
         |FROM dots WHERE round(dp / (sqrt(na) * sqrt(nb)), 6) >= 0.3""".stripMargin,
@@ -741,6 +920,161 @@ object SparkEntry {
         |  CASE WHEN id % 3 = 1 THEN CAST(8000 + (id % 4) * 8000 AS INTEGER) END AS sample_rate,
         |  CASE WHEN id % 3 = 1 THEN CAST(1 + (id // 2) % 2 AS INTEGER) END AS channels
         |FROM range(300) t(id)""".stripMargin,
+
+    // PQ replayed from the DUMPED trained codebook (q_pq_codebook — the
+    // two-table-dump pattern): encode = rounded-6dp L2 argmax per
+    // subspace (ties -> lowest code), reconstructed norm from the dumped
+    // per-(j,c) squared norms, per-query LUT, ADC ranking (40 = k x
+    // overscan candidates), exact rounded-cosine rescore. m=8, ksub=16,
+    // d=8 (the gate's literal config).
+    "q_ann_pq" ->
+      """WITH cb AS (SELECT j, c, dim, w, sqn
+        |            FROM read_parquet('__GRAFT_OUT__/q_pq_codebook/*.parquet')),
+        |e AS (SELECT vec_id,
+        |             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |      FROM embeddings),
+        |sc AS (SELECT e.vec_id, cb.j, cb.c,
+        |         round(sum(e.v[cb.j*8 + cb.dim + 1] * cb.w)
+        |               - any_value(cb.sqn)/2, 6) AS score
+        |       FROM e CROSS JOIN cb GROUP BY 1, 2, 3),
+        |codes AS (SELECT vec_id, j, c AS code FROM (
+        |    SELECT vec_id, j, c,
+        |      row_number() OVER (PARTITION BY vec_id, j
+        |                         ORDER BY score DESC, c) AS rk
+        |    FROM sc) WHERE rk = 1),
+        |sq AS (SELECT DISTINCT j, c, sqn FROM cb),
+        |recon AS (SELECT codes.vec_id, sqrt(sum(sq.sqn)) AS recon_norm
+        |          FROM codes JOIN sq ON sq.j = codes.j AND sq.c = codes.code
+        |          GROUP BY 1),
+        |q AS (SELECT vec_id AS query_id, v,
+        |             sqrt(list_sum(list_transform(v, x -> x*x))) AS qnorm
+        |      FROM e WHERE vec_id < 8),
+        |lut AS (SELECT q.query_id, cb.j, cb.c,
+        |               sum(q.v[cb.j*8 + cb.dim + 1] * cb.w) AS l
+        |        FROM q CROSS JOIN cb GROUP BY 1, 2, 3),
+        |adc AS (SELECT q.query_id, codes.vec_id AS item_id,
+        |          round(sum(lut.l) / (any_value(q.qnorm)
+        |                              * any_value(recon.recon_norm)), 6) AS acos
+        |        FROM q
+        |        JOIN codes ON codes.vec_id <> q.query_id
+        |        JOIN lut ON lut.query_id = q.query_id
+        |               AND lut.j = codes.j AND lut.c = codes.code
+        |        JOIN recon ON recon.vec_id = codes.vec_id
+        |        GROUP BY 1, 2),
+        |cand AS (SELECT query_id, item_id FROM (
+        |    SELECT query_id, item_id,
+        |      row_number() OVER (PARTITION BY query_id
+        |                         ORDER BY acos DESC, item_id) AS ark
+        |    FROM adc) WHERE ark <= 40),
+        |f3 AS (SELECT cand.query_id, cand.item_id,
+        |         CAST(unnest(qq.embedding) AS DOUBLE) AS qx,
+        |         CAST(unnest(ee.embedding) AS DOUBLE) AS cx
+        |       FROM cand
+        |       JOIN embeddings qq ON qq.vec_id = cand.query_id
+        |       JOIN embeddings ee ON ee.vec_id = cand.item_id),
+        |d3 AS (SELECT query_id, item_id, sum(qx*cx) AS dp,
+        |              sum(qx*qx) AS nq, sum(cx*cx) AS nc
+        |       FROM f3 GROUP BY 1, 2),
+        |scored AS (SELECT query_id, item_id,
+        |                  round(dp/(sqrt(nq)*sqrt(nc)), 6) AS cos FROM d3)
+        |SELECT query_id, item_id, rank, cos FROM (
+        |  SELECT query_id, item_id, cos,
+        |         row_number() OVER (PARTITION BY query_id
+        |                            ORDER BY cos DESC, item_id) AS rank
+        |  FROM scored) WHERE rank <= 5""".stripMargin,
+
+    // the COMPOSED IVF-PQ replay: the q_ann_ivf seed/assign/probe (8
+    // cells by portable hash, nProbe=3) gates WHICH items are ADC-scored;
+    // the q_ann_pq dumped-codebook encode/LUT/ADC scores them; exact
+    // rescore of the 40 candidates ranks the final 5
+    "q_ann_ivfpq" ->
+      """WITH cb AS (SELECT j, c, dim, w, sqn
+        |            FROM read_parquet('__GRAFT_OUT__/q_pq_codebook/*.parquet')),
+        |h AS (
+        |  SELECT vec_id, embedding,
+        |    ((((vec_id+41) % 1000003) * 2654435761 + 41) % 1000000
+        |     + (((vec_id+41) % 999983) * 2246822518) % 1000000) % 1000000 AS hk
+        |  FROM embeddings),
+        |s AS (SELECT vec_id AS cell, embedding AS cv FROM h
+        |      ORDER BY hk, vec_id LIMIT 8),
+        |e AS (SELECT vec_id,
+        |             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |      FROM embeddings),
+        |f1 AS (SELECT e2.vec_id, s.cell,
+        |         CAST(unnest(e2.embedding) AS DOUBLE) AS x,
+        |         CAST(unnest(s.cv) AS DOUBLE) AS c
+        |       FROM embeddings e2 CROSS JOIN s),
+        |d1 AS (SELECT vec_id, cell, sum(x*c) AS dp, sum(x*x) AS nx, sum(c*c) AS nc
+        |       FROM f1 GROUP BY 1, 2),
+        |assign AS (SELECT vec_id AS item_id, cell FROM (
+        |    SELECT vec_id, cell,
+        |      row_number() OVER (PARTITION BY vec_id
+        |        ORDER BY round(dp/(sqrt(nx)*sqrt(nc)), 6) DESC, cell) AS rk
+        |    FROM d1) WHERE rk = 1),
+        |q AS (SELECT vec_id AS query_id, v,
+        |             sqrt(list_sum(list_transform(v, x -> x*x))) AS qnorm
+        |      FROM e WHERE vec_id < 8),
+        |f2 AS (SELECT qq.vec_id AS query_id, s.cell,
+        |         CAST(unnest(qq.embedding) AS DOUBLE) AS x,
+        |         CAST(unnest(s.cv) AS DOUBLE) AS c
+        |       FROM embeddings qq CROSS JOIN s WHERE qq.vec_id < 8),
+        |d2 AS (SELECT query_id, cell, sum(x*c) AS dp, sum(x*x) AS nx, sum(c*c) AS nc
+        |       FROM f2 GROUP BY 1, 2),
+        |probe AS (SELECT query_id, cell FROM (
+        |    SELECT query_id, cell,
+        |      row_number() OVER (PARTITION BY query_id
+        |        ORDER BY round(dp/(sqrt(nx)*sqrt(nc)), 6) DESC, cell) AS crk
+        |    FROM d2) WHERE crk <= 3),
+        |sc AS (SELECT e.vec_id, cb.j, cb.c,
+        |         round(sum(e.v[cb.j*8 + cb.dim + 1] * cb.w)
+        |               - any_value(cb.sqn)/2, 6) AS score
+        |       FROM e CROSS JOIN cb GROUP BY 1, 2, 3),
+        |codes AS (SELECT vec_id, j, c AS code FROM (
+        |    SELECT vec_id, j, c,
+        |      row_number() OVER (PARTITION BY vec_id, j
+        |                         ORDER BY score DESC, c) AS rk
+        |    FROM sc) WHERE rk = 1),
+        |sq AS (SELECT DISTINCT j, c, sqn FROM cb),
+        |recon AS (SELECT codes.vec_id, sqrt(sum(sq.sqn)) AS recon_norm
+        |          FROM codes JOIN sq ON sq.j = codes.j AND sq.c = codes.code
+        |          GROUP BY 1),
+        |lut AS (SELECT q.query_id, cb.j, cb.c,
+        |               sum(q.v[cb.j*8 + cb.dim + 1] * cb.w) AS l
+        |        FROM q CROSS JOIN cb GROUP BY 1, 2, 3),
+        |probed AS (SELECT p.query_id, a.item_id
+        |           FROM probe p JOIN assign a USING (cell)
+        |           WHERE a.item_id <> p.query_id),
+        |adc AS (SELECT pr.query_id, pr.item_id,
+        |          round(sum(lut.l) / (any_value(q.qnorm)
+        |                              * any_value(recon.recon_norm)), 6) AS acos
+        |        FROM probed pr
+        |        JOIN q ON q.query_id = pr.query_id
+        |        JOIN codes ON codes.vec_id = pr.item_id
+        |        JOIN lut ON lut.query_id = pr.query_id
+        |               AND lut.j = codes.j AND lut.c = codes.code
+        |        JOIN recon ON recon.vec_id = pr.item_id
+        |        GROUP BY 1, 2),
+        |cand AS (SELECT query_id, item_id FROM (
+        |    SELECT query_id, item_id,
+        |      row_number() OVER (PARTITION BY query_id
+        |                         ORDER BY acos DESC, item_id) AS ark
+        |    FROM adc) WHERE ark <= 40),
+        |f3 AS (SELECT cand.query_id, cand.item_id,
+        |         CAST(unnest(qq.embedding) AS DOUBLE) AS qx,
+        |         CAST(unnest(ee.embedding) AS DOUBLE) AS cx
+        |       FROM cand
+        |       JOIN embeddings qq ON qq.vec_id = cand.query_id
+        |       JOIN embeddings ee ON ee.vec_id = cand.item_id),
+        |d3 AS (SELECT query_id, item_id, sum(qx*cx) AS dp,
+        |              sum(qx*qx) AS nq, sum(cx*cx) AS nc
+        |       FROM f3 GROUP BY 1, 2),
+        |scored AS (SELECT query_id, item_id,
+        |                  round(dp/(sqrt(nq)*sqrt(nc)), 6) AS cos FROM d3)
+        |SELECT query_id, item_id, rank, cos FROM (
+        |  SELECT query_id, item_id, cos,
+        |         row_number() OVER (PARTITION BY query_id
+        |                            ORDER BY cos DESC, item_id) AS rank
+        |  FROM scored) WHERE rank <= 5""".stripMargin,
 
     // materialized-layout parity: q_ann_ivfpq_mat serves IVF-PQ from the
     // cell-partitioned encode TABLE (partition-pruned probe); its oracle is
@@ -1507,6 +1841,30 @@ object SparkEntry {
         s"(((l_suppkey >> $i) & 1) << ${2 * i + 1})"))
       s"SELECT l_orderkey, l_linenumber, ${terms.mkString(" | ")} AS z FROM lineitem"
     },
+
+    // the z-layout + corner-code superset filter + residual box must
+    // reproduce the PLAIN 2-D box query exactly — the materialized-layout
+    // parity bar (q_ann_ivfpq_mat's) applied to Z-order
+    "q_zorder_mat" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey
+        |FROM lineitem
+        |WHERE l_partkey BETWEEN 256 AND 511
+        |  AND l_suppkey BETWEEN 32 AND 47""".stripMargin,
+
+    // the deterministic byte-aware partition assignment replayed as ONE
+    // running-sum window: the synthetic media table's payload length is a
+    // closed form of the id (65 + id % 192 single-byte chars), so the
+    // sharded two-pass cumulative-byte bucketing must equal
+    // floor(cum_bytes_before / 4096) under the global media_id order
+    "q_media_partition" ->
+      """WITH m AS (SELECT range AS media_id,
+        |                  CAST(65 + range % 192 AS BIGINT) AS n_bytes
+        |           FROM range(0, 300))
+        |SELECT media_id, n_bytes,
+        |       CAST(floor((sum(n_bytes) OVER (ORDER BY media_id
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |              - n_bytes) / 4096) AS BIGINT) AS bucket
+        |FROM m""".stripMargin,
 
     // the salted join must reproduce the plain inner join exactly
     "q_salted_join" ->
@@ -2299,9 +2657,11 @@ object SparkEntry {
         |UNION ALL SELECT 'line_name', 'nodeset_Line_l_orderkey_l_linenumber'
         |UNION ALL SELECT 'placed_name', 'relationshipset_PLACED_Customer_Order'
         |UNION ALL SELECT 'placed_path', '/warehouse/prod/relationshipset_PLACED_Customer_Order'""".stripMargin
-    // q_simhash_sigs (xxhash-derived signatures) / q_ann_ivf +
-    // q_ann_ivf_trained + q_embed_neardup_lsh (approximate by nature —
-    // quality-gated via q_ann_recall) / q_multimodal (stub codec):
-    // rows-only check — no portable SQL oracle exists for these.
+    // q_simhash_sigs / q_lsh_sigs (xxhash-derived signatures) /
+    // q_pq_codebook (engine-trained floats) / q_kcore (dump re-validated
+    // by q_kcore_check): rows-only structural dumps — each one's CONSUMER
+    // gate (q_simhash_pairs / q_embed_neardup_lsh / q_ann_pq + q_ann_ivfpq
+    // / q_kcore_check) replays the operator from it value-exactly, so no
+    // gate's rows go unverified.
   )
 }

@@ -224,8 +224,13 @@ final class StageRunner(spark: SparkSession, workDir: String) extends AutoClosea
     require(keepLast >= 1, s"keepLast must be >= 1, got $keepLast")
     val versions = log.snapshots().filter(_.stage == name)
       .sortBy(_.version).map(_.path).distinct
+    // containment check is separator-bounded: a SIBLING dir sharing the
+    // workDir prefix (".../wd-other/v1" vs workDir ".../wd") must not pass
+    val workRoot =
+      if (workDir.endsWith(java.io.File.separator)) workDir
+      else workDir + java.io.File.separator
     val doomed = versions.dropRight(keepLast)
-      .filter(p => p.startsWith(workDir) && p.matches(""".*(/v|__v)\d+$"""))
+      .filter(p => p.startsWith(workRoot) && p.matches(""".*(/v|__v)\d+$"""))
     doomed.foreach { p =>
       val root = java.nio.file.Paths.get(p)
       if (java.nio.file.Files.exists(root)) {

@@ -30,4 +30,33 @@ object Layout {
     }
     terms.reduce(_ bitwiseOR _)
   }
+
+  /** Driver-side scalar twin of [[zOrder2]] — for computing the z codes of
+    * a query box's corners. z is monotone in each coordinate (a coordinate's
+    * bits occupy fixed disjoint positions, so increasing it with the other
+    * held fixed increases z), hence every point inside the box
+    * [alo,ahi]×[blo,bhi] satisfies zValue(alo,blo) <= z <= zValue(ahi,bhi):
+    * the corner interval is a correct SUPERSET filter to push at the scan
+    * of a z-sorted table (row-group min/max pruning serves it), with the
+    * residual box predicates removing the curve's excursions exactly.
+    */
+  def zValue(a: Long, b: Long, bits: Int): Long = {
+    require(bits >= 1 && bits <= 31, s"bits must be in [1,31], got $bits")
+    (0 until bits).foldLeft(0L) { (acc, i) =>
+      acc | (((a >>> i) & 1L) << (2 * i)) | (((b >>> i) & 1L) << (2 * i + 1))
+    }
+  }
+
+  /** Materialize a table in Z-order: compute z = [[zOrder2]](a, b), range-
+    * partition on it (contiguous z ranges per file — parallel, never a
+    * single-task global sort) and sort within partitions, so EVERY file's
+    * parquet min/max on z is a tight interval and a corner-code range
+    * filter skips files/row groups on BOTH dimensions.
+    */
+  def writeZOrdered(df: org.apache.spark.sql.DataFrame, aCol: String, bCol: String,
+                    bits: Int, path: String, nFiles: Int = 16): Unit =
+    df.withColumn("z", zOrder2(col(aCol), col(bCol), bits))
+      .repartitionByRange(nFiles, col("z"))
+      .sortWithinPartitions("z")
+      .write.mode("overwrite").parquet(path)
 }

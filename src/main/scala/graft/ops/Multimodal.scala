@@ -97,6 +97,46 @@ object Multimodal {
       .drop("_pid", "_ord", "_bytes", "_offset", "_cum", "_bucket")
   }
 
+  /** Byte-aware partition assignment under a TOTAL ORDER (the key column):
+    * bucket = floor(cumulative-bytes-before-this-row / targetBytes) with
+    * rows ordered by `keyCol` — the deterministic, value-checkable twin of
+    * [[repartitionBySize]] (which orders by physical input partition and so
+    * depends on the scan split). Same two-pass shape, never a single-task
+    * global sort:
+    *  (1) shard rows into `nShards` CONTIGUOUS key ranges (width from one
+    *      tiny max-key aggregation);
+    *  (2) per-shard byte subtotals — nShards rows collected for the driver
+    *      prefix offsets (the O(shards) state every range partitioner
+    *      keeps);
+    *  (3) per-row running sum via a window partitioned BY SHARD (bounded
+    *      work per task) plus the shard's prefix offset.
+    * Returns (keyCol, n_bytes, bucket); feed bucket to repartitionByRange
+    * to materialize the layout. Integral non-negative keys.
+    */
+  def sizeBucketsByKey(media: DataFrame, targetBytes: Long,
+                       keyCol: String = "media_id", nShards: Int = 8): DataFrame = {
+    require(targetBytes > 0, "targetBytes must be positive")
+    require(nShards > 0, "nShards must be positive")
+    val spark = media.sparkSession
+    import spark.implicits._
+    val maxKey = media.agg(max(col(keyCol).cast("long"))).head().getLong(0)
+    val shardWidth = math.max(1L, maxKey / nShards + 1L)
+    val keyed = media.select(col(keyCol).cast("long").as("_k"),
+        coalesce(length(col("payload")).cast("long"), lit(0L)).as("n_bytes"))
+      .withColumn("_shard", floor(col("_k") / shardWidth))
+    val subtotals = keyed.groupBy("_shard").agg(sum(col("n_bytes")).as("_ssum"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    // prefix offset of each shard = total bytes of all LOWER shards
+    val offsets = subtotals.map(_._1).zip(
+      subtotals.map(_._2).scanLeft(0L)(_ + _)).toSeq.toDF("_shard", "_offset")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("_shard").orderBy("_k")
+    keyed.join(broadcast(offsets), Seq("_shard"))
+      .withColumn("_cum", sum(col("n_bytes")).over(w) + col("_offset") - col("n_bytes"))
+      .select(col("_k").as(keyCol), col("n_bytes"),
+        floor(col("_cum") / targetBytes).as("bucket"))
+  }
+
   /** ===== STUBBED KERNEL (JPEG-scan / video codecs only) =====
     * Real implementation decodes payload with an image/audio codec and runs
     * a feature extractor. For PNG pixels that decode EXISTS — see

@@ -68,7 +68,9 @@ object Pq {
     val dim = embs.select(size(v)).head().getInt(0)
     require(dim % m == 0, s"dim $dim not divisible by m=$m")
     val d = dim / m
-    val seeds = embs.orderBy(xxhash64(col(idCol))).limit(ksub)
+    val seeds = embs
+      .orderBy(Sampling.bucket(col(idCol).cast("long"), Similarity.SeedSalt), col(idCol))
+      .limit(ksub)
       .select(v.as("v")).collect().map(_.getSeq[Double](0).toIndexedSeq)
     require(seeds.length == ksub, s"need >= $ksub vectors to train, got ${seeds.length}")
     var cents: Seq[Seq[Seq[Double]]] =
@@ -95,12 +97,16 @@ object Pq {
 
   /** Nearest code in ONE subspace by L2, as a literal-argmax projection
     * (ties → lowest code): argmin ||x−c||² = argmax (dot − |c|²/2).
+    * The score is ROUNDED to 6dp before the argmax (the portable-argmax
+    * contract [[Similarity.nearestCell]] documents), so codes are an
+    * exact function of (vector, codebook) and the q_ann_pq oracle
+    * replays the encoding from the dumped codebook.
     */
   private def nearestCode(sub: Column, cents: Seq[Seq[Double]]): Column = {
     val scored = array(cents.zipWithIndex.map { case (cv, c) =>
       val sq = cv.map(x => x * x).sum
       struct(
-        (dotLit(sub, cv) - lit(sq / 2.0)).as("score"),
+        round(dotLit(sub, cv) - lit(sq / 2.0), 6).as("score"),
         lit(-c).as("negCode"))
     }: _*)
     (-array_max(scored).getField("negCode")).cast("int")
@@ -154,7 +160,8 @@ object Pq {
       lutFlat(qv, cb).as("_lut"), Similarity.norm(qv).as("_qnorm"))
     val approx = enc.join(broadcast(q), col("item_id") =!= col("query_id"))
       .withColumn("acos",
-        adcCos(col("codes"), col("_lut"), col("_qnorm"), col("recon_norm"), cb.ksub))
+        round(adcCos(col("codes"), col("_lut"), col("_qnorm"), col("recon_norm"),
+          cb.ksub), 6))
     val wA = Window.partitionBy(col("query_id")).orderBy(col("acos").desc, col("item_id"))
     val cand = approx.withColumn("ark", row_number().over(wA))
       .filter(col("ark") <= k * overscan)
@@ -164,7 +171,7 @@ object Pq {
     val rescored = cand
       .join(c, Seq("item_id"))
       .join(broadcast(q.select(col("query_id"), col("_qv"))), Seq("query_id"))
-      .withColumn("cos", Similarity.cosine(col("_cv"), col("_qv")))
+      .withColumn("cos", round(Similarity.cosine(col("_cv"), col("_qv")), 6))
     val wE = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("item_id"))
     rescored.withColumn("rank", row_number().over(wE))
       .filter(col("rank") <= k)
@@ -200,7 +207,7 @@ object Pq {
     val q = queries.select(col(idCol).as("query_id"), qv.as("_qv"),
       lutFlat(qv, cb).as("_lut"), Similarity.norm(qv).as("_qnorm"))
     val probe = q.join(broadcast(centDf))
-      .withColumn("ccos", Similarity.cosine(col("_qv"), col("cv")))
+      .withColumn("ccos", round(Similarity.cosine(col("_qv"), col("cv")), 6))
       .withColumn("crk", row_number().over(
         Window.partitionBy(col("query_id")).orderBy(col("ccos").desc, col("cell"))))
       .filter(col("crk") <= nProbe)
@@ -208,7 +215,8 @@ object Pq {
     val approx = encCells.join(probe, "cell")
       .filter(col("item_id") =!= col("query_id"))
       .withColumn("acos",
-        adcCos(col("codes"), col("_lut"), col("_qnorm"), col("recon_norm"), cb.ksub))
+        round(adcCos(col("codes"), col("_lut"), col("_qnorm"), col("recon_norm"),
+          cb.ksub), 6))
     val wA = Window.partitionBy(col("query_id")).orderBy(col("acos").desc, col("item_id"))
     val cand = approx.withColumn("ark", row_number().over(wA))
       .filter(col("ark") <= k * overscan)
@@ -218,7 +226,7 @@ object Pq {
     val rescored = cand
       .join(c, Seq("item_id"))
       .join(broadcast(q.select(col("query_id"), col("_qv"))), Seq("query_id"))
-      .withColumn("cos", Similarity.cosine(col("_cv"), col("_qv")))
+      .withColumn("cos", round(Similarity.cosine(col("_cv"), col("_qv")), 6))
     val wE = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("item_id"))
     rescored.withColumn("rank", row_number().over(wE))
       .filter(col("rank") <= k)
@@ -262,7 +270,7 @@ object Pq {
     val q = queries.select(col(idCol).as("query_id"), qv.as("_qv"),
       lutFlat(qv, cb).as("_lut"), Similarity.norm(qv).as("_qnorm"))
     val probe = q.join(broadcast(centDf))
-      .withColumn("ccos", Similarity.cosine(col("_qv"), col("cv")))
+      .withColumn("ccos", round(Similarity.cosine(col("_qv"), col("cv")), 6))
       .withColumn("crk", row_number().over(
         Window.partitionBy(col("query_id")).orderBy(col("ccos").desc, col("cell"))))
       .filter(col("crk") <= nProbe)
@@ -275,7 +283,8 @@ object Pq {
     val approx = enc.join(probe, "cell")
       .filter(col("item_id") =!= col("query_id"))
       .withColumn("acos",
-        adcCos(col("codes"), col("_lut"), col("_qnorm"), col("recon_norm"), cb.ksub))
+        round(adcCos(col("codes"), col("_lut"), col("_qnorm"), col("recon_norm"),
+          cb.ksub), 6))
     val wA = Window.partitionBy(col("query_id")).orderBy(col("acos").desc, col("item_id"))
     val cand = approx.withColumn("ark", row_number().over(wA))
       .filter(col("ark") <= k * overscan)
@@ -285,7 +294,7 @@ object Pq {
     val rescored = cand
       .join(c, Seq("item_id"))
       .join(broadcast(q.select(col("query_id"), col("_qv"))), Seq("query_id"))
-      .withColumn("cos", Similarity.cosine(col("_cv"), col("_qv")))
+      .withColumn("cos", round(Similarity.cosine(col("_cv"), col("_qv")), 6))
     val wE = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("item_id"))
     rescored.withColumn("rank", row_number().over(wE))
       .filter(col("rank") <= k)

@@ -238,40 +238,6 @@ object Sampling {
       .drop("_wrk")
   }
 
-  /** Deterministic global training-order shuffle: every row gets its rank
-    * (0-based) under the (hash, id) total order — i.e. `pos` enumerates a
-    * seeded pseudorandom permutation of the corpus, the order an epoch
-    * feeds examples to the trainer. Re-runs (and other engines) reproduce
-    * the permutation exactly, and appending new rows perturbs only where
-    * the new hashes land, not the relative order of the old rows.
-    *
-    * Scale shape: the classic two-pass global index — NEVER a global sort
-    * into one task. The hash range is cut into `nShards` contiguous
-    * slices; pass 1 counts rows per shard (map-side partial agg to
-    * `nShards` rows, the cumulative offsets computed in a 1-partition
-    * window over that TINY table only); pass 2 ranks within each shard in
-    * parallel (one hash shuffle on the shard key, sort-based windows
-    * spill) and adds the shard's offset via a broadcast join. With
-    * nShards sized to the cluster (4–8× cores), no task ever sees more
-    * than ~1/nShards of the data.
-    */
-  /** Deterministic global training-order shuffle: every row gets its rank
-    * (0-based) under the (hash, id) total order — i.e. `pos` enumerates a
-    * seeded pseudorandom permutation of the corpus, the order an epoch
-    * feeds examples to the trainer. Re-runs (and other engines) reproduce
-    * the permutation exactly, and appending new rows perturbs only where
-    * the new hashes land, not the relative order of the old rows.
-    *
-    * Scale shape: the classic two-pass global index — NEVER a global sort
-    * into one task. The hash range is cut into `nShards` contiguous
-    * slices; pass 1 counts rows per shard (map-side partial agg to
-    * `nShards` rows, the cumulative offsets computed in a 1-partition
-    * window over that TINY table only); pass 2 ranks within each shard in
-    * parallel (one hash shuffle on the shard key, sort-based windows
-    * spill) and adds the shard's offset via a broadcast join. With
-    * nShards sized to the cluster (4–8× cores), no task ever sees more
-    * than ~1/nShards of the data.
-    */
   /** Deterministic negative-pair sampling for contrastive training: k
     * pseudo-random partners per anchor, drawn uniformly over the corpus by
     * hashing (anchor, j) into the [[shufflePositions]] permutation — no
@@ -289,6 +255,14 @@ object Sampling {
   def negativePairs(df: DataFrame, k: Int, idCol: String = "doc_id",
                     salt: Long = 29L, nShards: Int = 64): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
+    // integral-id contract (the randomWalks rule): the partner seed is
+    // anchor_id*k + j, which silently NULLs (dropping every pair) on a
+    // non-numeric id column
+    require(Set[org.apache.spark.sql.types.DataType](
+        org.apache.spark.sql.types.ByteType, org.apache.spark.sql.types.ShortType,
+        org.apache.spark.sql.types.IntegerType, org.apache.spark.sql.types.LongType)
+        .contains(df.schema(idCol).dataType),
+      s"negativePairs requires an integral id column; $idCol is ${df.schema(idCol).dataType}")
     val pos = shufflePositions(df.select(col(idCol)), nShards, idCol, salt)
     val n = pos.agg(count(lit(1)).as("_n"))
     val seed = col("anchor_id") * lit(k.toLong) + col("j")
@@ -308,6 +282,23 @@ object Sampling {
       .select(col("anchor_id"), col("j"), col("neg_id"))
   }
 
+  /** Deterministic global training-order shuffle: every row gets its rank
+    * (0-based) under the (hash, id) total order — i.e. `pos` enumerates a
+    * seeded pseudorandom permutation of the corpus, the order an epoch
+    * feeds examples to the trainer. Re-runs (and other engines) reproduce
+    * the permutation exactly, and appending new rows perturbs only where
+    * the new hashes land, not the relative order of the old rows.
+    *
+    * Scale shape: the classic two-pass global index — NEVER a global sort
+    * into one task. The hash range is cut into `nShards` contiguous
+    * slices; pass 1 counts rows per shard (map-side partial agg to
+    * `nShards` rows, the cumulative offsets computed in a 1-partition
+    * window over that TINY table only); pass 2 ranks within each shard in
+    * parallel (one hash shuffle on the shard key, sort-based windows
+    * spill) and adds the shard's offset via a broadcast join. With
+    * nShards sized to the cluster (4–8× cores), no task ever sees more
+    * than ~1/nShards of the data.
+    */
   def shufflePositions(df: DataFrame, nShards: Int, idCol: String = "doc_id",
                        salt: Long = 17L, posCol: String = "pos"): DataFrame = {
     require(nShards > 0, s"nShards must be positive, got $nShards")

@@ -29,23 +29,6 @@ object Search {
         explode(split(lower(trim(col(textCol))), "\\s+")).as("term"))
       .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
 
-  /** BM25 top-k: score every document containing at least one query term
-    * with Okapi BM25 (`idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl))`,
-    * idf = ln(1 + (N−df+0.5)/(df+0.5))) and return the k best as
-    * (doc_id, score) with score rounded to 6 dp, ordered by
-    * (rounded score DESC, doc_id) — a total order, so the cut at k is
-    * deterministic.
-    *
-    * Shape: the postings probe filters to the query's terms FIRST (at
-    * corpus scale, a term-bucketed postings table prunes to the terms'
-    * buckets), so everything downstream — the per-term df aggregate
-    * (≤ |query| rows, broadcast), the doc-length join, the per-doc score
-    * sum — runs on matching postings only, never the corpus. The global
-    * (N, avgdl) pair rides a broadcast one-row cross join, not a driver
-    * `.head()`. Scoring is one shuffle keyed on doc_id; the final top-k
-    * is a TakeOrdered (per-partition heads + one driver merge of k·p
-    * rows), never a full sort.
-    */
   /** TF-IDF keyword extraction: the k most distinctive terms per
     * document, scored tf · ln(N/df) and ranked per doc by the
     * 6-dp-ROUNDED score (ties → lexicographic term — a total order, so
@@ -74,6 +57,23 @@ object Search {
       .select(col("doc_id"), col("rank"), col("term"), col("score"))
   }
 
+  /** BM25 top-k: score every document containing at least one query term
+    * with Okapi BM25 (`idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl))`,
+    * idf = ln(1 + (N−df+0.5)/(df+0.5))) and return the k best as
+    * (doc_id, score) with score rounded to 6 dp, ordered by
+    * (rounded score DESC, doc_id) — a total order, so the cut at k is
+    * deterministic.
+    *
+    * Shape: the postings probe filters to the query's terms FIRST (at
+    * corpus scale, a term-bucketed postings table prunes to the terms'
+    * buckets), so everything downstream — the per-term df aggregate
+    * (≤ |query| rows, broadcast), the doc-length join, the per-doc score
+    * sum — runs on matching postings only, never the corpus. The global
+    * (N, avgdl) pair rides a broadcast one-row cross join, not a driver
+    * `.head()`. Scoring is one shuffle keyed on doc_id; the final top-k
+    * is a TakeOrdered (per-partition heads + one driver merge of k·p
+    * rows), never a full sort.
+    */
   def bm25TopK(docs: DataFrame, query: Seq[String], k: Int,
                k1: Double = 1.2, b: Double = 0.75,
                idCol: String = "doc_id", textCol: String = "text"): DataFrame = {

@@ -103,7 +103,11 @@ object Similarity {
     val out = cand
       .join(vecs.select(col("id").as("a"), col("v").as("va")), Seq("a"))
       .join(vecs.select(col("id").as("b"), col("v").as("vb")), Seq("b"))
-      .withColumn("cos", cosine(col("va"), col("vb")))
+      // ROUNDED-6dp cosine before the threshold (the portable boundary rule
+      // every exact-cosine gate uses), so the verified pair set is an exact
+      // function of the dumped band signatures + vectors and the
+      // q_embed_neardup_lsh oracle recomputes it in SQL
+      .withColumn("cos", round(cosine(col("va"), col("vb")), 6))
       .filter(col("cos") >= threshold)
       .select("a", "b", "cos")
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -115,20 +119,20 @@ object Similarity {
 
   /** Nearest-centroid cell for a vector column, from a driver-side centroid
     * set inlined as literals: a SINGLE codegen'd projection — no ×nCells
-    * join explode, no per-id window, ZERO shuffle. Ties break on the lowest
-    * cell id. The literal inlining is the MLlib move (KMeans broadcasts its
-    * k·dim centers every iteration); it is the right trade up to a few
-    * thousand cells × dims — beyond that, switch to a broadcast join +
-    * `max_by` aggregation.
+    * join explode, no per-id window, ZERO shuffle. The literal inlining is
+    * the MLlib move (KMeans broadcasts its k·dim centers every iteration);
+    * it is the right trade up to a few thousand cells × dims — beyond
+    * that, switch to a broadcast join + `max_by` aggregation.
+    *
+    * Portability contract (shared with [[kmeansAssign]] and every gated
+    * IVF path): the argmax compares the ROUNDED-6dp cosine, ties to the
+    * lowest cell id — so the winning cell is an exact function of
+    * engine-identical inputs and an independent SQL engine replays the
+    * assignment bit-for-bit (raw-cos argmax could flip on centroids whose
+    * cosines differ only in summation-order ulps).
     */
-  def nearestCell(vec: Column, cents: Seq[(Long, Seq[Double])]): Column = {
-    val scored = array(cents.map { case (cell, cv) =>
-      struct(
-        cosine(vec, array(cv.map(lit): _*)).as("cos"),
-        lit(-cell).as("negCell"))
-    }: _*)
-    -array_max(scored).getField("negCell")
-  }
+  def nearestCell(vec: Column, cents: Seq[(Long, Seq[Double])]): Column =
+    -nearestCellRounded(vec, cents).getField("negCell")
 
   /** (rounded cos, cell) of the nearest centroid under ROUNDED-6dp cosine,
     * ties to the lowest cell id — the portable-argmax variant
@@ -238,15 +242,27 @@ object Similarity {
       best.getField("cos").as("cos"))
   }
 
+  /** Salt for the coarse-centroid seed pick (any fixed value works; 41 is
+    * not used by the sampling/split gates, so seeding and sampling stay
+    * decorrelated).
+    */
+  val SeedSalt = 41L
+
   /** Deterministic coarse-centroid pick: the nCells vectors whose ids hash
-    * lowest — a seeded sample, collected to the driver (nCells·dim values,
-    * the same scale as any broadcast side). Plans as TakeOrderedAndProject:
-    * parallel per-partition top-nCells + a driver merge of nCells rows, NOT
-    * a global sort, so a 10^9-vector corpus never funnels through one task.
+    * lowest under the repo's PORTABLE double-fold hash ([[Sampling.bucket]]
+    * — exact 64-bit integer arithmetic any engine reproduces, unlike a
+    * Spark-private xxhash64 seeding), id-tiebroken — a seeded sample,
+    * collected to the driver (nCells·dim values, the same scale as any
+    * broadcast side). Plans as TakeOrderedAndProject: parallel
+    * per-partition top-nCells + a driver merge of nCells rows, NOT a
+    * global sort, so a 10^9-vector corpus never funnels through one task.
+    * Hash-order (not id-order) keeps the pick pseudo-random when ids
+    * correlate with content (appends, per-source ranges). Integral ids
+    * only (the portable hash is integer arithmetic).
     */
   def seedCentroidsDF(embs: DataFrame, nCells: Int,
                       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
-    embs.orderBy(xxhash64(col(idCol)))
+    embs.orderBy(Sampling.bucket(col(idCol).cast("long"), SeedSalt), col(idCol))
       .limit(nCells)
       .select(col(idCol).cast("long").as("cell"), col(vecCol).cast("array<double>").as("cv"))
 
@@ -260,7 +276,11 @@ object Similarity {
   /** Lloyd's k-means refinement of the seed centroids: `iters` rounds of
     * (zero-shuffle nearest-cell assign) → (per-cell elementwise mean).
     * Cells keep their seed ids; a cell that goes empty keeps its previous
-    * centroid. Deterministic up to floating-point summation order.
+    * centroid. Fully engine-portable (the [[kmeansAssign]] contract):
+    * assignment argmaxes the ROUNDED-6dp cosine (ties → lowest cell) and
+    * the per-dim means are rounded to 6dp before re-entering the next
+    * round, so an independent SQL engine unrolls the identical training
+    * trajectory (the q_ann_ivf_trained oracle does).
     *
     * Scale shape per iteration: the corpus NEVER shuffles — the mean is a
     * groupBy(cell) over `dim` fixed-width sum columns (`element_at`, no
@@ -284,7 +304,7 @@ object Similarity {
         .collect()
         .map { r =>
           val n = r.getLong(1).toDouble
-          (r.getLong(0), (0 until dim).map(i => r.getDouble(i + 2) / n))
+          (r.getLong(0), (0 until dim).map(i => round6(r.getDouble(i + 2) / n)))
         }.toMap
       cents = cents.map { case (cell, old) => (cell, means.getOrElse(cell, old)) }
     }
@@ -354,6 +374,12 @@ object Similarity {
 
   /** IVF top-k search: score queries against centroids (broadcast), keep the
     * nProbe best cells per query, then search only vectors in those cells.
+    *
+    * Every comparison along the path — cell assignment, probe ranking, the
+    * final candidate ranking — is on the ROUNDED-6dp cosine with id
+    * tiebreaks (the portable-argmax contract), so the whole search is an
+    * exact function of the inputs and the q_ann_ivf / q_ann_ivf_trained
+    * oracles replay it value-exactly in SQL.
     */
   def ivfTopK(embs: DataFrame, queries: DataFrame, k: Int, nCells: Int, nProbe: Int,
               idCol: String = "vec_id", vecCol: String = "embedding",
@@ -361,7 +387,7 @@ object Similarity {
     val (centroids, assigned) = ivfAssign(embs, nCells, idCol, vecCol, trainIters)
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("_qv"))
     val probe = q.join(broadcast(centroids))
-      .withColumn("ccos", cosine(col("_qv"), col("cv")))
+      .withColumn("ccos", round(cosine(col("_qv"), col("cv")), 6))
       .withColumn("crk", row_number().over(
         Window.partitionBy(col("query_id")).orderBy(col("ccos").desc, col("cell"))))
       .filter(col("crk") <= nProbe)
@@ -369,7 +395,7 @@ object Similarity {
     val cand = assigned.select(col(idCol).as("item_id"), col(vecCol).as("_cv"), col("cell"))
       .join(probe, "cell")
       .filter(col("item_id") =!= col("query_id"))
-      .withColumn("cos", cosine(col("_cv"), col("_qv")))
+      .withColumn("cos", round(cosine(col("_cv"), col("_qv")), 6))
     cand.withColumn("rank", row_number().over(
         Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("item_id"))))
       .filter(col("rank") <= k)

@@ -398,28 +398,113 @@ object TextOps {
   /** BPE-merge TRAINER: learns `numMerges` merges from the corpus by the
     * classic greedy loop — count adjacent token pairs over the current
     * segmentation of every word occurrence, take the most frequent pair
-    * (ties → lexicographically smallest, a total order so the result is a
-    * pure function of the corpus), merge it everywhere, repeat.
+    * (ties → lexicographically smallest by UTF-8 bytes, a total order so
+    * the result is a pure function of the corpus), merge it everywhere,
+    * repeat. Pair counts weigh by word frequency over the DISTINCT-word
+    * table, so the corpus text is segmented once, never per round.
     *
-    * Each round is ONE distributed pair-count aggregation (explode of
-    * adjacent pairs, map-side partial counts over the distinct-word
-    * frequency table — the corpus text is segmented once, not per round)
-    * plus a 1-row collect of the winning pair: the bounded driver loop of
-    * the MLlib/k-means pattern (numMerges is a training hyperparameter,
-    * never data-sized). Merge application between rounds is the same
-    * portable replace pass the encoder uses, so train → apply →
-    * re-count is self-consistent.
+    * Size-adaptive execution (the ConnectedComponents/Tarjan cutover
+    * rule): the distinct-word frequency table is vocabulary-sized — tiny
+    * relative to any corpus — so when it has <= `localThreshold` rows it
+    * is collected ONCE and the greedy loop runs driver-side in memory
+    * (one Spark job total instead of ~2 per merge round; at 1k+ merges
+    * that is thousands of driver-paced jobs saved). Above the threshold
+    * each round is ONE distributed pair-count aggregation plus a 1-row
+    * collect of the winning pair — the bounded driver loop of the
+    * MLlib/k-means pattern (numMerges is a training hyperparameter, never
+    * data-sized). Both paths implement the identical greedy rule
+    * (BpeSpec asserts merge-for-merge equality across the cutover), and
+    * merge application matches the encoder's left-to-right
+    * non-overlapping replace pass, so train → apply → re-count is
+    * self-consistent.
     */
   def bpeTrain(docs: DataFrame, numMerges: Int,
-               textCol: String = "text"): Seq[(String, String)] = {
+               textCol: String = "text",
+               localThreshold: Long = 100000L): Seq[(String, String)] = {
     require(numMerges >= 1 && numMerges <= 4096,
       s"numMerges must be in [1,4096], got $numMerges")
-    import org.apache.spark.storage.StorageLevel
     // distinct words with occurrence counts: pair counting then weighs by
     // freq instead of re-walking every occurrence
-    var seg = docs.select(explode(split(lower(trim(col(textCol))), "\\s+")).as("w"))
+    val words = docs.select(explode(split(lower(trim(col(textCol))), "\\s+")).as("w"))
       .filter(length(col("w")) > 0)
       .groupBy("w").agg(count(lit(1)).as("freq"))
+    if (words.count() <= localThreshold) bpeTrainLocal(words, numMerges)
+    else bpeTrainDistributed(words, numMerges)
+  }
+
+  /** Driver-side greedy loop over the collected (word, freq) vocabulary —
+    * exact same rule as [[bpeTrainDistributed]]: max pair count, ties to
+    * the UTF-8-byte-smallest (a, b) (Spark's string sort order), merges
+    * applied left-to-right non-overlapping.
+    */
+  private def bpeTrainLocal(words: DataFrame,
+                            numMerges: Int): Seq[(String, String)] = {
+    // code-point segmentation — the twin of regexp_replace("(.)", "$1 ")
+    var segs: Array[(Array[String], Long)] = words.collect().map { r =>
+      val toks = r.getString(0).codePoints().toArray
+        .map(cp => new String(Character.toChars(cp)))
+      (toks, r.getLong(1))
+    }
+    def byteCmp(x: String, y: String): Int =
+      java.util.Arrays.compareUnsigned(
+        x.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+        y.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var round = 0
+    var exhausted = false
+    while (round < numMerges && !exhausted) {
+      val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      segs.foreach { case (toks, freq) =>
+        var i = 0
+        while (i + 1 < toks.length) {
+          val k = (toks(i), toks(i + 1))
+          counts.update(k, counts.getOrElse(k, 0L) + freq)
+          i += 1
+        }
+      }
+      if (counts.isEmpty) exhausted = true
+      else {
+        // max count first, then byte-smallest (a, b): one linear scan
+        var best: ((String, String), Long) = null
+        counts.foreach { kv =>
+          if (best == null || kv._2 > best._2 ||
+            (kv._2 == best._2 && {
+              val ca = byteCmp(kv._1._1, best._1._1)
+              ca < 0 || (ca == 0 && byteCmp(kv._1._2, best._1._2) < 0)
+            })) best = kv
+        }
+        val (a, b) = best._1
+        out += ((a, b))
+        segs = segs.map { case (toks, freq) =>
+          if (toks.length < 2) (toks, freq)
+          else {
+            val merged = scala.collection.mutable.ArrayBuffer.empty[String]
+            var i = 0
+            while (i < toks.length) {
+              if (i + 1 < toks.length && toks(i) == a && toks(i + 1) == b) {
+                merged += a + b
+                // the string replace consumes the TRAILING space, so the
+                // next token can never start a match ("aaaa" → aa a a —
+                // the documented portable contract; see TextOpsSpec)
+                if (i + 2 < toks.length) merged += toks(i + 2)
+                i += 3
+              } else { merged += toks(i); i += 1 }
+            }
+            (merged.toArray, freq)
+          }
+        }
+        round += 1
+      }
+    }
+    out.toSeq
+  }
+
+  /** Distributed greedy loop: per round one pair-count aggregation over
+    * the segmented vocabulary plus a 1-row collect of the winner.
+    */
+  private def bpeTrainDistributed(words: DataFrame,
+                                  numMerges: Int): Seq[(String, String)] = {
+    var seg = words
       .select(concat(lit(" "), trim(regexp_replace(col("w"), "(.)", "$1 ")),
         lit(" ")).as("s"), col("freq"))
       .localCheckpoint()

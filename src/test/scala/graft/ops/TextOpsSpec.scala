@@ -230,6 +230,18 @@ class TextOpsSpec extends SparkSpec {
     assert(merges === Seq(("l", "o"), ("lo", "w"), ("low", "e"), ("lowe", "r")))
   }
 
+  test("bpeTrain driver cutover and distributed path learn identical merges") {
+    import spark.implicits._
+    val docs = Seq("low lower lowest low", "newer newest new aaaa",
+      "wider wide widest low").toDF("text")
+    // localThreshold=0 forces the distributed path; default takes the
+    // driver path — merge-for-merge equality across the cutover,
+    // including the consumed-trailing-space overlap rule ("aaaa")
+    val local = TextOps.bpeTrain(docs, numMerges = 12)
+    val dist = TextOps.bpeTrain(docs, numMerges = 12, localThreshold = 0L)
+    assert(local === dist)
+  }
+
   test("bpeSegment applies merges in order; leftmost-non-overlap contract") {
     import spark.implicits._
     val merges = Seq(("l", "o"), ("lo", "w"), ("low", "e"), ("lowe", "r"))
