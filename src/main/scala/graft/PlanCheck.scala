@@ -45,7 +45,11 @@ object PlanCheck {
                            // means = one ≤k-cell aggregation
       "q_lm_score",        // r4: bigram model joins — counts tables on the
                            // (w1,w2)/(w1) keys, V broadcast, no cross blowup
-      "q_contamination"    // r4: broadcast gram membership + doc-keyed agg
+      "q_contamination",   // r4: broadcast gram membership + doc-keyed agg
+      "q_zorder_mat"       // r5: materialized Z-order layout — the z
+                           // corner-code range MUST land in PushedFilters
+                           // (row-group min/max pruning on BOTH dimensions
+                           // of the box at once)
     )
     for (name <- interesting) {
       println(s"\n================ $name ================")

@@ -678,8 +678,20 @@ object Queries {
     val embs = t(s, dir, "embeddings")
       .select(col("vec_id"), expr("transform(embedding, x -> cast(x as double))").as("embedding"))
     val queries = embs.filter(col("vec_id") < 8)
-    Similarity.ivfTopK(embs, queries, 5, nCells = 16, nProbe = 4, trainIters = 2)
+    Similarity.ivfTopK(embs, queries, 5, nCells = 16, nProbe = 4,
+      centsOpt = Some(trainedCents(embs, dir, 16, 2)))
   }
+
+  /** Trained k-means centroids memoized per (dir content, k, iters) — the
+    * pqCbCache rule: q_ann_ivf_trained and q_ann_recall share one training
+    * run instead of re-running the Lloyd rounds per gate.
+    */
+  private val kmCache =
+    scala.collection.concurrent.TrieMap.empty[(String, Int, Int), Seq[(Long, Seq[Double])]]
+  private def trainedCents(embs: DataFrame, dir: String, k: Int,
+                           iters: Int): Seq[(Long, Seq[Double])] =
+    kmCache.getOrElseUpdate((s"$dir@${dirFingerprint(dir)}", k, iters),
+      Similarity.kmeansCentroids(embs, k, iters))
 
   /** Int8 symmetric quantization of the embedding table: per vector the
     * scale (rounded) and exact integer aggregates of the quantized values —
@@ -779,7 +791,8 @@ object Queries {
     val (ivfN, ivfOk) = topkRecall(
       Similarity.ivfTopK(embs, queries, 5, nCells = 16, nProbe = 4), floor = 0.35)
     val (trN, trOk) = topkRecall(
-      Similarity.ivfTopK(embs, queries, 5, nCells = 16, nProbe = 4, trainIters = 2),
+      Similarity.ivfTopK(embs, queries, 5, nCells = 16, nProbe = 4,
+        centsOpt = Some(trainedCents(embs, dir, 16, 2))),
       floor = 0.35)
     // PQ: the approximate setting measures ≈ 0.6 here (m=8 8-dim subspaces
     // on 64-d near-uniform vectors, overscan 8); floor 0.4 gates gross
@@ -1984,6 +1997,39 @@ object Queries {
         row_number().over(Window.orderBy(col("quality").desc, col("doc_id"))))
     graft.ops.Search.rrfFuse(Seq(a.select("doc_id", "rank"),
       b.select("doc_id", "rank")), k = 20)
+  }
+
+  /** SemDeDup-style semantic dedup over the embeddings table —
+    * [[graft.ops.Dedup.semanticDedup]]: portable 1-round spherical k-means
+    * (k=8, the q_kmeans configuration) confines the quadratic cosine
+    * verify within cells; rounded-cosine >= 0.3 pairs collapse via
+    * connected components, min id survives. The oracle replays cluster →
+    * within-cell pairs → recursive-CTE components → keep-min entirely in
+    * SQL. Exact gate.
+    */
+  def semanticDedupGate(s: SparkSession, dir: String): DataFrame = {
+    val embs = t(s, dir, "embeddings")
+      .select(col("vec_id"), expr("transform(embedding, x -> cast(x as double))").as("embedding"))
+    graft.ops.Dedup.semanticDedup(embs, k = 8, iters = 1, threshold = 0.3)
+  }
+
+  /** Retrieval-quality metrics (recall@5 / MRR@5 / nDCG@5) of the exact
+    * cosine top-5 against same-label ground truth —
+    * [[graft.ops.Search.rankingMetrics]] over the value-gated
+    * [[graft.ops.Similarity.bruteForceTopK]] run. The oracle recomputes
+    * the ranking AND every metric formula in SQL. Exact gate.
+    */
+  def rankingMetricsGate(s: SparkSession, dir: String): DataFrame = {
+    val embs = t(s, dir, "embeddings")
+      .select(col("vec_id"), expr("transform(embedding, x -> cast(x as double))").as("embedding"))
+    val queries = embs.filter(col("vec_id") < 8)
+    val ranked = Similarity.bruteForceTopK(embs, queries, 5)
+    val lbl = t(s, dir, "embeddings").select(col("vec_id"), col("label"))
+    val rel = lbl.alias("q").join(lbl.alias("i"),
+        col("q.label") === col("i.label") && col("q.vec_id") < 8 &&
+          col("i.vec_id") =!= col("q.vec_id"))
+      .select(col("q.vec_id").as("query_id"), col("i.vec_id").as("item_id"))
+    graft.ops.Search.rankingMetrics(ranked, rel, 5)
   }
 
   /** Typo-tolerant fuzzy match over distinct part names: first-char

@@ -63,6 +63,8 @@ object SparkEntry {
     "q_ann_pq"               -> (Queries.annPq _),
     "q_ann_ivfpq"            -> (Queries.annIvfPq _),
     "q_ann_ivfpq_mat"        -> (Queries.annIvfPqMat _),
+    "q_semantic_dedup"       -> (Queries.semanticDedupGate _),
+    "q_rank_metrics"         -> (Queries.rankingMetricsGate _),
     "q_naming"               -> (Queries.naming _),
     // text analysis
     "q_token_counts"         -> (Queries.tokenCounts _),
@@ -1841,6 +1843,103 @@ object SparkEntry {
         s"(((l_suppkey >> $i) & 1) << ${2 * i + 1})"))
       s"SELECT l_orderkey, l_linenumber, ${terms.mkString(" | ")} AS z FROM lineitem"
     },
+
+    // SemDeDup replayed end-to-end: the q_kmeans 1-round replay (8
+    // id-order seeds, rounded argmax, rounded means) -> within-cell
+    // rounded-cosine >= 0.3 pairs -> recursive-CTE components -> keep the
+    // minimum id
+    "q_semantic_dedup" ->
+      """WITH RECURSIVE s AS (SELECT vec_id AS cell, embedding AS cv
+        |           FROM embeddings ORDER BY vec_id LIMIT 8),
+        |e AS (SELECT vec_id, embedding FROM embeddings),
+        |f1 AS (SELECT e.vec_id, s.cell,
+        |         CAST(unnest(e.embedding) AS DOUBLE) AS x,
+        |         CAST(unnest(s.cv) AS DOUBLE) AS c
+        |       FROM e CROSS JOIN s),
+        |d1 AS (SELECT vec_id, cell, sum(x*c) AS dp, sum(x*x) AS nx, sum(c*c) AS nc
+        |       FROM f1 GROUP BY 1, 2),
+        |a1 AS (SELECT vec_id, cell,
+        |         row_number() OVER (PARTITION BY vec_id
+        |           ORDER BY round(dp/(sqrt(nx)*sqrt(nc)), 6) DESC, cell) AS rk
+        |       FROM d1),
+        |m1 AS (SELECT a1.cell, d.dim,
+        |         round(avg(CAST(e.embedding[d.dim+1] AS DOUBLE)), 6) AS m
+        |       FROM a1 JOIN e USING (vec_id)
+        |       CROSS JOIN (SELECT range AS dim FROM range(0, 64)) d
+        |       WHERE a1.rk = 1 GROUP BY 1, 2),
+        |c1 AS (SELECT cell, list(m ORDER BY dim) AS cv FROM m1 GROUP BY cell),
+        |f2 AS (SELECT e.vec_id, c1.cell,
+        |         CAST(unnest(e.embedding) AS DOUBLE) AS x, unnest(c1.cv) AS c
+        |       FROM e CROSS JOIN c1),
+        |d2 AS (SELECT vec_id, cell, sum(x*c) AS dp, sum(x*x) AS nx, sum(c*c) AS nc
+        |       FROM f2 GROUP BY 1, 2),
+        |av AS (SELECT vec_id AS id, cell FROM (
+        |    SELECT vec_id, cell,
+        |      row_number() OVER (PARTITION BY vec_id
+        |        ORDER BY round(dp/(sqrt(nx)*sqrt(nc)), 6) DESC, cell) AS rk
+        |    FROM d2) WHERE rk = 1),
+        |fp AS (SELECT l.id AS a, r.id AS b,
+        |         CAST(unnest(ea.embedding) AS DOUBLE) AS xa,
+        |         CAST(unnest(eb.embedding) AS DOUBLE) AS xb
+        |       FROM av l JOIN av r ON l.cell = r.cell AND l.id < r.id
+        |       JOIN embeddings ea ON ea.vec_id = l.id
+        |       JOIN embeddings eb ON eb.vec_id = r.id),
+        |dps AS (SELECT a, b, sum(xa*xb) AS d, sum(xa*xa) AS na, sum(xb*xb) AS nb
+        |        FROM fp GROUP BY 1, 2),
+        |pairs AS (SELECT a, b FROM dps
+        |          WHERE round(d/(sqrt(na)*sqrt(nb)), 6) >= 0.3),
+        |und AS (SELECT a, b FROM pairs UNION SELECT b, a FROM pairs),
+        |reach(n, m) AS (
+        |  SELECT a, a FROM und
+        |  UNION
+        |  SELECT r.n, u.b FROM reach r JOIN und u ON r.m = u.a),
+        |comp AS (SELECT n AS id, min(m) AS root FROM reach GROUP BY n)
+        |SELECT av.id AS vec_id, av.cell,
+        |       coalesce(comp.root, av.id) AS keep_id,
+        |       coalesce(comp.root, av.id) = av.id AS kept
+        |FROM av LEFT JOIN comp USING (id)""".stripMargin,
+
+    // the exact top-5 ranking (the q_ann_topk replay) graded against
+    // same-label ground truth: recall@5, MRR@5, binary-gain nDCG@5 — every
+    // formula recomputed here (DCG = sum 1/log2(rank+1) over relevant
+    // hits; ideal DCG from min(k, n_rel) perfect placements)
+    "q_rank_metrics" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qe
+        |           FROM embeddings WHERE vec_id < 8),
+        |c AS (SELECT vec_id AS item_id, embedding AS ce FROM embeddings),
+        |flat AS (
+        |  SELECT query_id, item_id,
+        |         CAST(unnest(qe) AS DOUBLE) AS qx, CAST(unnest(ce) AS DOUBLE) AS cx
+        |  FROM q JOIN c ON item_id <> query_id),
+        |dots AS (
+        |  SELECT query_id, item_id, sum(qx * cx) AS dp,
+        |         sum(qx * qx) AS nq, sum(cx * cx) AS nc
+        |  FROM flat GROUP BY 1, 2),
+        |ranked AS (SELECT query_id, item_id, rank FROM (
+        |  SELECT query_id, item_id,
+        |         row_number() OVER (PARTITION BY query_id
+        |           ORDER BY round(dp / (sqrt(nq) * sqrt(nc)), 6) DESC, item_id) AS rank
+        |  FROM dots) WHERE rank <= 5),
+        |rel AS (SELECT DISTINCT ql.vec_id AS query_id, il.vec_id AS item_id
+        |        FROM embeddings ql JOIN embeddings il
+        |          ON ql.label = il.label AND il.vec_id <> ql.vec_id
+        |        WHERE ql.vec_id < 8),
+        |nrel AS (SELECT query_id, count(*) AS n_rel FROM rel GROUP BY 1),
+        |hits AS (SELECT r.query_id, count(*) AS hits, min(r.rank) AS fr,
+        |                sum(1.0 / log2(r.rank + 1)) AS dcg
+        |         FROM ranked r JOIN rel USING (query_id, item_id)
+        |         GROUP BY 1),
+        |idcg AS (SELECT n.query_id,
+        |                sum(1.0 / log2(i.range + 1)) AS idcg
+        |         FROM nrel n JOIN range(1, 6) i
+        |           ON i.range <= least(5, n.n_rel)
+        |         GROUP BY 1)
+        |SELECT n.query_id, n.n_rel, coalesce(h.hits, 0) AS hits,
+        |       round(coalesce(h.hits, 0) * 1.0 / n.n_rel, 6) AS recall,
+        |       round(coalesce(1.0 / h.fr, 0.0), 6) AS mrr,
+        |       round(coalesce(h.dcg, 0.0) / g.idcg, 6) AS ndcg
+        |FROM nrel n LEFT JOIN hits h USING (query_id)
+        |JOIN idcg g ON g.query_id = n.query_id""".stripMargin,
 
     // the z-layout + corner-code superset filter + residual box must
     // reproduce the PLAIN 2-D box query exactly — the materialized-layout

@@ -741,21 +741,23 @@ object GraphAlgos {
         val t0 = System.nanoTime()
         require(round <= maxInnerRounds,
           s"scc: label propagation did not converge in $maxInnerRounds rounds")
-        // 1-hop edge relaxation…
-        val viaEdge = adj.join(lbl, adj("from") === lbl("n") && adj("dir") === lbl("dir"))
-          .select(adj("to").as("n"), adj("dir").as("dir"), col("l"))
-        // …plus POINTER JUMPING on the labels themselves: l(u) ← l(l(u)).
-        // A label w on u certifies "w reaches u (resp. is reached)", so
-        // w's own label transfers to u — sound, and it collapses the
-        // fixpoint from O(partition diameter) rounds to O(log n), which
-        // is the difference between 50 and 8 sequential jobs per outer
-        // round here and between 10^4 and 14 rounds on a long production
-        // cycle. The fixpoint itself is unchanged (min id that
-        // reaches/is-reached within the partition).
-        val l2 = lbl.select(col("n").as("_m"), col("dir").as("_d2"), col("l").as("_l2"))
-        val viaJump = lbl.join(l2, col("l") === col("_m") && col("dir") === col("_d2"))
-          .select(col("n"), col("dir"), col("_l2").as("l"))
-        val cand = viaEdge.unionAll(viaJump)
+        // 1-hop edge relaxation AND pointer jumping in ONE join: the label
+        // map is itself an edge set — a label w on u certifies "w reaches
+        // u (resp. is reached)", so the jump l(u) ← l(l(u)) is exactly
+        // relaxation along the derived edge (l(u) → u). Unioning those
+        // label edges into the adjacency before the single relax join
+        // halves the per-round join count while keeping the jump's
+        // O(log n) collapse of the fixpoint (vs O(partition diameter) —
+        // the difference between 10^4 and ~14 rounds on a long production
+        // cycle). The fixpoint itself is unchanged (min id that reaches/
+        // is-reached within the partition). (Deeper intra-round jump
+        // composition — l^4/l^8 per round — was measured and LOST:
+        // convergence here is edge-relaxation-bound, so the extra
+        // compositions bought no rounds and tripled the per-round plan.)
+        val relax = adj.unionAll(
+          lbl.select(col("l").as("from"), col("n").as("to"), col("dir")))
+        val cand = relax.join(lbl, relax("from") === lbl("n") && relax("dir") === lbl("dir"))
+          .select(relax("to").as("n"), relax("dir").as("dir"), col("l"))
           .groupBy(col("n"), col("dir")).agg(min(col("l")).as("c"))
         val next = lbl.join(cand, Seq("n", "dir"), "left_outer")
           .select(col("n"), col("dir"),

@@ -149,6 +149,46 @@ object Dedup {
     docs.join(losers, docs(idCol) === losers("id"), "left_anti")
   }
 
+  /** SemDeDup-style SEMANTIC deduplication over an embedding column (the
+    * Abbas et al. 2023 recipe): spherical k-means clusters the corpus, the
+    * near-dup graph (rounded-6dp cosine >= threshold) is built ONLY within
+    * clusters, its connected components collapse, and each component keeps
+    * its minimum id. Catches paraphrases and re-renders that exact/MinHash
+    * dedup (text-identity-based) cannot see.
+    *
+    * Scale shape — the whole point of the cluster step: the quadratic
+    * verify is confined within k-means cells (expected cell size n/k; set
+    * k ∝ n so cells stay bounded), the pair/component tables are tiny next
+    * to the corpus, and the clustering itself is the gated zero-shuffle
+    * literal-argmax [[Similarity.kmeansAssign]]. Embedding payloads join
+    * the self-join ONCE, pre-filtered to (id, cell, vector).
+    *
+    * Fully engine-portable ([[Similarity.kmeansAssign]]'s contract + the
+    * rounded-cosine boundary rule), so the driver gate replays cluster →
+    * pairs → components → keep-min in SQL. Returns one row per input
+    * vector: (idCol, cell, keep_id, kept) — kept = (keep_id == id); join
+    * survivors back with `filter(col("kept"))`.
+    */
+  def semanticDedup(embs: DataFrame, k: Int, iters: Int, threshold: Double,
+                    idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val assigned = Similarity.kmeansAssign(embs, k, iters, idCol, vecCol)
+      .select(col(idCol).as("id"), col("cell"))
+    val v = embs.select(col(idCol).as("id"),
+      col(vecCol).cast("array<double>").as("v"))
+    val av = assigned.join(v, "id")
+    val l = av.alias("l"); val r = av.alias("r")
+    val pairs = l.join(r, col("l.cell") === col("r.cell") && col("l.id") < col("r.id"))
+      .withColumn("cos", round(Similarity.cosine(col("l.v"), col("r.v")), 6))
+      .filter(col("cos") >= threshold)
+      .select(col("l.id").as("a"), col("r.id").as("b"))
+    val cc = graft.kg.ConnectedComponents.run(
+      pairs.select(col("a").as("src"), col("b").as("dst")))
+    assigned.join(cc.select(col("id"), col("component")), Seq("id"), "left_outer")
+      .select(col("id").as(idCol), col("cell"),
+        coalesce(col("component"), col("id")).as("keep_id"),
+        (coalesce(col("component"), col("id")) === col("id")).as("kept"))
+  }
+
   /** 64-bit SimHash over word shingles: per-bit weighted vote of shingle
     * hashes, folded in ONE pass per row by the native
     * [[graft.functions.SimHash64]] expression — a zero-shuffle codegen

@@ -126,4 +126,46 @@ object Search {
       .orderBy(col("rrf").desc, col(idCol))
       .limit(k)
   }
+
+  /** Retrieval-quality metrics per query — the eval side of any retrieval
+    * / RAG / dedup-candidate pipeline: recall@k, MRR@k (reciprocal rank of
+    * the first relevant hit, 0 when none lands in the top k), and nDCG@k
+    * (binary gains, DCG = Σ 1/log2(rank+1) over relevant hits, ideal DCG
+    * from min(k, n_rel) perfect placements). `ranked` carries (query, item,
+    * 1-based rank); `relevant` is the (query, item) ground-truth set.
+    * Queries with no relevant items are dropped (their metrics are
+    * undefined); queries with no RANKED rows still appear via the
+    * ground-truth side with zero metrics. All ratios ROUND to 6 dp (the
+    * cross-engine float contract), so the driver gate replays every
+    * formula in SQL.
+    *
+    * Shape: both inputs are top-k-/truth-sized, not corpus-sized; one
+    * equi-join on (query, item), one aggregation per side keyed on query,
+    * and a broadcast-sized join back — no corpus scan, no window.
+    */
+  def rankingMetrics(ranked: DataFrame, relevant: DataFrame, k: Int,
+                     queryCol: String = "query_id", itemCol: String = "item_id",
+                     rankCol: String = "rank"): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val rel = relevant.select(col(queryCol).as("query_id"),
+      col(itemCol).as("item_id")).distinct()
+    val nRel = rel.groupBy("query_id").agg(count(lit(1)).as("n_rel"))
+    val topk = ranked.filter(col(rankCol) <= k).select(
+      col(queryCol).as("query_id"), col(itemCol).as("item_id"),
+      col(rankCol).cast("int").as("rank"))
+    val perQ = topk.join(rel, Seq("query_id", "item_id"))
+      .groupBy("query_id")
+      .agg(count(lit(1)).as("hits"), min(col("rank")).as("_fr"),
+        sum(lit(1.0) / log2(col("rank") + 1)).as("_dcg"))
+    val idcg = aggregate(
+      sequence(lit(1), least(lit(k), col("n_rel")).cast("int")),
+      lit(0.0d), (acc, i) => acc + lit(1.0) / log2(i + 1))
+    nRel.join(perQ, Seq("query_id"), "left_outer")
+      .select(col("query_id"), col("n_rel"),
+        coalesce(col("hits"), lit(0L)).as("hits"),
+        round(coalesce(col("hits"), lit(0L)) / col("n_rel").cast("double"), 6)
+          .as("recall"),
+        round(coalesce(lit(1.0) / col("_fr"), lit(0.0)), 6).as("mrr"),
+        round(coalesce(col("_dcg"), lit(0.0)) / idcg, 6).as("ndcg"))
+  }
 }

@@ -360,10 +360,12 @@ object Similarity {
     */
   def ivfAssign(embs: DataFrame, nCells: Int,
                 idCol: String = "vec_id", vecCol: String = "embedding",
-                trainIters: Int = 0): (DataFrame, DataFrame) = {
-    val cents =
+                trainIters: Int = 0,
+                centsOpt: Option[Seq[(Long, Seq[Double])]] = None): (DataFrame, DataFrame) = {
+    val cents = centsOpt.getOrElse {
       if (trainIters > 0) kmeansCentroids(embs, nCells, trainIters, idCol, vecCol)
       else seedCentroids(embs, nCells, idCol, vecCol)
+    }
     val spark = embs.sparkSession
     import spark.implicits._
     val centroids = cents.map { case (c, v) => (c, v) }
@@ -383,8 +385,9 @@ object Similarity {
     */
   def ivfTopK(embs: DataFrame, queries: DataFrame, k: Int, nCells: Int, nProbe: Int,
               idCol: String = "vec_id", vecCol: String = "embedding",
-              trainIters: Int = 0): DataFrame = {
-    val (centroids, assigned) = ivfAssign(embs, nCells, idCol, vecCol, trainIters)
+              trainIters: Int = 0,
+              centsOpt: Option[Seq[(Long, Seq[Double])]] = None): DataFrame = {
+    val (centroids, assigned) = ivfAssign(embs, nCells, idCol, vecCol, trainIters, centsOpt)
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("_qv"))
     val probe = q.join(broadcast(centroids))
       .withColumn("ccos", round(cosine(col("_qv"), col("cv")), 6))

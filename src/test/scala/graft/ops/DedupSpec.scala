@@ -141,4 +141,34 @@ class DedupSpec extends SparkSpec {
       .as[(Long, Long, Double)].collect()
     assert(jac.isEmpty)
   }
+
+  test("semanticDedup: near-dups collapse within clusters, min id survives") {
+    import spark.implicits._
+    // two well-separated directions; ids 1/2/3 are near-identical copies of
+    // one direction (a semantic-dup chain), ids 10/11 of the orthogonal one,
+    // id 12 is anti-aligned to the second direction (same cluster under
+    // cosine argmax against {±}? no — opposite sign → cos < 0, never a dup)
+    val vecs = Seq(
+      (1L, Seq(1.0, 0.0, 0.0, 0.0)),
+      (2L, Seq(0.99, 0.01, 0.0, 0.0)),
+      (3L, Seq(0.98, 0.02, 0.0, 0.0)),
+      (10L, Seq(0.0, 0.0, 1.0, 0.0)),
+      (11L, Seq(0.0, 0.0, 0.99, 0.01)),
+      (12L, Seq(0.0, 0.0, -1.0, 0.0))
+    ).toDF("vec_id", "embedding")
+    val out = Dedup.semanticDedup(vecs, k = 2, iters = 1, threshold = 0.9)
+      .as[(Long, Long, Long, Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out.size === 6) // one row per input vector
+    // the 1-2-3 chain collapses to min id 1; 10-11 to 10; 12 survives alone
+    assert(out(1L)._3 === 1L && out(1L)._4)
+    assert(out(2L)._3 === 1L && !out(2L)._4)
+    assert(out(3L)._3 === 1L && !out(3L)._4)
+    assert(out(10L)._3 === 10L && out(10L)._4)
+    assert(out(11L)._3 === 10L && !out(11L)._4)
+    assert(out(12L)._3 === 12L && out(12L)._4)
+    // dropping the losers keeps exactly the three representatives
+    val kept = out.values.filter(_._4).map(_._1).toSet
+    assert(kept === Set(1L, 10L, 12L))
+  }
 }

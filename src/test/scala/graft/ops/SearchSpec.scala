@@ -66,4 +66,28 @@ class SearchSpec extends SparkSpec {
       (1L, r6(1.0 / 61), 1L),
       (3L, r6(1.0 / 62), 1L)))
   }
+
+  test("rankingMetrics: recall@k, MRR, binary nDCG, zero-hit query") {
+    import spark.implicits._
+    def r6(x: Double): Double = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def lg2(x: Double): Double = math.log(x) / math.log(2.0)
+    val ranked = Seq(
+      (1L, 10L, 1), (1L, 11L, 2), (1L, 12L, 3), // q1: hits at ranks 2 and 3
+      (2L, 20L, 1), (2L, 21L, 2)                // q2: no hits in top k
+    ).toDF("query_id", "item_id", "rank")
+    val rel = Seq(
+      (1L, 11L), (1L, 12L), (1L, 99L),          // n_rel = 3
+      (2L, 98L), (2L, 99L)                      // n_rel = 2, none ranked
+    ).toDF("query_id", "item_id")
+    val out = Search.rankingMetrics(ranked, rel, k = 3)
+      .as[(Long, Long, Long, Double, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    // q1: recall 2/3, MRR 1/2, DCG = 1/log2(3) + 1/log2(4),
+    //     IDCG (3 relevant, k=3) = 1 + 1/log2(3) + 1/log2(4)
+    val dcg = 1 / lg2(3) + 1 / lg2(4)
+    val idcg = 1.0 + 1 / lg2(3) + 1 / lg2(4)
+    assert(out(1L) === ((1L, 3L, 2L, r6(2.0 / 3), 0.5, r6(dcg / idcg))))
+    // q2: ground truth exists but nothing ranked hit → all-zero metrics
+    assert(out(2L) === ((2L, 2L, 0L, 0.0, 0.0, 0.0)))
+  }
 }
