@@ -2032,6 +2032,52 @@ object Queries {
     graft.ops.Search.rankingMetrics(ranked, rel, 5)
   }
 
+  /** CDC read between two committed snapshot versions —
+    * [[graft.io.StageRunner.snapshotDiff]]: v1 = orders minus the %5 keys,
+    * v2 = orders minus the %7 keys with %3 prices bumped; the diff must
+    * emit exactly the inserted (%5 & not %7), deleted (%7 & not %5), and
+    * updated (%3, present in both) keys. The oracle recomputes both
+    * versions and the full-outer diff directly in SQL. Exact gate.
+    */
+  def snapshotDiffGate(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+    val workDir = java.nio.file.Files.createTempDirectory("graft-cdc").toString
+    val runner = new graft.io.StageRunner(s, workDir)
+    try {
+      runner.stage("orders_cdc")(base.filter(col("o_orderkey") % 5 =!= 0))
+      runner.recommit("orders_cdc")(
+        base.filter(col("o_orderkey") % 7 =!= 0)
+          .select(col("o_orderkey"), col("o_custkey"),
+            when(col("o_orderkey") % 3 === 0, col("o_totalprice") + 1)
+              .otherwise(col("o_totalprice")).as("o_totalprice")))
+      runner.snapshotDiff("orders_cdc", 1, 2, Seq("o_orderkey"))
+    } finally runner.close()
+  }
+
+  /** k-anonymity audit over (c_nationkey, c_mktsegment) quasi-identifiers
+    * — [[graft.ops.Checks.kAnonymityViolations]]: every quasi-id group
+    * smaller than k=8 is a re-identification risk and must be suppressed.
+    * Oracle = the same HAVING-filtered group count. Exact gate.
+    */
+  def kAnonymityGate(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Checks.kAnonymityViolations(
+      t(s, dir, "customer"), Seq("c_nationkey", "c_mktsegment"), k = 8)
+
+  /** Top principal component of the embedding distribution by 2 power
+    * rounds — [[graft.ops.Similarity.topComponentDF]]; μ and each round's
+    * normalized w round to 6dp, so the oracle unrolls the identical
+    * trajectory in SQL. Exact gate.
+    */
+  def pcaGate(s: SparkSession, dir: String): DataFrame =
+    Similarity.topComponentDF(t(s, dir, "embeddings"), iters = 2)
+
+  /** ABTT common-direction removal summarized per vector (projection
+    * coefficient + residual norm) — [[graft.ops.Similarity
+    * .removeTopComponent]] over the q_pca component. Exact gate.
+    */
+  def abttGate(s: SparkSession, dir: String): DataFrame =
+    Similarity.removeTopComponent(t(s, dir, "embeddings"), iters = 2)
+
   /** Typo-tolerant fuzzy match over distinct part names: first-char
     * blocking + Levenshtein ≤ 3 — [[graft.kg.Canonicalize.fuzzyPairs]].
     * Integer distances, exact gate.

@@ -65,6 +65,10 @@ object SparkEntry {
     "q_ann_ivfpq_mat"        -> (Queries.annIvfPqMat _),
     "q_semantic_dedup"       -> (Queries.semanticDedupGate _),
     "q_rank_metrics"         -> (Queries.rankingMetricsGate _),
+    "q_pca"                  -> (Queries.pcaGate _),
+    "q_abtt"                 -> (Queries.abttGate _),
+    "q_snapshot_diff"        -> (Queries.snapshotDiffGate _),
+    "q_k_anonymity"          -> (Queries.kAnonymityGate _),
     "q_naming"               -> (Queries.naming _),
     // text analysis
     "q_token_counts"         -> (Queries.tokenCounts _),
@@ -1843,6 +1847,93 @@ object SparkEntry {
         s"(((l_suppkey >> $i) & 1) << ${2 * i + 1})"))
       s"SELECT l_orderkey, l_linenumber, ${terms.mkString(" | ")} AS z FROM lineitem"
     },
+
+    // the power-iteration trajectory unrolled: rounded per-dim means,
+    // w0 = 1/sqrt(64) = 0.125 exactly, two rounds of (coef = (x-mu)·w,
+    // s = sum coef·(x-mu), w = round(s/|s|, 6))
+    "q_pca" ->
+      """WITH e AS (SELECT vec_id, embedding FROM embeddings),
+        |dims AS (SELECT range AS d FROM range(0, 64)),
+        |mu AS (SELECT dims.d, round(avg(CAST(e.embedding[dims.d+1] AS DOUBLE)), 6) AS m
+        |       FROM e CROSS JOIN dims GROUP BY 1),
+        |c1 AS (SELECT e.vec_id,
+        |         sum((CAST(e.embedding[mu.d+1] AS DOUBLE) - mu.m) * 0.125) AS c
+        |       FROM e CROSS JOIN mu GROUP BY 1),
+        |s1 AS (SELECT mu.d,
+        |         sum(c1.c * (CAST(e.embedding[mu.d+1] AS DOUBLE) - mu.m)) AS s
+        |       FROM e JOIN c1 USING (vec_id) CROSS JOIN mu GROUP BY 1),
+        |w1 AS (SELECT d, round(s / (SELECT sqrt(sum(s*s)) FROM s1), 6) AS w
+        |       FROM s1),
+        |wm1 AS (SELECT w1.d, w1.w, mu.m FROM w1 JOIN mu USING (d)),
+        |c2 AS (SELECT e.vec_id,
+        |         sum((CAST(e.embedding[wm1.d+1] AS DOUBLE) - wm1.m) * wm1.w) AS c
+        |       FROM e CROSS JOIN wm1 GROUP BY 1),
+        |s2 AS (SELECT wm1.d,
+        |         sum(c2.c * (CAST(e.embedding[wm1.d+1] AS DOUBLE) - wm1.m)) AS s
+        |       FROM e JOIN c2 USING (vec_id) CROSS JOIN wm1 GROUP BY 1),
+        |w2 AS (SELECT d, round(s / (SELECT sqrt(sum(s*s)) FROM s2), 6) AS w
+        |       FROM s2)
+        |SELECT d AS dim, w FROM w2""".stripMargin,
+
+    // the q_pca trajectory continued: coef = (x-mu)·w2 per vector,
+    // resid_norm = |(x-mu) - coef·w2|
+    "q_abtt" ->
+      """WITH e AS (SELECT vec_id, embedding FROM embeddings),
+        |dims AS (SELECT range AS d FROM range(0, 64)),
+        |mu AS (SELECT dims.d, round(avg(CAST(e.embedding[dims.d+1] AS DOUBLE)), 6) AS m
+        |       FROM e CROSS JOIN dims GROUP BY 1),
+        |c1 AS (SELECT e.vec_id,
+        |         sum((CAST(e.embedding[mu.d+1] AS DOUBLE) - mu.m) * 0.125) AS c
+        |       FROM e CROSS JOIN mu GROUP BY 1),
+        |s1 AS (SELECT mu.d,
+        |         sum(c1.c * (CAST(e.embedding[mu.d+1] AS DOUBLE) - mu.m)) AS s
+        |       FROM e JOIN c1 USING (vec_id) CROSS JOIN mu GROUP BY 1),
+        |w1 AS (SELECT d, round(s / (SELECT sqrt(sum(s*s)) FROM s1), 6) AS w
+        |       FROM s1),
+        |wm1 AS (SELECT w1.d, w1.w, mu.m FROM w1 JOIN mu USING (d)),
+        |c2 AS (SELECT e.vec_id,
+        |         sum((CAST(e.embedding[wm1.d+1] AS DOUBLE) - wm1.m) * wm1.w) AS c
+        |       FROM e CROSS JOIN wm1 GROUP BY 1),
+        |s2 AS (SELECT wm1.d,
+        |         sum(c2.c * (CAST(e.embedding[wm1.d+1] AS DOUBLE) - wm1.m)) AS s
+        |       FROM e JOIN c2 USING (vec_id) CROSS JOIN wm1 GROUP BY 1),
+        |w2 AS (SELECT d, round(s / (SELECT sqrt(sum(s*s)) FROM s2), 6) AS w
+        |       FROM s2),
+        |wm2 AS (SELECT w2.d, w2.w, mu.m FROM w2 JOIN mu USING (d)),
+        |cf AS (SELECT e.vec_id,
+        |         sum((CAST(e.embedding[wm2.d+1] AS DOUBLE) - wm2.m) * wm2.w) AS c
+        |       FROM e CROSS JOIN wm2 GROUP BY 1),
+        |rs AS (SELECT e.vec_id,
+        |         sum(pow((CAST(e.embedding[wm2.d+1] AS DOUBLE) - wm2.m)
+        |                 - cf.c * wm2.w, 2)) AS r2
+        |       FROM e JOIN cf USING (vec_id) CROSS JOIN wm2 GROUP BY 1)
+        |SELECT rs.vec_id, round(cf.c, 6) AS coef,
+        |       round(sqrt(rs.r2), 6) AS resid_norm
+        |FROM rs JOIN cf USING (vec_id)""".stripMargin,
+
+    // both snapshot versions recomputed from the base table, then the
+    // full-outer CDC diff: only-in-v2 = inserted, only-in-v1 = deleted,
+    // any shared column null-safe-different = updated
+    "q_snapshot_diff" ->
+      """WITH v1 AS (SELECT o_orderkey, o_custkey, o_totalprice
+        |            FROM orders WHERE o_orderkey % 5 <> 0),
+        |v2 AS (SELECT o_orderkey, o_custkey,
+        |         CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice + 1
+        |              ELSE o_totalprice END AS o_totalprice
+        |       FROM orders WHERE o_orderkey % 7 <> 0)
+        |SELECT coalesce(v1.o_orderkey, v2.o_orderkey) AS o_orderkey,
+        |       CASE WHEN v1.o_orderkey IS NULL THEN 'inserted'
+        |            WHEN v2.o_orderkey IS NULL THEN 'deleted'
+        |            ELSE 'updated' END AS change_type
+        |FROM v1 FULL JOIN v2 ON v1.o_orderkey = v2.o_orderkey
+        |WHERE v1.o_orderkey IS NULL OR v2.o_orderkey IS NULL
+        |   OR v1.o_custkey IS DISTINCT FROM v2.o_custkey
+        |   OR v1.o_totalprice IS DISTINCT FROM v2.o_totalprice""".stripMargin,
+
+    // sub-k quasi-identifier groups = re-identification risks
+    "q_k_anonymity" ->
+      """SELECT c_nationkey, c_mktsegment, count(*) AS group_size
+        |FROM customer GROUP BY 1, 2 HAVING count(*) < 8""".stripMargin,
 
     // SemDeDup replayed end-to-end: the q_kmeans 1-round replay (8
     // id-order seeds, rounded argmax, rounded means) -> within-cell

@@ -98,6 +98,34 @@ object Checks {
     }.reduce(_ unionByName _)
   }
 
+  /** k-anonymity audit over quasi-identifier columns — the privacy gate a
+    * training-data release runs before shipping: every row whose
+    * quasi-identifier combination is shared by FEWER than k rows is
+    * re-identifiable at group size < k and must be suppressed or
+    * generalized. Returns one row per violating group: (the quasi-id
+    * columns, group_size) — empty result ⇔ the table IS k-anonymous.
+    *
+    * Shape: one map-side-partial groupBy on the quasi-id key, then a
+    * HAVING filter — the violating groups are the small ones, so the
+    * result is at most (k−1)× the violating-group count, never
+    * table-sized.
+    */
+  def kAnonymityViolations(df: DataFrame, quasiIds: Seq[String], k: Int): DataFrame = {
+    require(quasiIds.nonEmpty, "kAnonymityViolations needs quasi-id columns")
+    require(k >= 2, s"k must be >= 2, got $k")
+    df.groupBy(quasiIds.map(col): _*)
+      .agg(count(lit(1)).as("group_size"))
+      .filter(col("group_size") < k)
+  }
+
+  /** The suppression half of [[kAnonymityViolations]]: drop every row in
+    * a sub-k group, keeping the table k-anonymous by construction. One
+    * extra key-shuffle (a left-anti join against the violating groups).
+    */
+  def kAnonymize(df: DataFrame, quasiIds: Seq[String], k: Int): DataFrame =
+    df.join(kAnonymityViolations(df, quasiIds, k).select(quasiIds.map(col): _*),
+      quasiIds, "left_anti")
+
   /** Fixed-width histogram of a numeric column — the distribution half of
     * the drift snapshot (compare bin masses batch-over-batch; a shifted
     * mode is drift [[profile]]'s counts can't see). Bin i covers

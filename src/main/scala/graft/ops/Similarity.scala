@@ -311,6 +311,81 @@ object Similarity {
     cents
   }
 
+  /** Mean vector + TOP PRINCIPAL COMPONENT of the embedding distribution
+    * by power iteration — the statistics behind embedding whitening and
+    * "all-but-the-top" (ABTT, Mu & Viswanath 2018) common-direction
+    * removal, which measurably sharpens cosine similarity on anisotropic
+    * embedding spaces (the usual case for LM sentence embeddings).
+    *
+    * The covariance matrix is NEVER materialized: each power round applies
+    * it as two aggregations over the corpus — coef_i = (x_i−μ)·w (a
+    * zero-shuffle codegen projection with w inlined as literals), then
+    * s = Σ_i coef_i·(x_i−μ) (one dim-wide sum aggregation, map-side
+    * partial) — the MLlib computePrincipalComponents trade for dim ≤ a few
+    * thousand, except distributed end-to-end. Start vector = 1/√dim
+    * uniform (all-positive → deterministic sign).
+    *
+    * Portability contract: μ and each round's normalized w ROUND to 6 dp
+    * before re-entering (the kmeansAssign rule), so the whole trajectory
+    * replays in SQL and the driver gate value-checks the component itself.
+    */
+  def meanAndTopComponent(embs: DataFrame, iters: Int,
+                          idCol: String = "vec_id",
+                          vecCol: String = "embedding"): (Seq[Double], Seq[Double]) = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val v = col(vecCol).cast("array<double>")
+    val dim = embs.select(size(v)).head().getInt(0)
+    val muCols = (0 until dim).map(i => avg(element_at(v, i + 1)).as(s"m$i"))
+    val mu = embs.agg(muCols.head, muCols.tail: _*).head().toSeq
+      .map(x => round6(x.asInstanceOf[Double]))
+    var w: Seq[Double] = Seq.fill(dim)(round6(1.0 / math.sqrt(dim.toDouble)))
+    for (_ <- 1 to iters) {
+      val coef = (0 until dim).map(d =>
+        (element_at(v, d + 1) - lit(mu(d))) * lit(w(d))).reduce(_ + _)
+      val sCols = (0 until dim).map(d =>
+        sum(coef * (element_at(v, d + 1) - lit(mu(d)))).as(s"s$d"))
+      val s = embs.agg(sCols.head, sCols.tail: _*).head().toSeq
+        .map(_.asInstanceOf[Double])
+      val n = math.sqrt(s.map(x => x * x).sum)
+      require(n > 0, "degenerate embedding distribution: zero covariance action")
+      w = s.map(x => round6(x / n))
+    }
+    (mu, w)
+  }
+
+  /** [[meanAndTopComponent]] as a (dim, w) table — the gate face. */
+  def topComponentDF(embs: DataFrame, iters: Int,
+                     idCol: String = "vec_id",
+                     vecCol: String = "embedding"): DataFrame = {
+    val spark = embs.sparkSession
+    import spark.implicits._
+    meanAndTopComponent(embs, iters, idCol, vecCol)._2
+      .zipWithIndex.map { case (x, d) => (d, x) }.toDF("dim", "w")
+  }
+
+  /** ABTT common-direction removal, summarized per vector: coef = the
+    * centered vector's projection onto the top component, resid_norm =
+    * |(x−μ) − coef·w| — the magnitude left after removing the common
+    * direction. One zero-shuffle projection (μ, w ride as literals); emit
+    * the full residual vector instead when feeding a downstream index.
+    */
+  def removeTopComponent(embs: DataFrame, iters: Int,
+                         idCol: String = "vec_id",
+                         vecCol: String = "embedding"): DataFrame = {
+    val (mu, w) = meanAndTopComponent(embs, iters, idCol, vecCol)
+    val v = col(vecCol).cast("array<double>")
+    val dim = mu.length
+    val coef = (0 until dim).map(d =>
+      (element_at(v, d + 1) - lit(mu(d))) * lit(w(d))).reduce(_ + _)
+    val withC = embs.select(col(idCol), v.as("_v"), coef.as("_c"))
+    val residSq = (0 until dim).map { d =>
+      val r = (element_at(col("_v"), d + 1) - lit(mu(d))) - col("_c") * lit(w(d))
+      r * r
+    }.reduce(_ + _)
+    withC.select(col(idCol), round(col("_c"), 6).as("coef"),
+      round(sqrt(residSq), 6).as("resid_norm"))
+  }
+
   /** Quantized top-k: score the int8-quantized corpus (4× less scan and
     * shuffle volume than float32 — at 10^9 × 1k-dim the scan IS the cost),
     * keep k×overscan candidates per query by approximate cosine, then

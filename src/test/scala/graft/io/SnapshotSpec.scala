@@ -126,4 +126,30 @@ class SnapshotSpec extends SparkSpec {
       assert(r.readAsOf("old_stage", 2).as[Int].collect().toSeq === Seq(30))
     } finally r.close()
   }
+
+  test("snapshotDiff emits exactly the inserted/deleted/updated delta") {
+    val wd = tmpDir("graft-cdc-spec")
+    val r = new StageRunner(spark, wd)
+    try {
+      r.stage("t")(Seq((1L, "a", 10), (2L, "b", 20), (3L, "c", 30)).toDF("k", "s", "n"))
+      // v2: key 1 unchanged, key 2 updated, key 3 deleted, key 4 inserted
+      r.recommit("t")(Seq((1L, "a", 10), (2L, "B", 20), (4L, "d", 40)).toDF("k", "s", "n"))
+      val diff = r.snapshotDiff("t", 1, 2, Seq("k"))
+        .as[(Long, String)].collect().toMap
+      assert(diff === Map(2L -> "updated", 3L -> "deleted", 4L -> "inserted"))
+      // schema evolution between versions: an added column must not mark
+      // every shared row updated — only the SHARED columns compare
+      r.recommit("t")(Seq((1L, "a", 10, true), (2L, "B", 20, true))
+        .toDF("k", "s", "n", "extra"))
+      val d2 = r.snapshotDiff("t", 2, 3, Seq("k")).as[(Long, String)].collect().toMap
+      assert(d2 === Map(4L -> "deleted"))
+      // null-safe compare: null -> value and value -> null are updates
+      r.recommit("t")(Seq((1L, null.asInstanceOf[java.lang.Integer]),
+        (2L, Integer.valueOf(5))).toDF("k", "n"))
+      r.recommit("t")(Seq((1L, Integer.valueOf(7)),
+        (2L, null.asInstanceOf[java.lang.Integer])).toDF("k", "n"))
+      val d3 = r.snapshotDiff("t", 4, 5, Seq("k")).as[(Long, String)].collect().toMap
+      assert(d3 === Map(1L -> "updated", 2L -> "updated"))
+    } finally r.close()
+  }
 }

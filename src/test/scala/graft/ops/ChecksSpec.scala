@@ -56,4 +56,22 @@ class ChecksSpec extends SparkSpec {
     assert(out("id") === (("id", 3L, 0L, 3L)))
     assert(out("s") === (("s", 3L, 1L, 1L)))
   }
+
+  test("kAnonymityViolations flags sub-k groups; kAnonymize suppresses them") {
+    // quasi-id groups of size 1, 2, and 3 at k=3
+    val df = Seq(
+      ("25", "m", 1L),
+      ("30", "f", 2L), ("30", "f", 3L),
+      ("40", "m", 4L), ("40", "m", 5L), ("40", "m", 6L)
+    ).toDF("age", "sex", "id")
+    val viol = Checks.kAnonymityViolations(df, Seq("age", "sex"), k = 3)
+      .as[(String, String, Long)].collect().toSet
+    assert(viol === Set(("25", "m", 1L), ("30", "f", 2L)))
+    val kept = Checks.kAnonymize(df, Seq("age", "sex"), k = 3)
+      .as[(String, String, Long)].collect().map(_._3).toSet
+    assert(kept === Set(4L, 5L, 6L))
+    // an already-anonymous table passes untouched
+    assert(Checks.kAnonymityViolations(df.filter($"age" === "40"),
+      Seq("age", "sex"), k = 3).isEmpty)
+  }
 }

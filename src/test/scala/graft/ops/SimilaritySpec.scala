@@ -294,4 +294,34 @@ class SimilaritySpec extends SparkSpec {
     assert(full.map(_._1).toSeq === Seq(1, 2, 3))
     assert(full.head._3 === 0.5) // 0.5·rel(A)=0.5·1.0
   }
+
+  test("power iteration finds the dominant axis; ABTT removes it exactly") {
+    import spark.implicits._
+    // all variance on the first axis (mean 0): the top component is e0
+    val vs = Seq(
+      (1L, Seq(2.0, 0.0)), (2L, Seq(-2.0, 0.0)),
+      (3L, Seq(1.0, 0.0)), (4L, Seq(-1.0, 0.0))
+    ).toDF("vec_id", "embedding")
+    val (mu, w) = Similarity.meanAndTopComponent(vs, iters = 2)
+    assert(mu === Seq(0.0, 0.0))
+    assert(w === Seq(1.0, 0.0))
+    // projection coefficient = the x-coordinate; residual = 0 on the axis
+    val out = Similarity.removeTopComponent(vs, iters = 2)
+      .as[(Long, Double, Double)].collect().map(r => r._1 -> r).toMap
+    assert(out(1L) === ((1L, 2.0, 0.0)))
+    assert(out(2L) === ((2L, -2.0, 0.0)))
+    // off-axis mass survives as residual: add a y-only vector pair
+    val vs2 = vs.union(Seq((5L, Seq(0.0, 3.0)), (6L, Seq(0.0, -3.0)))
+      .toDF("vec_id", "embedding"))
+    val (mu2, w2) = Similarity.meanAndTopComponent(vs2, iters = 8)
+    assert(mu2 === Seq(0.0, 0.0))
+    // y-variance (18) dominates x-variance (10) → the component rotates
+    // toward e1 at rate (10/18)^iters — 8 rounds ≈ within 1e-2 of e1
+    assert(w2(1).abs > 0.999 && w2(0).abs < 0.05)
+    val r5 = Similarity.removeTopComponent(vs2, iters = 8)
+      .as[(Long, Double, Double)].collect().map(r => r._1 -> r).toMap
+    // y-vectors project ~fully onto the component; x-vectors are ~pure residual
+    assert(r5(5L)._2.abs > 2.99 && r5(5L)._3 < 0.1)
+    assert(r5(1L)._2.abs < 0.1 && r5(1L)._3 > 1.99)
+  }
 }
