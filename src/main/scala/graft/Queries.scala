@@ -1585,6 +1585,52 @@ object Queries {
     closed
   }
 
+  /** Stream-stream watermarked interval join gate —
+    * [[graft.streaming.StreamJoin.intervalJoin]] run as a REAL
+    * checkpointed multi-micro-batch join: even event_ids stream on the
+    * left, odd on the right, each side cut into 3 files consumed one per
+    * trigger, so matches whose two sides land in DIFFERENT micro-batches
+    * (both orders occur under the interleaved split) must come out of the
+    * buffered join state. The 400-day watermark keeps every row on-time
+    * (the q_stream_sessions rule), so the streaming output must equal the
+    * batch join EXACTLY — the oracle recomputes that batch join in SQL,
+    * and an in-gate require compares the stream count to the batch plan
+    * count before the dump is even written.
+    */
+  def streamJoin(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val ev = t(s, dir, "events").select(col("event_id"), col("user_id"),
+      col("ts").cast("timestamp").as("ts"))
+    val lDir = java.nio.file.Files.createTempDirectory("graft-sjoin-l").toString
+    val rDir = java.nio.file.Files.createTempDirectory("graft-sjoin-r").toString
+    val ckDir = java.nio.file.Files.createTempDirectory("graft-sjoin-ck").toString
+    (0 until 3).foreach { b =>
+      ev.filter(col("event_id") % 2 === 0 && pmod(col("event_id") / 2, lit(3)) === b)
+        .coalesce(1).write.mode("append").parquet(lDir)
+      ev.filter(col("event_id") % 2 === 1 && pmod((col("event_id") - 1) / 2, lit(3)) === b)
+        .coalesce(1).write.mode("append").parquet(rDir)
+    }
+    val schema = ev.schema
+    def side(d: String) = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(d)
+      .withWatermark("ts", "400 days")
+    val joined = graft.streaming.StreamJoin
+      .intervalJoin(side(lDir), side(rDir), "user_id", "ts", "ts", windowSec = 600)
+      .select(col("l.user_id").as("user_id"),
+        col("l.event_id").as("l_event_id"), col("r.event_id").as("r_event_id"))
+    val sink = s"graft_sjoin_${System.nanoTime()}"
+    joined.writeStream.option("checkpointLocation", ckDir)
+      .trigger(Trigger.AvailableNow()).format("memory").queryName(sink)
+      .start().awaitTermination(300000)
+    val out = s.table(sink).localCheckpoint()
+    // stream ≡ batch on the same inputs, asserted before the oracle runs
+    val batchN = graft.streaming.StreamJoin.intervalJoin(
+      s.read.parquet(lDir), s.read.parquet(rDir), "user_id", "ts", "ts", 600).count()
+    require(out.count() == batchN,
+      s"stream-stream join: expected $batchN rows (batch join), got ${out.count()}")
+    out
+  }
+
   /** Streaming exact-dedup gate: [[graft.streaming.StreamingDedup]] over
     * a 3-micro-batch documents stream with a watermark wide enough that
     * no state evicts mid-run — the streaming output must then carry

@@ -171,6 +171,7 @@ object SparkEntry {
     "q_incremental"          -> (Queries.incremental _),
     "q_stream_sessions"      -> (Queries.streamSessions _),
     "q_stream_dedup"         -> (Queries.streamDedup _),
+    "q_stream_join"          -> (Queries.streamJoin _),
     "q_incremental_edges"    -> (Queries.incrementalEdges _),
 
     "q_media_partition"      -> (Queries.mediaPartition _),
@@ -1131,6 +1132,16 @@ object SparkEntry {
     "q_stream_dedup" ->
       """SELECT sha256(text) AS h, CAST(1 AS BIGINT) AS n_kept
         |FROM (SELECT DISTINCT text FROM documents)""".stripMargin,
+
+    // the multi-micro-batch stream-stream join must equal this BATCH
+    // interval join exactly (even ids left, odd ids right, r.ts within
+    // [l.ts, l.ts + 10 min] per user)
+    "q_stream_join" ->
+      """SELECT l.user_id, l.event_id AS l_event_id, r.event_id AS r_event_id
+        |FROM events l JOIN events r
+        |  ON l.user_id = r.user_id
+        | AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 10 MINUTE
+        |WHERE l.event_id % 2 = 0 AND r.event_id % 2 = 1""".stripMargin,
 
     // PNG pixel-decode gate: Spark ENCODES 120 real PNGs (zlib IDAT, CRCs,
     // per-row filter = row % 5) from the closed-form pixel formula, DECODES
