@@ -2078,6 +2078,43 @@ object Queries {
     graft.ops.Search.rankingMetrics(ranked, rel, 5)
   }
 
+  /** Length-bucketed training batches of 32 —
+    * [[graft.ops.CorpusOps.lengthBucketedBatches]] (sharded two-pass
+    * global (len, id) rank), aggregated to per-batch padding-waste
+    * accounting. The oracle recomputes the rank as ONE window in SQL —
+    * any shard/offset/ordering bug breaks the value match. Exact gate.
+    */
+  def lengthBatchesGate(s: SparkSession, dir: String): DataFrame =
+    graft.ops.CorpusOps.lengthBucketedBatches(t(s, dir, "documents"),
+        batchSize = 32, nShards = 8)
+      .groupBy("batch_idx")
+      .agg(count(lit(1)).as("n_docs"), max(col("len")).as("max_tokens"),
+        (max(col("len")) * count(lit(1)) - sum(col("len"))).as("padding"))
+
+  /** Water-filling data-mix rates — [[graft.ops.CorpusOps.mixRates]] with
+    * weights derived from the source name ((srcN → N%4+1)) and a budget of
+    * 90% of the corpus tokens, so heavy-weight sources CAP at their
+    * availability and the rest re-level: the fixpoint the oracle replays
+    * via prefix sums + the cumulative exact cross-multiplied cap test.
+    * Exact gate.
+    */
+  def mixRatesGate(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val sources = docs.select("source").distinct().collect().map(_.getString(0))
+    val weights = sources.map(src =>
+      src -> ((src.replaceAll("\\D", "").toLong % 4) + 1)).toMap
+    val total = docs.agg(sum(TextOps.tokenCountWs(col("text")).cast("long")))
+      .head().getLong(0)
+    graft.ops.CorpusOps.mixRates(docs, weights, total * 9L / 10L)
+  }
+
+  /** Tokenizer-vocabulary coverage per language at k=64 —
+    * [[graft.ops.CorpusOps.vocabCoverage]]; the oracle recomputes the
+    * top-64 vocabulary and the per-language OOV rates. Exact gate.
+    */
+  def vocabCoverageGate(s: SparkSession, dir: String): DataFrame =
+    graft.ops.CorpusOps.vocabCoverage(t(s, dir, "documents"), k = 64)
+
   /** CDC read between two committed snapshot versions —
     * [[graft.io.StageRunner.snapshotDiff]]: v1 = orders minus the %5 keys,
     * v2 = orders minus the %7 keys with %3 prices bumped; the diff must

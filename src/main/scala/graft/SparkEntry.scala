@@ -69,6 +69,9 @@ object SparkEntry {
     "q_abtt"                 -> (Queries.abttGate _),
     "q_snapshot_diff"        -> (Queries.snapshotDiffGate _),
     "q_k_anonymity"          -> (Queries.kAnonymityGate _),
+    "q_length_batches"       -> (Queries.lengthBatchesGate _),
+    "q_mix_rates"            -> (Queries.mixRatesGate _),
+    "q_vocab_coverage"       -> (Queries.vocabCoverageGate _),
     "q_naming"               -> (Queries.naming _),
     // text analysis
     "q_token_counts"         -> (Queries.tokenCounts _),
@@ -1921,6 +1924,74 @@ object SparkEntry {
         |SELECT rs.vec_id, round(cf.c, 6) AS coef,
         |       round(sqrt(rs.r2), 6) AS resid_norm
         |FROM rs JOIN cf USING (vec_id)""".stripMargin,
+
+    // the sharded two-pass (len, id) rank replayed as ONE window, then
+    // batches of 32 with padding = n·max − sum(len)
+    "q_length_batches" ->
+      """WITH l AS (SELECT doc_id,
+        |             CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS len
+        |           FROM documents),
+        |p AS (SELECT doc_id, len,
+        |        row_number() OVER (ORDER BY len, doc_id) - 1 AS pos
+        |      FROM l)
+        |SELECT pos // 32 AS batch_idx, count(*) AS n_docs,
+        |       max(len) AS max_tokens,
+        |       CAST(max(len) * count(*) - sum(len) AS BIGINT) AS padding
+        |FROM p GROUP BY 1""".stripMargin,
+
+    // the water-filling walk replayed: sources sorted by (a/w, s), the cap
+    // test is the exact cross-multiplied a·(W−pw) <= (T−pa)·w with
+    // EXCLUSIVE prefix sums, capped = the cumulative-AND prefix (single
+    // crossing); uncapped takes divide the frozen remainder
+    "q_mix_rates" ->
+      """WITH a AS (
+        |  SELECT source, CAST(sum(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT) AS a,
+        |         (CAST(regexp_extract(source, '[0-9]+') AS BIGINT) % 4) + 1 AS w
+        |  FROM documents GROUP BY 1),
+        |tot AS (SELECT CAST(sum(a) * 9 // 10 AS BIGINT) AS t,
+        |               CAST(sum(w) AS BIGINT) AS wtot FROM a),
+        |walk AS (
+        |  SELECT a.*, tot.t, tot.wtot,
+        |    coalesce(sum(a.a) OVER win, 0) AS pa,
+        |    coalesce(sum(a.w) OVER win, 0) AS pw
+        |  FROM a CROSS JOIN tot
+        |  WINDOW win AS (ORDER BY a.a * 1.0 / a.w, a.source
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+        |flags AS (
+        |  SELECT *,
+        |    bool_and(a * (wtot - pw) <= (t - pa) * w) OVER
+        |      (ORDER BY a * 1.0 / w, source
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS capped
+        |  FROM walk),
+        |lvl AS (SELECT coalesce(sum(CASE WHEN capped THEN a END), 0) AS ca,
+        |               coalesce(sum(CASE WHEN capped THEN w END), 0) AS cw
+        |        FROM flags)
+        |SELECT f.source, f.a AS avail_tokens,
+        |  CASE WHEN f.capped THEN CAST(f.a AS DOUBLE)
+        |       ELSE round((f.t - lvl.ca) * f.w * 1.0 / (f.wtot - lvl.cw), 6)
+        |  END AS take_tokens,
+        |  CASE WHEN f.capped THEN 1.0
+        |       ELSE round(round((f.t - lvl.ca) * f.w * 1.0 / (f.wtot - lvl.cw), 6)
+        |                  / f.a, 6)
+        |  END AS rate
+        |FROM flags f CROSS JOIN lvl""".stripMargin,
+
+    // the top-64 vocabulary + per-language covered/OOV token accounting
+    "q_vocab_coverage" ->
+      """WITH top AS (
+        |  SELECT token FROM (
+        |    SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS token
+        |    FROM documents)
+        |  GROUP BY token ORDER BY count(*) DESC, token LIMIT 64),
+        |toks AS (SELECT lang,
+        |           unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS tok
+        |         FROM documents)
+        |SELECT lang, count(*) AS total_tokens,
+        |  CAST(sum(CASE WHEN tok IN (SELECT token FROM top) THEN 1 ELSE 0 END)
+        |       AS BIGINT) AS covered_tokens,
+        |  round(1.0 - sum(CASE WHEN tok IN (SELECT token FROM top) THEN 1
+        |                       ELSE 0 END) * 1.0 / count(*), 6) AS oov_rate
+        |FROM toks GROUP BY 1""".stripMargin,
 
     // both snapshot versions recomputed from the base table, then the
     // full-outer CDC diff: only-in-v2 = inserted, only-in-v1 = deleted,

@@ -165,6 +165,120 @@ object CorpusOps {
       .drop("_shard", "_toks", "_offset")
   }
 
+  /** Length-bucketed training batches — the padding-efficiency packer: rank
+    * the corpus under the TOTAL order (token length, id), cut into
+    * consecutive `batchSize` groups, so each batch holds near-equal-length
+    * documents and pad-to-batch-max waste is (empirically near-) minimal —
+    * the standard dynamic-batching move that recovers 20–40% of padded
+    * FLOPs on mixed-length corpora. Returns (id, len, pos, batch_idx);
+    * per-batch waste = Σ(batch_max − len), which the gate aggregates.
+    *
+    * Scale shape: the global rank is the two-pass SHARDED index
+    * ([[Sampling.shufflePositions]]'s shape) with shards = CONTIGUOUS
+    * LENGTH ranges, so concatenating shards reproduces the global
+    * (len, id) order while no task ever windows more than ~1/nShards of
+    * the corpus; the only unpartitioned window runs over the nShards-row
+    * offset table.
+    */
+  def lengthBucketedBatches(docs: DataFrame, batchSize: Int, nShards: Int = 64,
+                            idCol: String = "doc_id",
+                            textCol: String = "text"): DataFrame = {
+    require(batchSize > 0, s"batchSize must be positive, got $batchSize")
+    require(nShards > 0, s"nShards must be positive, got $nShards")
+    import org.apache.spark.sql.expressions.Window
+    val lens = docs.select(col(idCol).as("id"),
+      TextOps.tokenCountWs(col(textCol)).cast("long").as("len"))
+    val maxLen = lens.agg(max(col("len"))).head().getLong(0)
+    val width = math.max(1L, maxLen / nShards + 1L)
+    val sharded = lens.withColumn("_shard", floor(col("len") / width))
+    val offs = sharded.groupBy("_shard").agg(count(lit(1)).as("_n"))
+      .withColumn("_off", coalesce(sum(col("_n")).over(
+        Window.orderBy("_shard").rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .select("_shard", "_off")
+    val w = Window.partitionBy(col("_shard")).orderBy(col("len"), col("id"))
+    sharded.withColumn("_rk", row_number().over(w).cast("long"))
+      .join(broadcast(offs), "_shard")
+      .withColumn("pos", col("_off") + col("_rk") - 1)
+      .withColumn("batch_idx", floor(col("pos") / batchSize))
+      .select(col("id").as(idCol), col("len"), col("pos"), col("batch_idx"))
+  }
+
+  /** Water-filling DATA-MIX solver: given integer target weights per
+    * source and a total token budget, compute the per-source take that is
+    * proportional to the weights EXCEPT where a source's availability
+    * caps it — capped sources contribute everything they have and their
+    * unused share re-levels across the rest (the water-filling fixpoint;
+    * DoReMi-style mixes reduce to exactly this once weights are chosen).
+    *
+    * Determinism contract: weights are INTEGERS and the cap test is the
+    * cross-multiplied `a·Σw ≤ remaining·w` — exact 64-bit arithmetic, no
+    * float boundary — walked in (a/w, source) order; only the final take
+    * of an uncapped source divides (rounded to 6 dp), so an independent
+    * SQL engine replays the whole solve from the same aggregate.
+    *
+    * Shape: ONE corpus aggregation (per-source token sums — map-side
+    * partials); the solve itself runs driver-side over the human-scale
+    * source list (the literal-rate-map trade [[Sampling
+    * .sampleStratified]] documents). Returns (source, avail_tokens,
+    * take_tokens, rate).
+    */
+  def mixRates(docs: DataFrame, weights: Map[String, Long], totalTokens: Long,
+               groupCol: String = "source", textCol: String = "text"): DataFrame = {
+    require(totalTokens > 0, s"totalTokens must be positive, got $totalTokens")
+    require(weights.nonEmpty && weights.values.forall(_ > 0),
+      "weights must be non-empty and positive")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val avail = docs.groupBy(col(groupCol).as("s"))
+      .agg(sum(TextOps.tokenCountWs(col(textCol)).cast("long")).as("a"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    avail.foreach { case (s, _) =>
+      require(weights.contains(s), s"no weight for source '$s'") }
+    // ascending a/w: the capped sources form a prefix (single crossing)
+    val items = avail.map { case (s, a) => (s, a, weights(s)) }
+      .sortBy { case (s, a, wt) => (a.toDouble / wt, s) }
+    var remaining = totalTokens
+    var wSum = items.map(_._3).sum
+    val out = items.map { case (s, a, wt) =>
+      if (wSum > 0 && a * wSum <= remaining * wt) {
+        // capped: take everything, re-level the rest
+        remaining -= a; wSum -= wt
+        (s, a, a.toDouble, 1.0)
+      } else {
+        val take = round6(remaining.toDouble * wt / wSum)
+        (s, a, take, round6(take / a))
+      }
+    }
+    out.toSeq.toDF(groupCol, "avail_tokens", "take_tokens", "rate")
+  }
+
+  private def round6(x: Double): Double =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  /** Tokenizer-vocabulary coverage audit per group (language/source):
+    * what fraction of the token stream a top-k vocabulary covers, and the
+    * OOV rate left over — the health check run before committing to a
+    * vocab size. One explode + a broadcast semi-mark join against the
+    * (k-row) vocabulary + one group aggregation; the token stream
+    * shuffles only as (group, partial counts).
+    */
+  def vocabCoverage(docs: DataFrame, k: Int, groupCol: String = "lang",
+                    textCol: String = "text"): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val top = topTokens(docs, k, textCol)
+      .select(col("token").as("tok"), lit(1L).as("_in"))
+    docs.select(col(groupCol).as("grp"),
+        explode(split(lower(trim(col(textCol))), "\\s+")).as("tok"))
+      .join(broadcast(top), Seq("tok"), "left_outer")
+      .groupBy("grp")
+      .agg(count(lit(1)).as("total_tokens"),
+        sum(coalesce(col("_in"), lit(0L))).as("covered_tokens"))
+      .select(col("grp").as(groupCol), col("total_tokens"), col("covered_tokens"),
+        round(lit(1.0) - col("covered_tokens") / col("total_tokens").cast("double"), 6)
+          .as("oov_rate"))
+  }
+
   /** Pointwise mutual information over document-level token co-occurrence:
     * for every token pair appearing together in at least one document,
     * pmi = ln(N · n_ab / (n_a · n_b)) on document frequencies — the

@@ -160,4 +160,57 @@ class CorpusOpsSpec extends SparkSpec {
     assert(!got.contains(1L) && !got.contains(5L)) // dominated
     assert(got.contains(3L) && got.contains(4L))   // exact ties both kept
   }
+
+  test("lengthBucketedBatches: sharded rank equals the global (len, id) order") {
+    import spark.implicits._
+    // lengths 1..9 across ids shuffled so shard boundaries matter
+    val docs = Seq(
+      (1L, "a b c d e f g h i"), (2L, "a"), (3L, "a b c d e"),
+      (4L, "a b"), (5L, "a b c d e f g"), (6L, "a b c"),
+      (7L, "a b c d e f g h"), (8L, "a b c d"), (9L, "a b c d e f")
+    ).toDF("doc_id", "text")
+    val out = CorpusOps.lengthBucketedBatches(docs, batchSize = 4, nShards = 3)
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._3)
+    // pos follows length ascending (ids 2,4,6,8,3,9,5,7,1), batches of 4
+    assert(out.map(_._1).toSeq === Seq(2L, 4L, 6L, 8L, 3L, 9L, 5L, 7L, 1L))
+    assert(out.map(_._4).toSeq === Seq(0L, 0L, 0L, 0L, 1L, 1L, 1L, 1L, 2L))
+    // padding of batch 0 = 4·4 − (1+2+3+4) = 6
+    val b0 = out.filter(_._4 == 0L)
+    assert(b0.map(_._2).max * b0.length - b0.map(_._2).sum === 6L)
+  }
+
+  test("mixRates: capped sources take everything, the rest re-level") {
+    import spark.implicits._
+    // avail: x=10, y=100, z=100 tokens; weights x=4, y=1, z=1; budget 60.
+    // First level λ=10: x wants 40 but has 10 → capped. Remaining 50 over
+    // w=2 → y and z take 25 each (rate 0.25).
+    val docs = Seq(
+      ("x", ("t " * 10).trim), ("y", ("t " * 100).trim), ("z", ("t " * 100).trim)
+    ).toDF("source", "text")
+    val out = CorpusOps.mixRates(docs, Map("x" -> 4L, "y" -> 1L, "z" -> 1L), 60L)
+      .as[(String, Long, Double, Double)].collect().map(r => r._1 -> r).toMap
+    assert(out("x") === (("x", 10L, 10.0, 1.0)))
+    assert(out("y") === (("y", 100L, 25.0, 0.25)))
+    assert(out("z") === (("z", 100L, 25.0, 0.25)))
+    // no caps bind when the budget is small: pure weight proportions
+    val flat = CorpusOps.mixRates(docs, Map("x" -> 1L, "y" -> 1L, "z" -> 2L), 40L)
+      .as[(String, Long, Double, Double)].collect().map(r => r._1 -> r).toMap
+    assert(flat("x") === (("x", 10L, 10.0, 1.0))) // 10 avail < λ·1=10? capped at equality
+    assert(flat("z")._3 === 20.0)
+  }
+
+  test("vocabCoverage: per-group covered and OOV accounting") {
+    import spark.implicits._
+    val docs = Seq(
+      ("en", "a a b rare1"), ("en", "a b b"),
+      ("fr", "a rare2 rare3")
+    ).toDF("lang", "text")
+    // top-2 vocabulary = {a, b} (a:4, b:3)
+    val out = CorpusOps.vocabCoverage(docs, k = 2)
+      .as[(String, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(out("en") === (("en", 7L, 6L, BigDecimal(1.0 - 6.0 / 7)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)))
+    assert(out("fr") === (("fr", 3L, 1L, BigDecimal(1.0 - 1.0 / 3)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)))
+  }
 }
