@@ -46,10 +46,21 @@ object PlanCheck {
       "q_lm_score",        // r4: bigram model joins — counts tables on the
                            // (w1,w2)/(w1) keys, V broadcast, no cross blowup
       "q_contamination",   // r4: broadcast gram membership + doc-keyed agg
-      "q_zorder_mat"       // r5: materialized Z-order layout — the z
+      "q_zorder_mat",      // r5: materialized Z-order layout — the z
                            // corner-code range MUST land in PushedFilters
                            // (row-group min/max pruning on BOTH dimensions
                            // of the box at once)
+      "q_semantic_dedup",  // r5: the cosine verify must be a within-cell
+                           // equi-join (cell key), never a cross blowup;
+                           // k-means assign = zero-shuffle literal argmax
+      "q_snapshot_diff",   // r5: one full-outer hash join on the key,
+                           // both version scans pruned to key + shared cols
+      "q_length_batches",  // r5: sharded rank — partitionBy(_shard) window,
+                           // the only unpartitioned window is the nShards-row
+                           // offset table
+      "q_pca"              // r5: power rounds = zero-shuffle coef projection
+                           // + one dim-wide partial aggregation, no window,
+                           // no join
     )
     for (name <- interesting) {
       println(s"\n================ $name ================")
