@@ -1233,6 +1233,16 @@ object Queries {
   def walksGate(s: SparkSession, dir: String): DataFrame =
     graft.kg.GraphAlgos.randomWalks(handoffEdges(s, dir), walkLen = 4, seed = 7)
 
+  /** node2vec-biased 3-step walks over the handoff digraph —
+    * [[graft.kg.GraphAlgos.biasedWalks]] (return 1 / common 4 / far 2):
+    * step 1 uniform, steps 2–3 biased by the previous node; every hop —
+    * weight classes, cumulative ranges, hash pick — replayed bit-for-bit
+    * by the oracle. Exact gate.
+    */
+  def biasedWalksGate(s: SparkSession, dir: String): DataFrame =
+    graft.kg.GraphAlgos.biasedWalks(handoffEdges(s, dir), walkLen = 3,
+      seed = 11, wReturn = 1, wCommon = 4, wFar = 2)
+
   /** Per-node degree stats over the directed user→event_type graph. */
   def degrees(s: SparkSession, dir: String): DataFrame =
     graft.kg.GraphAlgos.degrees(

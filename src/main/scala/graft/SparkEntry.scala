@@ -161,6 +161,7 @@ object SparkEntry {
     "q_scc"                  -> (Queries.sccGate _),
     "q_condensation"         -> (Queries.condensationGate _),
     "q_walks"                -> (Queries.walksGate _),
+    "q_walks_biased"         -> (Queries.biasedWalksGate _),
     "q_ewma"                 -> (Queries.ewmaGate _),
     "q_bpe"                  -> (Queries.bpeGate _),
     "q_mmr"                  -> (Queries.mmrGate _),
@@ -2575,6 +2576,65 @@ object SparkEntry {
          |starts AS (SELECT src AS n FROM edges UNION SELECT dst FROM edges),
          |w0 AS (SELECT n AS start, n AS node FROM starts),
          |$hops
+         |$unions""".stripMargin
+    },
+
+    // every biased hop replayed: step 1 = the uniform q_walks hop
+    // (carrying prev), steps 2..3 = neighbor weights by relation to prev
+    // (return 1 / p-adjacent 4 / far 2), cumulative ranges over id-ordered
+    // neighbors, pick = portable hash % total weight
+    "q_walks_biased" -> {
+      def b(x: String, s: Long) =
+        s"(((($x + $s) % 1000003) * 2654435761 + $s) % 1000000" +
+          s" + ((($x + $s) % 999983) * 2246822518) % 1000000) % 1000000"
+      val seed = 11L
+      val biasedHops = (2 to 3).map { k =>
+        s"""c$k AS (
+           |  SELECT w.start, w.node, r.dst AS v,
+           |    CASE WHEN r.dst = w.prev THEN 1
+           |         WHEN EXISTS (SELECT 1 FROM edges e2
+           |                      WHERE e2.src = w.prev AND e2.dst = r.dst) THEN 4
+           |         ELSE 2 END AS wt
+           |  FROM p${k - 1} w JOIN edges r ON r.src = w.node),
+           |s$k AS (
+           |  SELECT start, node, v, wt,
+           |    sum(wt) OVER (PARTITION BY start ORDER BY v
+           |                  ROWS UNBOUNDED PRECEDING) AS cum,
+           |    sum(wt) OVER (PARTITION BY start) AS tot
+           |  FROM c$k),
+           |p$k AS (
+           |  SELECT start, node AS prev, v AS node FROM s$k
+           |  WHERE (${b("start", seed + k)} + ${b("node", seed + 1000 + k)})
+           |        % 1000000 % tot >= cum - wt
+           |    AND (${b("start", seed + k)} + ${b("node", seed + 1000 + k)})
+           |        % 1000000 % tot < cum)""".stripMargin
+      }.mkString(",\n")
+      val unions = (0 to 3).map(k =>
+        s"SELECT start, CAST($k AS INT) AS step, node FROM p$k").mkString("\nUNION ALL ")
+      s"""WITH seq AS (
+         |  SELECT user_id, ts, event_id,
+         |         lead(user_id) OVER (PARTITION BY event_type
+         |                             ORDER BY ts, event_id) AS nxt,
+         |         lead(ts) OVER (PARTITION BY event_type
+         |                        ORDER BY ts, event_id) AS nts
+         |  FROM events),
+         |edges AS (SELECT DISTINCT user_id AS src, nxt AS dst FROM seq
+         |          WHERE nxt IS NOT NULL AND nxt <> user_id
+         |            AND epoch_us(nts) - epoch_us(ts) <= 30000000),
+         |ranked AS (SELECT src, dst,
+         |             row_number() OVER (PARTITION BY src ORDER BY dst) - 1 AS rk
+         |           FROM edges),
+         |deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY 1),
+         |starts AS (SELECT src AS n FROM edges UNION SELECT dst FROM edges),
+         |p0 AS (SELECT n AS start, CAST(NULL AS BIGINT) AS prev, n AS node
+         |       FROM starts),
+         |p1 AS (SELECT w.start, w.node AS prev, r.dst AS node
+         |  FROM p0 w
+         |  JOIN deg d ON w.node = d.src
+         |  JOIN ranked r ON r.src = w.node
+         |   AND r.rk = (${b("w.start", seed + 1)} + ${b("w.node", seed + 1001)})
+         |              % 1000000 % d.deg),
+         |$biasedHops
          |$unions""".stripMargin
     },
 

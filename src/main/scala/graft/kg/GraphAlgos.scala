@@ -949,6 +949,93 @@ object GraphAlgos {
     out
   }
 
+  /** node2vec-BIASED deterministic walks — [[randomWalks]] upgraded with
+    * the Grover–Leskovec second-order bias: from node u with previous node
+    * p, each out-neighbor v carries an integer weight by its relation to p
+    * (v = p → `wReturn`, the 1/p return bias; p→v edge exists → `wCommon`,
+    * the BFS-ish stay-local bias; else → `wFar`, the 1/q DFS-ish
+    * exploration bias; directed adjacency — p→v — stands in for the
+    * paper's undirected neighbor test). The deterministic pick walks the
+    * id-ordered neighbors' cumulative weights and selects the one whose
+    * range contains hash % total-weight — the same portable double-fold
+    * hash as [[randomWalks]], so a SQL oracle replays every biased hop
+    * bit-for-bit. Step 1 has no previous node and picks uniformly (the
+    * [[randomWalks]] rule, same salts).
+    *
+    * Scale shape per step: one hash equi-join expands each walk to its
+    * current node's out-neighbors (degree-bounded), one left join marks
+    * p-adjacency, and two per-walk windows (cumulative + total weight —
+    * partitions are single walks, never data-sized); walkLen shuffles
+    * total, state (start, prev, node). Sinks terminate walks early.
+    * Integral node ids only.
+    *
+    * Returns (start, step, node), step 0 = the start node.
+    */
+  def biasedWalks(edges: DataFrame, walkLen: Int, seed: Long,
+                  wReturn: Int = 1, wCommon: Int = 4, wFar: Int = 2,
+                  srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
+    require(walkLen >= 1 && walkLen <= 8,
+      s"walkLen must be in [1,8] (each step is an unrolled join), got $walkLen")
+    require(wReturn > 0 && wCommon > 0 && wFar > 0, "bias weights must be positive")
+    val e = edges.select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"))
+      .filter(col("src") =!= col("dst")).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("src").orderBy("dst")
+    val rankedR = e.withColumn("rk", row_number().over(w) - 1)
+      .select(col("src").as("_rs"), col("dst").as("_rd"), col("rk").as("_rk"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val degR = e.groupBy("src").agg(count(lit(1)).as("_deg"))
+      .select(col("src").as("_ds"), col("_deg"))
+    val starts = e.select(col("src").as("n")).unionAll(e.select(col("dst").as("n")))
+      .distinct()
+    val step0 = starts.select(col("n").as("start"), col("n").as("node"))
+    val pick1 = pmod(
+      graft.ops.Sampling.bucket(col("start"), seed + 1) +
+        graft.ops.Sampling.bucket(col("node"), seed + 1001),
+      lit(graft.ops.Sampling.Buckets))
+    var cur = step0.join(degR, col("node") === col("_ds"))
+      .withColumn("_pick", pick1 % col("_deg"))
+      .join(rankedR, col("node") === col("_rs") && col("_pick") === col("_rk"))
+      .select(col("start"), col("node").as("prev"), col("_rd").as("node"))
+    val steps = scala.collection.mutable.ArrayBuffer[DataFrame](
+      step0.withColumn("step", lit(0)),
+      cur.select("start", "node").withColumn("step", lit(1)))
+    val adjR = e.select(col("src").as("_as"), col("dst").as("_ad"), lit(1).as("_adj"))
+    for (k <- 2 to walkLen) {
+      val cand = cur
+        .join(e.select(col("src").as("_cs"), col("dst").as("_v")),
+          col("node") === col("_cs"))
+        .join(adjR, col("prev") === col("_as") && col("_v") === col("_ad"),
+          "left_outer")
+        .withColumn("_w",
+          when(col("_v") === col("prev"), lit(wReturn))
+            .when(col("_adj").isNotNull, lit(wCommon))
+            .otherwise(lit(wFar)).cast("long"))
+      val wc = org.apache.spark.sql.expressions.Window
+        .partitionBy("start").orderBy("_v")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      val wt = org.apache.spark.sql.expressions.Window.partitionBy("start")
+      val pick = pmod(
+        graft.ops.Sampling.bucket(col("start"), seed + k) +
+          graft.ops.Sampling.bucket(col("node"), seed + 1000 + k),
+        lit(graft.ops.Sampling.Buckets))
+      cur = cand
+        .withColumn("_cum", sum(col("_w")).over(wc))
+        .withColumn("_tot", sum(col("_w")).over(wt))
+        .withColumn("_pk", pick % col("_tot"))
+        .filter(col("_pk") >= col("_cum") - col("_w") && col("_pk") < col("_cum"))
+        .select(col("start"), col("node").as("prev"), col("_v").as("node"))
+      steps += cur.select("start", "node").withColumn("step", lit(k))
+    }
+    val out = steps.reduceLeft(_ unionAll _).select("start", "step", "node")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    rankedR.unpersist(); e.unpersist()
+    out
+  }
+
   /** Condensation of a directed graph: collapse each SCC (from [[scc]])
     * to one node and keep the distinct cross-component edges — by
     * construction a DAG — then layer it by LONGEST path from the sources:

@@ -386,6 +386,18 @@ final case class Graph(nodes: DataFrame, edges: DataFrame) {
       srcCol = RelSetOps.SrcId, dstCol = RelSetOps.DstId)
   }
 
+  /** node2vec-biased walks over this graph's directed edges —
+    * [[graft.kg.GraphAlgos.biasedWalks]] (return/common/far integer
+    * weights relative to the previous node).
+    */
+  def biasedWalks(walkLen: Int, seed: Long, wReturn: Int = 1,
+                  wCommon: Int = 4, wFar: Int = 2,
+                  relType: Option[String] = None): DataFrame = {
+    val e = relType.fold(edges)(t => edges.filter(col(RelSetOps.RelType) === t))
+    graft.kg.GraphAlgos.biasedWalks(e, walkLen, seed, wReturn, wCommon, wFar,
+      srcCol = RelSetOps.SrcId, dstCol = RelSetOps.DstId)
+  }
+
   /** Condensation DAG levels of this graph's directed edges —
     * [[graft.kg.GraphAlgos.condensationLevels]]: (scc_id, level,
     * n_members) with scc_id in `_node_id` space.

@@ -447,4 +447,60 @@ class GraphAlgosSpec extends SparkSpec {
       .as[(Long, Int, Long)].collect().toSet
     assert(again === out.toSet)
   }
+
+  test("biasedWalks matches an independent in-memory node2vec reference") {
+    import spark.implicits._
+    val edgeList = Seq((1L, 2L), (2L, 1L), (2L, 3L), (2L, 4L), (1L, 3L),
+      (3L, 2L), (4L, 1L), (3L, 4L))
+    val es = edgeList.toDF("src", "dst")
+    val (wR, wC, wF) = (1L, 4L, 2L)
+    val seed = 11L
+    val out = GraphAlgos.biasedWalks(es, walkLen = 3, seed = seed,
+        wReturn = wR.toInt, wCommon = wC.toInt, wFar = wF.toInt)
+      .as[(Long, Int, Long)].collect().toSet
+
+    // independent reference: sorted adjacency, uniform step 1, weighted
+    // cumulative pick for steps 2..3 — same portable hash, written from
+    // the CONTRACT (not the Spark code)
+    def buck(id: Long, s: Long): Long =
+      (((id + s) % 1000003L * 2654435761L + s) % 1000000L +
+        ((id + s) % 999983L * 2246822518L) % 1000000L) % 1000000L
+    val adj = edgeList.groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    val nodes = edgeList.flatMap(e => Seq(e._1, e._2)).distinct
+    val ref = scala.collection.mutable.Set.empty[(Long, Int, Long)]
+    for (s0 <- nodes) {
+      ref += ((s0, 0, s0))
+      adj.get(s0).foreach { n1s =>
+        val pick1 = ((buck(s0, seed + 1) + buck(s0, seed + 1001)) % 1000000L
+          % n1s.length).toInt
+        var prev = s0
+        var node = n1s(pick1)
+        ref += ((s0, 1, node))
+        var k = 2
+        var alive = true
+        while (k <= 3 && alive) {
+          adj.get(node) match {
+            case None => alive = false
+            case Some(vs) =>
+              val wts = vs.map { v =>
+                if (v == prev) wR
+                else if (adj.get(prev).exists(_.contains(v))) wC
+                else wF
+              }
+              val tot = wts.sum
+              val pick = (buck(s0, seed + k) + buck(node, seed + 1000 + k)) %
+                1000000L % tot
+              var cum = 0L; var chosen = -1
+              for (i <- vs.indices if chosen < 0) {
+                cum += wts(i); if (pick < cum) chosen = i
+              }
+              prev = node; node = vs(chosen)
+              ref += ((s0, k, node))
+          }
+          k += 1
+        }
+      }
+    }
+    assert(out === ref.toSet)
+  }
 }
