@@ -2088,6 +2088,25 @@ object Queries {
     graft.ops.Search.rankingMetrics(ranked, rel, 5)
   }
 
+  /** Blocking-quality audit of the 16-bit/4-band sign-LSH blocking against
+    * the exact global rounded-cosine ≥ 0.3 pair set —
+    * [[graft.ops.Dedup.blockingQuality]] over
+    * [[graft.ops.Similarity.lshCandidatePairs]]: pair completeness
+    * (blocking recall) + reduction ratio (pruned fraction of C(n,2)). The
+    * oracle recomputes the candidates from the q_lsh_sigs dump and the
+    * truth set + both formulas in SQL. Exact gate.
+    */
+  def blockingQualityGate(s: SparkSession, dir: String): DataFrame = {
+    val embs = t(s, dir, "embeddings")
+      .select(col("vec_id"), expr("transform(embedding, x -> cast(x as double))").as("embedding"))
+    val cand = Similarity.lshCandidatePairs(embs, bits = 16, bandBits = 4)
+    val l = embs.alias("l"); val r = embs.alias("r")
+    val truth = l.join(r, col("l.vec_id") < col("r.vec_id"))
+      .filter(round(Similarity.cosine(col("l.embedding"), col("r.embedding")), 6) >= 0.3)
+      .select(col("l.vec_id").as("a"), col("r.vec_id").as("b"))
+    graft.ops.Dedup.blockingQuality(cand, truth, embs.count())
+  }
+
   /** Length-bucketed training batches of 32 —
     * [[graft.ops.CorpusOps.lengthBucketedBatches]] (sharded two-pass
     * global (len, id) rank), aggregated to per-batch padding-waste

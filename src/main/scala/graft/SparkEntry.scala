@@ -69,6 +69,7 @@ object SparkEntry {
     "q_abtt"                 -> (Queries.abttGate _),
     "q_snapshot_diff"        -> (Queries.snapshotDiffGate _),
     "q_k_anonymity"          -> (Queries.kAnonymityGate _),
+    "q_blocking_quality"     -> (Queries.blockingQualityGate _),
     "q_length_batches"       -> (Queries.lengthBatchesGate _),
     "q_mix_rates"            -> (Queries.mixRatesGate _),
     "q_vocab_coverage"       -> (Queries.vocabCoverageGate _),
@@ -1925,6 +1926,41 @@ object SparkEntry {
         |SELECT rs.vec_id, round(cf.c, 6) AS coef,
         |       round(sqrt(rs.r2), 6) AS resid_norm
         |FROM rs JOIN cf USING (vec_id)""".stripMargin,
+
+    // Christen's blocking metrics recomputed whole: candidates re-banded
+    // from the dumped signatures, truth = exact rounded-cosine >= 0.3
+    // pairs, completeness = hit/truth, reduction = 1 - cand/C(n,2)
+    "q_blocking_quality" ->
+      """WITH sigs AS (
+        |  SELECT vec_id, sig
+        |  FROM read_parquet('__GRAFT_OUT__/q_lsh_sigs/*.parquet')),
+        |banded AS (
+        |  SELECT vec_id, bi, (sig >> CAST(bi * 4 AS INTEGER)) & 15 AS k
+        |  FROM sigs, range(4) t(bi)),
+        |cand AS (
+        |  SELECT DISTINCT l.vec_id AS a, r.vec_id AS b
+        |  FROM banded l JOIN banded r
+        |    ON l.bi = r.bi AND l.k = r.k AND l.vec_id < r.vec_id),
+        |flat AS (
+        |  SELECT a.vec_id AS a, b.vec_id AS b,
+        |         CAST(unnest(a.embedding) AS DOUBLE) AS xa,
+        |         CAST(unnest(b.embedding) AS DOUBLE) AS xb
+        |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id),
+        |dots AS (SELECT a, b, sum(xa*xb) AS dp, sum(xa*xa) AS na,
+        |                sum(xb*xb) AS nb
+        |         FROM flat GROUP BY 1, 2),
+        |truth AS (SELECT a, b FROM dots
+        |          WHERE round(dp/(sqrt(na)*sqrt(nb)), 6) >= 0.3),
+        |nn AS (SELECT count(*) AS n FROM embeddings),
+        |agg AS (SELECT
+        |  (SELECT count(*) FROM cand) AS n_candidates,
+        |  (SELECT count(*) FROM truth) AS n_truth,
+        |  (SELECT count(*) FROM truth JOIN cand USING (a, b)) AS n_hit,
+        |  (SELECT n * (n - 1) // 2 FROM nn) AS total)
+        |SELECT n_candidates, n_truth, n_hit,
+        |       round(n_hit * 1.0 / n_truth, 6) AS pair_completeness,
+        |       round(1.0 - n_candidates * 1.0 / total, 6) AS reduction_ratio
+        |FROM agg""".stripMargin,
 
     // the sharded two-pass (len, id) rank replayed as ONE window, then
     // batches of 32 with padding = n·max − sum(len)

@@ -149,6 +149,37 @@ object Dedup {
     docs.join(losers, docs(idCol) === losers("id"), "left_anti")
   }
 
+  /** Blocking-quality audit for dedup / entity-resolution pipelines — the
+    * two numbers every blocking scheme is judged by (Christen's standard
+    * metrics): PAIR COMPLETENESS = |candidates ∩ truth| / |truth| (what
+    * fraction of true pairs the blocking reaches — blocking recall) and
+    * REDUCTION RATIO = 1 − |candidates| / C(n,2) (what fraction of the
+    * quadratic comparison space it prunes). Run it whenever bands/shingle
+    * sizes/thresholds change: completeness tells you what dedup silently
+    * loses, reduction tells you what the verify stage costs.
+    *
+    * Shape: both inputs are pair lists (blocking output and ground
+    * truth), never the corpus; one distinct per side, one left-semi join,
+    * three 1-row aggregates cross-joined (the HITS-fold pattern). One
+    * output row.
+    */
+  def blockingQuality(candidates: DataFrame, truth: DataFrame, nRecords: Long,
+                      aCol: String = "a", bCol: String = "b"): DataFrame = {
+    require(nRecords >= 2, s"nRecords must be >= 2, got $nRecords")
+    val c = candidates.select(col(aCol).as("a"), col(bCol).as("b")).distinct()
+    val t = truth.select(col(aCol).as("a"), col(bCol).as("b")).distinct()
+    val totalPairs = nRecords * (nRecords - 1) / 2
+    c.agg(count(lit(1)).as("n_candidates"))
+      .crossJoin(t.agg(count(lit(1)).as("n_truth")))
+      .crossJoin(t.join(c, Seq("a", "b"), "left_semi")
+        .agg(count(lit(1)).as("n_hit")))
+      .select(col("n_candidates"), col("n_truth"), col("n_hit"),
+        round(col("n_hit") / col("n_truth").cast("double"), 6)
+          .as("pair_completeness"),
+        round(lit(1.0) - col("n_candidates") / lit(totalPairs.toDouble), 6)
+          .as("reduction_ratio"))
+  }
+
   /** SemDeDup-style SEMANTIC deduplication over an embedding column (the
     * Abbas et al. 2023 recipe): spherical k-means clusters the corpus, the
     * near-dup graph (rounded-6dp cosine >= threshold) is built ONLY within

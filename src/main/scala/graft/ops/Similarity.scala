@@ -117,6 +117,31 @@ object Similarity {
     out
   }
 
+  /** RAW sign-LSH candidate pairs — the blocking output BEFORE the exact
+    * verify ([[cosinePairsLsh]] minus its cosine filter): a pair is a
+    * candidate if ANY band of `bandBits` signature bits matches. This is
+    * what a blocking-quality audit measures (how many pairs the verify
+    * must touch vs how many true pairs the blocking reaches); the banded
+    * table carries only (id, tbl, bkt).
+    */
+  def lshCandidatePairs(embs: DataFrame, bits: Int, bandBits: Int,
+                        idCol: String = "vec_id",
+                        vecCol: String = "embedding"): DataFrame = {
+    val numBands = bits / bandBits
+    val bandCols = (0 until numBands).map(b =>
+      shiftrightunsigned(col("sig"), b * bandBits)
+        .bitwiseAND(lit((1L << bandBits) - 1)))
+    val banded = embs
+      .select(col(idCol).as("id"), signLsh(col(vecCol), bits).as("sig"))
+      .select(col("id"), posexplode(array(bandCols: _*)).as(Seq("tbl", "bkt")))
+    val l = banded.alias("l"); val r = banded.alias("r")
+    l.join(r,
+        col("l.tbl") === col("r.tbl") && col("l.bkt") === col("r.bkt") &&
+          col("l.id") < col("r.id"))
+      .select(col("l.id").as("a"), col("r.id").as("b"))
+      .dropDuplicates("a", "b")
+  }
+
   /** Nearest-centroid cell for a vector column, from a driver-side centroid
     * set inlined as literals: a SINGLE codegen'd projection — no ×nCells
     * join explode, no per-id window, ZERO shuffle. The literal inlining is

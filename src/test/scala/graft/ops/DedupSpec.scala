@@ -142,6 +142,19 @@ class DedupSpec extends SparkSpec {
     assert(jac.isEmpty)
   }
 
+  test("blockingQuality: pair completeness and reduction ratio by hand") {
+    import spark.implicits._
+    // 5 records → C(5,2) = 10 possible pairs; blocking emits 4, truth has
+    // 3, blocking reaches 2 of them
+    val cand = Seq((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L)).toDF("a", "b")
+    val truth = Seq((1L, 2L), (4L, 5L), (2L, 5L)).toDF("a", "b")
+    val out = Dedup.blockingQuality(cand, truth, nRecords = 5)
+      .as[(Long, Long, Long, Double, Double)].head()
+    assert(out === ((4L, 3L, 2L,
+      BigDecimal(2.0 / 3).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+      0.6)))
+  }
+
   test("semanticDedup: near-dups collapse within clusters, min id survives") {
     import spark.implicits._
     // two well-separated directions; ids 1/2/3 are near-identical copies of
