@@ -2088,6 +2088,15 @@ object Queries {
     graft.ops.Search.rankingMetrics(ranked, rel, 5)
   }
 
+  /** Sparse all-pairs tf-idf cosine ≥ 0.6 over the documents table with
+    * the df ≤ 100 vocabulary cut — [[graft.ops.Search.sparseCosinePairs]];
+    * the oracle recomputes postings → idf weights → inverted-index dot
+    * products → norms → rounded threshold. Exact gate.
+    */
+  def sparseCosineGate(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Search.sparseCosinePairs(t(s, dir, "documents"),
+      threshold = 0.6, maxDf = 100)
+
   /** Blocking-quality audit of the 16-bit/4-band sign-LSH blocking against
     * the exact global rounded-cosine ≥ 0.3 pair set —
     * [[graft.ops.Dedup.blockingQuality]] over

@@ -70,6 +70,7 @@ object SparkEntry {
     "q_snapshot_diff"        -> (Queries.snapshotDiffGate _),
     "q_k_anonymity"          -> (Queries.kAnonymityGate _),
     "q_blocking_quality"     -> (Queries.blockingQualityGate _),
+    "q_sparse_cosine"        -> (Queries.sparseCosineGate _),
     "q_length_batches"       -> (Queries.lengthBatchesGate _),
     "q_mix_rates"            -> (Queries.mixRatesGate _),
     "q_vocab_coverage"       -> (Queries.vocabCoverageGate _),
@@ -1926,6 +1927,31 @@ object SparkEntry {
         |SELECT rs.vec_id, round(cf.c, 6) AS coef,
         |       round(sqrt(rs.r2), 6) AS resid_norm
         |FROM rs JOIN cf USING (vec_id)""".stripMargin,
+
+    // the inverted-index all-pairs join replayed: postings, the df <= 100
+    // vocabulary cut, idf = ln(N/df) weights, term-keyed dot products,
+    // norms, rounded-6dp threshold
+    "q_sparse_cosine" ->
+      """WITH post AS (
+        |  SELECT doc_id, term, count(*) AS tf FROM (
+        |    SELECT doc_id,
+        |           unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS term
+        |    FROM documents)
+        |  GROUP BY 1, 2),
+        |dft AS (SELECT term, count(*) AS df FROM post GROUP BY 1
+        |        HAVING count(*) <= 100),
+        |n AS (SELECT count(*) * 1.0 AS n FROM documents),
+        |w AS (SELECT p.doc_id, p.term, p.tf * ln(n.n / d.df) AS w
+        |      FROM post p JOIN dft d USING (term) CROSS JOIN n),
+        |nrm AS (SELECT doc_id, sqrt(sum(w*w)) AS nrm FROM w GROUP BY 1),
+        |dots AS (SELECT l.doc_id AS a, r.doc_id AS b, sum(l.w * r.w) AS dp
+        |         FROM w l JOIN w r ON l.term = r.term AND l.doc_id < r.doc_id
+        |         GROUP BY 1, 2)
+        |SELECT a, b, round(dp / (na.nrm * nb.nrm), 6) AS cos
+        |FROM dots
+        |JOIN nrm na ON na.doc_id = a
+        |JOIN nrm nb ON nb.doc_id = b
+        |WHERE round(dp / (na.nrm * nb.nrm), 6) >= 0.6""".stripMargin,
 
     // Christen's blocking metrics recomputed whole: candidates re-banded
     // from the dumped signatures, truth = exact rounded-cosine >= 0.3

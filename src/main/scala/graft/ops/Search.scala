@@ -127,6 +127,49 @@ object Search {
       .limit(k)
   }
 
+  /** Sparse ALL-PAIRS cosine similarity over tf-idf vectors — the
+    * document-similarity join (related-article linking, weighted near-dup
+    * beyond set Jaccard): pairs of documents whose tf-idf cosine meets the
+    * threshold, candidates generated through the INVERTED INDEX (a
+    * postings self-join on the term — only documents sharing a term ever
+    * meet). Terms with df > `maxDf` are excluded from the vocabulary
+    * itself (the standard stopword cut) — that is part of the operator's
+    * DEFINITION, so the cut is exactness-preserving by construction AND
+    * the skew gate: posting lists are ≤ maxDf long, so the self-join is
+    * Σ df² over retained terms, never |corpus|².
+    *
+    * Shape: postings → df filter → weights (idf = ln(N/df), the
+    * [[tfidfTopTerms]] formula; N rides a 1-row broadcast) → term-keyed
+    * self-join accumulating dot products (map-side partial sums; weights
+    * are slim (doc, term, w) rows, documents never shuffle) → norm join +
+    * ROUNDED-6dp threshold (the cross-engine boundary rule).
+    */
+  def sparseCosinePairs(docs: DataFrame, threshold: Double, maxDf: Long,
+                        idCol: String = "doc_id",
+                        textCol: String = "text"): DataFrame = {
+    require(threshold > 0, s"threshold must be positive, got $threshold")
+    require(maxDf >= 1, s"maxDf must be >= 1, got $maxDf")
+    val post = postings(docs, idCol, textCol)
+    val dft = post.groupBy("term").agg(count(lit(1)).as("_df"))
+      .filter(col("_df") <= maxDf)
+    val n = docs.agg(count(lit(1)).cast("double").as("_n"))
+    val w = post.join(dft, Seq("term"))
+      .crossJoin(broadcast(n))
+      .select(col("doc_id"), col("term"),
+        (col("tf").cast("double") * log(col("_n") / col("_df"))).as("w"))
+    val norms = w.groupBy("doc_id").agg(sqrt(sum(col("w") * col("w"))).as("_nrm"))
+    val l = w.select(col("doc_id").as("a"), col("term"), col("w").as("_wa"))
+    val r = w.select(col("doc_id").as("b"), col("term"), col("w").as("_wb"))
+    val dots = l.join(r, Seq("term")).filter(col("a") < col("b"))
+      .groupBy("a", "b").agg(sum(col("_wa") * col("_wb")).as("_dp"))
+    dots
+      .join(norms.select(col("doc_id").as("a"), col("_nrm").as("_na")), Seq("a"))
+      .join(norms.select(col("doc_id").as("b"), col("_nrm").as("_nb")), Seq("b"))
+      .withColumn("cos", round(col("_dp") / (col("_na") * col("_nb")), 6))
+      .filter(col("cos") >= threshold)
+      .select("a", "b", "cos")
+  }
+
   /** Retrieval-quality metrics per query — the eval side of any retrieval
     * / RAG / dedup-candidate pipeline: recall@k, MRR@k (reciprocal rank of
     * the first relevant hit, 0 when none lands in the top k), and nDCG@k

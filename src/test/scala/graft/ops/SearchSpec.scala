@@ -67,6 +67,21 @@ class SearchSpec extends SparkSpec {
       (3L, r6(1.0 / 62), 1L)))
   }
 
+  test("sparseCosinePairs: identical docs hit 1.0; df cut removes terms") {
+    import spark.implicits._
+    val d = Seq((1L, "x y"), (2L, "x y"), (3L, "z"), (4L, "x q"))
+      .toDF("doc_id", "text")
+    // df: x=3, y=2, z=1, q=1 (N=4). maxDf=3 keeps all.
+    val out = Search.sparseCosinePairs(d, threshold = 0.5, maxDf = 3)
+      .as[(Long, Long, Double)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    assert(out((1L, 2L)) === 1.0) // identical vectors
+    // (1,4) share only x: cos = wx² / (|1|·|4|) — below 0.5 since y and q
+    // carry higher idf than the common x
+    assert(!out.contains((1L, 4L)) && !out.contains((1L, 3L)))
+    // df <= 1 drops x and y entirely: docs 1/2 have empty vectors → no pairs
+    assert(Search.sparseCosinePairs(d, threshold = 0.1, maxDf = 1).isEmpty)
+  }
+
   test("rankingMetrics: recall@k, MRR, binary nDCG, zero-hit query") {
     import spark.implicits._
     def r6(x: Double): Double = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
