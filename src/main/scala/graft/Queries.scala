@@ -802,10 +802,13 @@ object Queries {
     // with q_ann_pq — training is ~2·m driver-collect rounds of heavily
     // codegen'd literal expressions, the expensive part of this gate.
     val pqCb = pqCodebook(embs, dir)
+    val pqE = pqEncoded(s, embs, dir)
     val (pqN, pqOk) = topkRecall(
-      graft.ops.Pq.pqTopK(embs, queries, 5, pqCb, overscan = 8), floor = 0.4)
+      graft.ops.Pq.pqTopK(embs, queries, 5, pqCb, overscan = 8,
+        encOpt = Some(pqE)), floor = 0.4)
     val (pqfN, pqfOk) = topkRecall(
-      graft.ops.Pq.pqTopK(embs, queries, 5, pqCb, overscan = 128), floor = 1.0)
+      graft.ops.Pq.pqTopK(embs, queries, 5, pqCb, overscan = 128,
+        encOpt = Some(pqE)), floor = 1.0)
     // composed IVF-PQ: recall multiplies the two approximations (floor
     // 0.2); probing every cell at full overscan must again be EXACT.
     val (ipqN, ipqOk) = topkRecall(
@@ -858,6 +861,21 @@ object Queries {
     pqCbCache.getOrElseUpdate(s"$dir@${dirFingerprint(dir)}",
       graft.ops.Pq.train(embs, m = 8, ksub = 16, iters = 2))
 
+  /** PQ encode table memo (the pqCbCache rule + session identity, the
+    * sccCache rule): the encode projection inlines the whole codebook as
+    * literals, so compiling/running it once per (session, dir content) and
+    * pinning the 3-column result serves q_ann_pq and both of
+    * q_ann_recall's PQ probes from one job.
+    */
+  private val pqEncCache = scala.collection.concurrent.TrieMap.empty[(Int, String), DataFrame]
+  private def pqEncoded(s: SparkSession, embs: DataFrame, dir: String): DataFrame =
+    pqEncCache.getOrElseUpdate(
+      (System.identityHashCode(s), s"$dir@${dirFingerprint(dir)}"), {
+        graft.ops.Pq.encode(embs, pqCodebook(embs, dir))
+          .select(col("vec_id").as("item_id"), col("codes"), col("recon_norm"))
+          .localCheckpoint()
+      })
+
   /** Trained-codebook dump for the PQ oracles (the two-table-dump pattern):
     * one row per (subspace j, code c, dim) carrying the centroid component
     * w AND the per-(j,c) squared norm sqn (dumped rather than recomputed so
@@ -888,7 +906,8 @@ object Queries {
     val embs = t(s, dir, "embeddings")
       .select(col("vec_id"), expr("transform(embedding, x -> cast(x as double))").as("embedding"))
     val queries = embs.filter(col("vec_id") < 8)
-    graft.ops.Pq.pqTopK(embs, queries, 5, pqCodebook(embs, dir), overscan = 8)
+    graft.ops.Pq.pqTopK(embs, queries, 5, pqCodebook(embs, dir), overscan = 8,
+      encOpt = Some(pqEncoded(s, embs, dir)))
   }
 
   /** IVF-PQ ANN top-k, in-memory composed path — VALUE-EXACT: the oracle

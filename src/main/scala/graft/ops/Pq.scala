@@ -152,9 +152,14 @@ object Pq {
     */
   def pqTopK(corpus: DataFrame, queries: DataFrame, k: Int, cb: Codebook,
              overscan: Int = 4,
-             idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val enc = encode(corpus, cb, idCol, vecCol)
-      .select(col(idCol).as("item_id"), col("codes"), col("recon_norm"))
+             idCol: String = "vec_id", vecCol: String = "embedding",
+             encOpt: Option[DataFrame] = None): DataFrame = {
+    // encOpt: a precomputed (item_id, codes, recon_norm) encode table —
+    // the encode projection is a large literal expression (m·ksub·d
+    // centroid constants), so callers issuing several searches against
+    // one codebook pass it in to compile/encode once (the gate memo)
+    val enc = encOpt.getOrElse(encode(corpus, cb, idCol, vecCol)
+      .select(col(idCol).as("item_id"), col("codes"), col("recon_norm")))
     val qv = transform(col(vecCol), x => x.cast("double"))
     val q = queries.select(col(idCol).as("query_id"), qv.as("_qv"),
       lutFlat(qv, cb).as("_lut"), Similarity.norm(qv).as("_qnorm"))
