@@ -1459,6 +1459,20 @@ object Queries {
         col("asof_event_id"), col("asof_value"))
   }
 
+  /** LOCF grid resampling — [[graft.ops.Temporal.resampleLocf]]: each
+    * user's purchase series aligned onto an epoch-aligned 6-hour grid,
+    * each grid point carrying the latest at-or-before event (NULLs before
+    * the first). The oracle regenerates the same grid and uses DuckDB's
+    * NATIVE ASOF LEFT JOIN — an independent implementation, the q_asof
+    * precedent. Exact gate.
+    */
+  def resampleGate(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Temporal.resampleLocf(
+      t(s, dir, "events").filter(col("event_type") === "purchase")
+        .select("user_id", "ts", "event_id", "value"),
+      keys = Seq("user_id"), timeCol = "ts",
+      valueCols = Seq("event_id", "value"), stepSec = 21600L)
+
   /** Byte-aware media partition assignment, VALUE-EXACT: the two-pass
     * sharded cumulative-byte bucketing ([[graft.ops.Multimodal
     * .sizeBucketsByKey]]) over the deterministic synthetic media table.

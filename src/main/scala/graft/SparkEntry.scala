@@ -71,6 +71,7 @@ object SparkEntry {
     "q_k_anonymity"          -> (Queries.kAnonymityGate _),
     "q_blocking_quality"     -> (Queries.blockingQualityGate _),
     "q_sparse_cosine"        -> (Queries.sparseCosineGate _),
+    "q_resample_locf"        -> (Queries.resampleGate _),
     "q_length_batches"       -> (Queries.lengthBatchesGate _),
     "q_mix_rates"            -> (Queries.mixRatesGate _),
     "q_vocab_coverage"       -> (Queries.vocabCoverageGate _),
@@ -1458,6 +1459,23 @@ object SparkEntry {
         |FROM (SELECT * FROM events WHERE event_type = 'purchase') l
         |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') r
         |  ON l.user_id = r.user_id AND l.ts >= r.ts""".stripMargin,
+
+    // the same epoch-aligned 6-hour grid regenerated per user, LOCF via
+    // DuckDB's NATIVE ASOF LEFT JOIN (the q_asof independent-implementation
+    // precedent)
+    "q_resample_locf" ->
+      """WITH p AS (SELECT user_id, ts, event_id, value FROM events
+        |           WHERE event_type = 'purchase'),
+        |span AS (SELECT user_id, min(epoch_us(ts)) AS lo, max(epoch_us(ts)) AS hi
+        |         FROM p GROUP BY 1),
+        |grid AS (SELECT user_id, make_timestamp(g) AS grid_ts
+        |         FROM span,
+        |              unnest(generate_series(lo - lo % 21600000000,
+        |                                     hi, 21600000000)) AS t(g))
+        |SELECT g.user_id, g.grid_ts,
+        |       r.event_id AS asof_event_id, r.value AS asof_value
+        |FROM grid g ASOF LEFT JOIN p r
+        |  ON g.user_id = r.user_id AND g.grid_ts >= r.ts""".stripMargin,
 
     // the naive BETWEEN range join — the banded equi-join must reproduce
     // it exactly, band-boundary rows included

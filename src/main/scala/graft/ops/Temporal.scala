@@ -138,6 +138,44 @@ object Temporal {
     * are ill-defined under right-side timestamp ties (this matches
     * e.g. DuckDB's ASOF JOIN, whose pick among tied rows is unspecified).
     */
+  /** Resample an event series onto a REGULAR time grid with
+    * last-observation-carried-forward — the alignment pass before
+    * training/joining on fixed time steps (feature snapshots every N
+    * minutes, sensor downsampling): per key, grid points every `stepSec`
+    * seconds spanning [floor(min_ts, step), max_ts], each carrying the
+    * latest event payload at-or-before it via [[asofJoin]] (so a grid
+    * point before the key's first event carries NULLs — nothing is
+    * invented). Grid timestamps are epoch-aligned (floor to a multiple of
+    * `stepSec`), so grids of different keys line up with each other and
+    * with reruns over grown data.
+    *
+    * Shape: the grid generates from each key's (min, max) aggregate — one
+    * slim row per key exploded to its grid points (never a global
+    * calendar cross join) — and the LOCF lookup inherits [[asofJoin]]'s
+    * no-join union + running-last shape: ONE shuffle per side on the key,
+    * no row multiplication, no range-condition BNLJ.
+    */
+  def resampleLocf(events: DataFrame, keys: Seq[String], timeCol: String,
+                   valueCols: Seq[String], stepSec: Long): DataFrame = {
+    require(stepSec > 0, s"stepSec must be positive, got $stepSec")
+    require(keys.nonEmpty && valueCols.nonEmpty, "keys and valueCols required")
+    val stepUs = stepSec * 1000000L
+    // NTZ inputs cast through TIMESTAMP for the µs arithmetic (wall clock
+    // preserved under the UTC session contract) and the grid re-casts to
+    // the input's own timestamp type so the as-of comparison is same-type
+    val tsc = unix_micros(col(timeCol).cast("timestamp"))
+    val span = events.groupBy(keys.map(col): _*)
+      .agg(min(tsc).as("_lo"), max(tsc).as("_hi"))
+    val grid = span.select(keys.map(col) :+
+        explode(sequence(
+          (col("_lo") - pmod(col("_lo"), lit(stepUs))),
+          col("_hi"), lit(stepUs))).as("_gus"): _*)
+      .select(keys.map(col) :+
+        timestamp_micros(col("_gus"))
+          .cast(events.schema(timeCol).dataType).as("grid_ts"): _*)
+    asofJoin(grid, events, keys, "grid_ts", timeCol, valueCols)
+  }
+
   def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
                leftTime: String, rightTime: String, rightCols: Seq[String],
                prefix: String = "asof_",

@@ -194,4 +194,27 @@ class TemporalSpec extends SparkSpec {
       .select("twa").as[Double].head()
     assert(out === 10.0)
   }
+
+  test("resampleLocf: epoch-aligned grid, LOCF carry, NULL before first event") {
+    import spark.implicits._
+    // one key, events at :10 and 2:30 past the hour; 60s grid spans
+    // floor(:10 → :00) .. 2:30 → grid points :00, 1:00, 2:00
+    val ev = Seq(
+      ("u", java.sql.Timestamp.valueOf("2024-01-01 00:00:10"), 1L, 5.0),
+      ("u", java.sql.Timestamp.valueOf("2024-01-01 00:02:30"), 2L, 9.0)
+    ).toDF("user_id", "ts", "event_id", "value")
+    val out = Temporal.resampleLocf(ev, Seq("user_id"), "ts",
+        Seq("event_id", "value"), stepSec = 60L)
+      .select("user_id", "grid_ts", "asof_event_id", "asof_value")
+      .as[(String, java.sql.Timestamp, Option[Long], Option[Double])]
+      .collect().sortBy(_._2.getTime)
+    assert(out.length === 3)
+    // :00 precedes the first event → carries nothing
+    assert(out(0)._2 === java.sql.Timestamp.valueOf("2024-01-01 00:00:00"))
+    assert(out(0)._3.isEmpty && out(0)._4.isEmpty)
+    // 1:00 and 2:00 both carry event 1 forward (event 2 is later)
+    assert(out(1)._3 === Some(1L) && out(1)._4 === Some(5.0))
+    assert(out(2)._2 === java.sql.Timestamp.valueOf("2024-01-01 00:02:00"))
+    assert(out(2)._3 === Some(1L) && out(2)._4 === Some(5.0))
+  }
 }
