@@ -1459,6 +1459,37 @@ object Queries {
         col("asof_event_id"), col("asof_value"))
   }
 
+  /** OHLC 6-hour bars of each user's purchase values —
+    * [[graft.ops.EventAnalytics.ohlcBars]] (min_by/max_by over the
+    * (µs, event_id) total order); oracle = the same epoch-aligned buckets
+    * with DuckDB's min_by/max_by over the same struct order. Exact gate.
+    */
+  def ohlcGate(s: SparkSession, dir: String): DataFrame =
+    graft.ops.EventAnalytics.ohlcBars(
+      t(s, dir, "events").filter(col("event_type") === "purchase"),
+      keys = Seq("user_id"), timeCol = "ts", valueCol = "value",
+      bucketSec = 21600L, orderCol = "event_id")
+
+  /** Population Stability Index of `value` between purchase (reference)
+    * and view (actual) events — [[graft.ops.Checks.psi]] with 10
+    * reference-anchored bins and explicit Laplace smoothing; the oracle
+    * replays binning, smoothing, and each (q−p)·ln(q/p) term. Exact gate.
+    */
+  def psiGate(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    graft.ops.Checks.psi(
+      ev.filter(col("event_type") === "purchase").select("value"),
+      ev.filter(col("event_type") === "view").select("value"),
+      "value", nBins = 10)
+  }
+
+  /** Categorical mutual information between documents' lang and source —
+    * [[graft.ops.Checks.categoricalMi]]; per-cell MI contributions
+    * replayed exactly in SQL. Exact gate.
+    */
+  def miGate(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Checks.categoricalMi(t(s, dir, "documents"), "lang", "source")
+
   /** LOCF grid resampling — [[graft.ops.Temporal.resampleLocf]]: each
     * user's purchase series aligned onto an epoch-aligned 6-hour grid,
     * each grid point carrying the latest at-or-before event (NULLs before

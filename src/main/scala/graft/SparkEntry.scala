@@ -72,6 +72,9 @@ object SparkEntry {
     "q_blocking_quality"     -> (Queries.blockingQualityGate _),
     "q_sparse_cosine"        -> (Queries.sparseCosineGate _),
     "q_resample_locf"        -> (Queries.resampleGate _),
+    "q_ohlc"                 -> (Queries.ohlcGate _),
+    "q_psi"                  -> (Queries.psiGate _),
+    "q_mi"                   -> (Queries.miGate _),
     "q_length_batches"       -> (Queries.lengthBatchesGate _),
     "q_mix_rates"            -> (Queries.mixRatesGate _),
     "q_vocab_coverage"       -> (Queries.vocabCoverageGate _),
@@ -1459,6 +1462,63 @@ object SparkEntry {
         |FROM (SELECT * FROM events WHERE event_type = 'purchase') l
         |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') r
         |  ON l.user_id = r.user_id AND l.ts >= r.ts""".stripMargin,
+
+    // same epoch-aligned buckets; open/close via min_by/max_by over the
+    // (µs, event_id) total order — encoded here as one HUGEINT
+    // us·10^9 + event_id (same order as Spark's struct comparison while
+    // event_id < 10^9)
+    "q_ohlc" ->
+      """WITH p AS (SELECT user_id, epoch_us(ts) AS us, event_id, value
+        |           FROM events
+        |           WHERE event_type = 'purchase' AND value IS NOT NULL)
+        |SELECT user_id,
+        |       make_timestamp(us - us % 21600000000) AS bar_ts,
+        |       min_by(value, CAST(us AS HUGEINT) * 1000000000 + event_id) AS open,
+        |       max(value) AS high, min(value) AS low,
+        |       max_by(value, CAST(us AS HUGEINT) * 1000000000 + event_id) AS close,
+        |       count(*) AS n
+        |FROM p GROUP BY 1, 2""".stripMargin,
+
+    // reference-anchored 10-bin PSI with explicit Laplace smoothing:
+    // p = (n_e+1)/(N_e+10), q = (n_a+1)/(N_a+10), term = (q-p)·ln(q/p)
+    "q_psi" ->
+      """WITH e AS (SELECT value FROM events
+        |           WHERE event_type = 'purchase' AND value IS NOT NULL),
+        |a AS (SELECT value FROM events
+        |      WHERE event_type = 'view' AND value IS NOT NULL),
+        |b AS (SELECT min(value) AS lo, max(value) AS hi FROM e),
+        |eb AS (SELECT CASE WHEN b.hi = b.lo THEN 0
+        |         ELSE greatest(0, least(9,
+        |           CAST(floor((value - b.lo) * 10 / (b.hi - b.lo)) AS BIGINT)))
+        |       END AS bin, count(*) AS n
+        |       FROM e CROSS JOIN b GROUP BY 1),
+        |ab AS (SELECT CASE WHEN b.hi = b.lo THEN 0
+        |         ELSE greatest(0, least(9,
+        |           CAST(floor((value - b.lo) * 10 / (b.hi - b.lo)) AS BIGINT)))
+        |       END AS bin, count(*) AS n
+        |       FROM a CROSS JOIN b GROUP BY 1),
+        |bins AS (SELECT range AS bin FROM range(0, 10)),
+        |j AS (SELECT bins.bin, coalesce(eb.n, 0) AS ne, coalesce(ab.n, 0) AS na
+        |      FROM bins LEFT JOIN eb USING (bin) LEFT JOIN ab USING (bin)),
+        |t AS (SELECT sum(ne) AS te, sum(na) AS ta FROM j)
+        |SELECT j.bin, j.ne AS n_expected, j.na AS n_actual,
+        |  round(((j.na + 1.0) / (t.ta + 10) - (j.ne + 1.0) / (t.te + 10))
+        |        * ln(((j.na + 1.0) / (t.ta + 10))
+        |             / ((j.ne + 1.0) / (t.te + 10))), 6) AS psi_term
+        |FROM j CROSS JOIN t""".stripMargin,
+
+    // per-cell MI contributions: (n_xy/N)·ln(N·n_xy/(n_x·n_y))
+    "q_mi" ->
+      """WITH b AS (SELECT lang AS x, source AS y FROM documents
+        |           WHERE lang IS NOT NULL AND source IS NOT NULL),
+        |j AS (SELECT x, y, count(*) AS n_xy FROM b GROUP BY 1, 2),
+        |mx AS (SELECT x, count(*) AS nx FROM b GROUP BY 1),
+        |my AS (SELECT y, count(*) AS ny FROM b GROUP BY 1),
+        |t AS (SELECT sum(n_xy) * 1.0 AS n FROM j)
+        |SELECT j.x, j.y, j.n_xy,
+        |  round((j.n_xy / t.n) * ln(t.n * j.n_xy / (mx.nx * my.ny)), 6)
+        |    AS mi_term
+        |FROM j JOIN mx USING (x) JOIN my USING (y) CROSS JOIN t""".stripMargin,
 
     // the same epoch-aligned 6-hour grid regenerated per user, LOCF via
     // DuckDB's NATIVE ASOF LEFT JOIN (the q_asof independent-implementation

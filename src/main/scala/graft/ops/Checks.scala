@@ -98,6 +98,76 @@ object Checks {
     }.reduce(_ unionByName _)
   }
 
+  /** Population Stability Index between a REFERENCE and an ACTUAL sample
+    * of a numeric column — the standard train/serve (or train/test) drift
+    * score: bin edges come from the reference min/max (`nBins` equal-width
+    * bins; actual values clamp into the edge bins), shares are
+    * Laplace-smoothed ((n+1)/(N+nBins) — the explicit, engine-portable way
+    * to keep empty bins out of the log), and each bin contributes
+    * (q−p)·ln(q/p). Rule of thumb: Σ < 0.1 stable, 0.1–0.25 drifting,
+    * > 0.25 shifted. Emits one row per bin (n_expected, n_actual,
+    * psi_term rounded 6dp) — sum the terms for the headline number; the
+    * per-bin rows say WHERE the mass moved.
+    *
+    * Shape: one 1-row (min, max) aggregate on the reference, broadcast;
+    * one map-side-partial bin count per side; an nBins-row join. Both
+    * inputs scan pruned to the one column.
+    */
+  def psi(expected: DataFrame, actual: DataFrame, c: String,
+          nBins: Int = 10): DataFrame = {
+    require(nBins >= 2, s"nBins must be >= 2, got $nBins")
+    val spark = expected.sparkSession
+    import spark.implicits._
+    val b = expected.filter(col(c).isNotNull)
+      .agg(min(col(c).cast("double")).as("_lo"), max(col(c).cast("double")).as("_hi"))
+    def binned(df: DataFrame, n: String) = df.filter(col(c).isNotNull)
+      .crossJoin(broadcast(b))
+      .select(when(col("_hi") === col("_lo"), lit(0L)).otherwise(
+        greatest(lit(0L), least(lit(nBins - 1L),
+          floor((col(c).cast("double") - col("_lo")) * nBins /
+            (col("_hi") - col("_lo")))))).as("bin"))
+      .groupBy("bin").agg(count(lit(1)).as(n))
+    val bins = spark.range(0, nBins).select(col("id").as("bin"))
+    val joined = bins
+      .join(binned(expected, "n_expected"), Seq("bin"), "left_outer")
+      .join(binned(actual, "n_actual"), Seq("bin"), "left_outer")
+      .select(col("bin"),
+        coalesce(col("n_expected"), lit(0L)).as("n_expected"),
+        coalesce(col("n_actual"), lit(0L)).as("n_actual"))
+    val totE = sum(col("n_expected")).over(org.apache.spark.sql.expressions.Window.partitionBy())
+    val totA = sum(col("n_actual")).over(org.apache.spark.sql.expressions.Window.partitionBy())
+    joined
+      .withColumn("_p", (col("n_expected") + 1) / (totE + nBins))
+      .withColumn("_q", (col("n_actual") + 1) / (totA + nBins))
+      .select(col("bin"), col("n_expected"), col("n_actual"),
+        round((col("_q") - col("_p")) * log(col("_q") / col("_p")), 6)
+          .as("psi_term"))
+  }
+
+  /** Mutual information between two CATEGORICAL columns — the dependence
+    * audit (is `lang` confounded with `source`? is a label leaking through
+    * a metadata field?): per observed (x, y) cell the joint count and its
+    * MI contribution (n_xy/N)·ln(N·n_xy / (n_x·n_y)), rounded 6dp — sum
+    * for the headline nats; per-cell rows localize the dependence. One
+    * joint aggregation + two broadcast-joined marginals; the only
+    * unpartitioned window (the N total) runs over the CELL table, which is
+    * category-cardinality-sized, never row-sized.
+    */
+  def categoricalMi(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    val base = df.filter(col(xCol).isNotNull && col(yCol).isNotNull)
+      .select(col(xCol).as("x"), col(yCol).as("y"))
+    val joint = base.groupBy("x", "y").agg(count(lit(1)).as("n_xy"))
+    val mx = base.groupBy("x").agg(count(lit(1)).as("_nx"))
+    val my = base.groupBy("y").agg(count(lit(1)).as("_ny"))
+    val tot = sum(col("n_xy")).over(org.apache.spark.sql.expressions.Window.partitionBy())
+    joint.join(broadcast(mx), Seq("x")).join(broadcast(my), Seq("y"))
+      .withColumn("_n", tot)
+      .select(col("x"), col("y"), col("n_xy"),
+        round((col("n_xy") / col("_n")) *
+          log(col("_n") * col("n_xy") / (col("_nx") * col("_ny"))), 6)
+          .as("mi_term"))
+  }
+
   /** k-anonymity audit over quasi-identifier columns — the privacy gate a
     * training-data release runs before shipping: every row whose
     * quasi-identifier combination is shared by FEWER than k rows is

@@ -222,4 +222,37 @@ object EventAnalytics {
     // engine-dependent 0/0 (NaN on Spark, NULL on DuckDB)
     df.withColumn(outCol, when(den > 0, num / den))
   }
+
+  /** OHLC time bars — the standard downsample of a value series to fixed
+    * buckets (metrics rollups, rate dashboards, financial bars): per (key,
+    * epoch-aligned bucket) the OPEN (first value by (time, order)), HIGH,
+    * LOW, CLOSE (last value) and count. One map-side-partial aggregation
+    * on the (key, bucket) grain — `min_by`/`max_by` over the µs timestamp
+    * with an id tiebreak folded into the ordering key, so the open/close
+    * picks are total-order deterministic (same-µs ties can't flip
+    * cross-engine). NULL values drop (they carry no price).
+    */
+  def ohlcBars(events: DataFrame, keys: Seq[String], timeCol: String,
+               valueCol: String, bucketSec: Long,
+               orderCol: String): DataFrame = {
+    require(bucketSec > 0, s"bucketSec must be positive, got $bucketSec")
+    require(keys.nonEmpty, "ohlcBars needs at least one key column")
+    val us = unix_micros(col(timeCol).cast("timestamp"))
+    val bucketUs = bucketSec * 1000000L
+    // total order within the bar: µs time then the id column, folded into
+    // one sortable long pair via a struct
+    val ord = struct(us.as("_t"), col(orderCol).cast("long").as("_o"))
+    events.filter(col(valueCol).isNotNull)
+      .groupBy(keys.map(col) :+
+        // re-cast to the input's own timestamp type (NTZ in, NTZ out — the
+        // resampleLocf rule) so the dump's physical type matches the oracle
+        timestamp_micros(us - pmod(us, lit(bucketUs)))
+          .cast(events.schema(timeCol).dataType).as("bar_ts"): _*)
+      .agg(
+        min_by(col(valueCol), ord).as("open"),
+        max(col(valueCol)).as("high"),
+        min(col(valueCol)).as("low"),
+        max_by(col(valueCol), ord).as("close"),
+        count(lit(1)).as("n"))
+  }
 }

@@ -57,6 +57,37 @@ class ChecksSpec extends SparkSpec {
     assert(out("s") === (("s", 3L, 1L, 1L)))
   }
 
+  test("psi: reference-anchored bins, Laplace smoothing, hand-computed terms") {
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // reference: one value per bin (0..9 over lo=0 hi=9); actual: all zero
+    val e = (0 to 9).map(_.toDouble).toDF("value")
+    val a = Seq.fill(10)(0.0).toDF("value")
+    val out = Checks.psi(e, a, "value", nBins = 10)
+      .as[(Long, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(out.size === 10)
+    assert(out(0L)._2 === 1L && out(0L)._3 === 10L)
+    val p = 2.0 / 20; val q0 = 11.0 / 20; val q = 1.0 / 20
+    assert(out(0L)._4 === r6((q0 - p) * math.log(q0 / p)))
+    (1L to 9L).foreach(b => assert(out(b)._4 === r6((q - p) * math.log(q / p))))
+    // identical distributions → every term 0 exactly
+    assert(Checks.psi(e, e, "value", nBins = 10)
+      .as[(Long, Long, Long, Double)].collect().forall(_._4 === 0.0))
+  }
+
+  test("categoricalMi: perfect dependence = ln 2 per-cell share, independence = 0") {
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val dep = Seq(("a", "1"), ("a", "1"), ("b", "2"), ("b", "2")).toDF("x", "y")
+    val dOut = Checks.categoricalMi(dep, "x", "y")
+      .as[(String, String, Long, Double)].collect()
+    assert(dOut.length === 2)
+    dOut.foreach(r => assert(r._4 === r6(0.5 * math.log(2.0))))
+    val ind = Seq(("a", "1"), ("a", "2"), ("b", "1"), ("b", "2")).toDF("x", "y")
+    assert(Checks.categoricalMi(ind, "x", "y")
+      .as[(String, String, Long, Double)].collect().forall(_._4 === 0.0))
+  }
+
   test("kAnonymityViolations flags sub-k groups; kAnonymize suppresses them") {
     // quasi-id groups of size 1, 2, and 3 at k=3
     val df = Seq(

@@ -129,4 +129,24 @@ class EventAnalyticsSpec extends SparkSpec {
       k = 6, alpha = 0.5).queryExecution.executedPlan.toString
     assert(plan.split("Window").length - 1 === 1, plan)
   }
+
+  test("ohlcBars: epoch-aligned buckets, first/last by (time, id) order") {
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val ev = Seq(
+      ("u", ts("2024-01-01 00:00:10"), 1L, 5.0),
+      ("u", ts("2024-01-01 00:00:20"), 2L, 9.0),
+      ("u", ts("2024-01-01 00:00:50"), 3L, 3.0),
+      // second bar, SAME-timestamp tie: lower event_id opens
+      ("u", ts("2024-01-01 00:01:30"), 5L, 7.0),
+      ("u", ts("2024-01-01 00:01:30"), 4L, 2.0)
+    ).toDF("user_id", "ts", "event_id", "value")
+    val out = EventAnalytics.ohlcBars(ev, Seq("user_id"), "ts", "value",
+        bucketSec = 60L, orderCol = "event_id")
+      .as[(String, java.sql.Timestamp, Double, Double, Double, Double, Long)]
+      .collect().sortBy(_._2.getTime)
+    assert(out.length === 2)
+    assert(out(0) === (("u", ts("2024-01-01 00:00:00"), 5.0, 9.0, 3.0, 3.0, 3L)))
+    assert(out(1) === (("u", ts("2024-01-01 00:01:00"), 2.0, 7.0, 2.0, 7.0, 2L)))
+  }
 }
