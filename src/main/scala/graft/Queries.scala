@@ -1483,6 +1483,18 @@ object Queries {
       "value", nBins = 10)
   }
 
+  /** Cohen's kappa between the gold `lang` column and the langId
+    * PREDICTION — [[graft.ops.Checks.cohenKappa]] grading the gated
+    * language-ID heuristic's chance-corrected agreement; the oracle reuses
+    * the q_lang_id replay for the predictions and recomputes the kappa
+    * arithmetic. Exact gate.
+    */
+  def kappaGate(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Checks.cohenKappa(
+      t(s, dir, "documents").select(col("lang"),
+        TextOps.langId(col("text")).as("lang_pred")),
+      "lang", "lang_pred")
+
   /** Categorical mutual information between documents' lang and source —
     * [[graft.ops.Checks.categoricalMi]]; per-cell MI contributions
     * replayed exactly in SQL. Exact gate.

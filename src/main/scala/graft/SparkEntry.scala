@@ -75,6 +75,7 @@ object SparkEntry {
     "q_ohlc"                 -> (Queries.ohlcGate _),
     "q_psi"                  -> (Queries.psiGate _),
     "q_mi"                   -> (Queries.miGate _),
+    "q_kappa"                -> (Queries.kappaGate _),
     "q_length_batches"       -> (Queries.lengthBatchesGate _),
     "q_mix_rates"            -> (Queries.mixRatesGate _),
     "q_vocab_coverage"       -> (Queries.vocabCoverageGate _),
@@ -1506,6 +1507,43 @@ object SparkEntry {
         |        * ln(((j.na + 1.0) / (t.ta + 10))
         |             / ((j.ne + 1.0) / (t.te + 10))), 6) AS psi_term
         |FROM j CROSS JOIN t""".stripMargin,
+
+    // gold lang vs the q_lang_id replay, then the kappa arithmetic:
+    // po = agree/N, pe = sum(na·nb)/N² over shared labels
+    "q_kappa" ->
+      """WITH toks AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t
+        |              FROM documents),
+        |sc AS (
+        |  SELECT doc_id, 'de' AS lang,
+        |    len(list_filter(t, x -> x IN ('der','die','und','das','ist','von','den','ein'))) * 1.0 / greatest(len(t), 1) AS score FROM toks
+        |  UNION ALL SELECT doc_id, 'en',
+        |    len(list_filter(t, x -> x IN ('the','and','of','to','a','in','is','that'))) * 1.0 / greatest(len(t), 1) FROM toks
+        |  UNION ALL SELECT doc_id, 'es',
+        |    len(list_filter(t, x -> x IN ('el','la','de','que','y','en','los','del'))) * 1.0 / greatest(len(t), 1) FROM toks
+        |  UNION ALL SELECT doc_id, 'fr',
+        |    len(list_filter(t, x -> x IN ('le','la','de','et','les','des','un','est'))) * 1.0 / greatest(len(t), 1) FROM toks),
+        |pred AS (SELECT doc_id, lang AS b FROM (
+        |  SELECT doc_id, lang,
+        |         row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, lang DESC) AS rn
+        |  FROM sc) WHERE rn = 1),
+        |j AS (SELECT d.lang AS a, p.b
+        |      FROM documents d JOIN pred p USING (doc_id)
+        |      WHERE d.lang IS NOT NULL),
+        |tot AS (SELECT count(*) AS n,
+        |               sum(CASE WHEN a = b THEN 1 ELSE 0 END) AS agree
+        |        FROM j),
+        |ma AS (SELECT a AS c, count(*) AS na FROM j GROUP BY 1),
+        |mb AS (SELECT b AS c, count(*) AS nb FROM j GROUP BY 1),
+        |pe2 AS (SELECT coalesce(sum(ma.na * mb.nb), 0) AS pe2
+        |        FROM ma JOIN mb USING (c))
+        |SELECT tot.n AS n_items,
+        |  round(tot.agree / tot.n, 6) AS po,
+        |  round(pe2.pe2 / (tot.n * tot.n), 6) AS pe,
+        |  CASE WHEN pe2.pe2 / (tot.n * tot.n) < 1 THEN
+        |    round((tot.agree / tot.n - pe2.pe2 / (tot.n * tot.n))
+        |          / (1.0 - pe2.pe2 / (tot.n * tot.n)), 6)
+        |  END AS kappa
+        |FROM tot CROSS JOIN pe2""".stripMargin,
 
     // per-cell MI contributions: (n_xy/N)·ln(N·n_xy/(n_x·n_y))
     "q_mi" ->

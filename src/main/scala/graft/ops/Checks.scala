@@ -168,6 +168,38 @@ object Checks {
           .as("mi_term"))
   }
 
+  /** Cohen's kappa between two label columns — chance-corrected agreement,
+    * the inter-annotator / gold-vs-model QA metric for labeled training
+    * data: κ = (p_o − p_e)/(1 − p_e) with p_o the raw agreement rate and
+    * p_e = Σ_c p_a(c)·p_b(c) the by-chance rate from the marginals.
+    * Labels present on only one side contribute 0 to p_e (the inner
+    * marginal join). Emits ONE row (n_items, po, pe, kappa, 6dp); kappa
+    * is NULL when p_e = 1 (a single shared category — undefined).
+    *
+    * Shape: one 1-row (count, agree) aggregate + two category-cardinality
+    * marginal tables joined and summed — nothing row-sized ever
+    * cross-joins.
+    */
+  def cohenKappa(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val base = df.filter(col(aCol).isNotNull && col(bCol).isNotNull)
+      .select(col(aCol).as("a"), col(bCol).as("b"))
+    val stats = base.agg(count(lit(1)).as("_n"),
+      sum(when(col("a") === col("b"), 1L).otherwise(0L)).as("_agree"))
+    val ma = base.groupBy("a").agg(count(lit(1)).as("_na"))
+      .select(col("a").as("_c"), col("_na"))
+    val mb = base.groupBy("b").agg(count(lit(1)).as("_nb"))
+      .select(col("b").as("_c"), col("_nb"))
+    val pe2 = ma.join(mb, "_c")
+      .agg(coalesce(sum(col("_na") * col("_nb")), lit(0L)).as("_pe2"))
+    val po = col("_agree") / col("_n")
+    val pe = col("_pe2") / (col("_n") * col("_n"))
+    stats.crossJoin(pe2).select(
+      col("_n").as("n_items"),
+      round(po, 6).as("po"),
+      round(pe, 6).as("pe"),
+      when(pe < 1, round((po - pe) / (lit(1.0) - pe), 6)).as("kappa"))
+  }
+
   /** k-anonymity audit over quasi-identifier columns — the privacy gate a
     * training-data release runs before shipping: every row whose
     * quasi-identifier combination is shared by FEWER than k rows is

@@ -88,6 +88,19 @@ class ChecksSpec extends SparkSpec {
       .as[(String, String, Long, Double)].collect().forall(_._4 === 0.0))
   }
 
+  test("cohenKappa: hand-computed agreement, NULL on the degenerate case") {
+    // n=4, agree=3 → po=0.75; marginals a:(x3,y1) b:(x2,y2) →
+    // pe = (3·2 + 1·2)/16 = 0.5 → kappa = 0.25/0.5 = 0.5
+    val df = Seq(("x", "x"), ("x", "x"), ("x", "y"), ("y", "y")).toDF("a", "b")
+    val out = Checks.cohenKappa(df, "a", "b")
+      .as[(Long, Double, Double, Option[Double])].head()
+    assert(out === ((4L, 0.75, 0.5, Some(0.5))))
+    // one shared category on both sides: pe = 1 → kappa undefined (NULL)
+    val deg = Seq(("x", "x"), ("x", "x")).toDF("a", "b")
+    assert(Checks.cohenKappa(deg, "a", "b")
+      .as[(Long, Double, Double, Option[Double])].head()._4.isEmpty)
+  }
+
   test("kAnonymityViolations flags sub-k groups; kAnonymize suppresses them") {
     // quasi-id groups of size 1, 2, and 3 at k=3
     val df = Seq(
