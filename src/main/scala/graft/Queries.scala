@@ -425,16 +425,20 @@ object Queries {
   def ngramJaccard(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents").filter(col("lang") === "de")
     // token sets hashed to longs: set sizes (→ jaccard values) preserved
-    // modulo xxhash collisions; long intersections beat string ones ~4×
+    // modulo xxhash collisions; long intersections beat string ones ~4×.
+    // r6: the 1-gram token-hash set IS wordShingleHashes(n=1) — same
+    // split/lower/trim, same xxhash64 values, same first-occurrence
+    // distinct — so the native one-pass expression replaces the HOF chain
     val base = docs.select(col("lang").as("blk"), col("doc_id").as("id"),
-      array_distinct(transform(split(lower(trim(col("text"))), "\\s+"),
-        tok => xxhash64(tok))).as("sh"))
+      Dedup.wordShingleHashes(col("text"), 1).as("sh"))
     // A shuffle join on `blk` would hash on ~5 distinct languages — 5 busy
     // tasks no matter the cluster size. Broadcasting the right side keeps
     // the join partition-parallel on the left (and at real scale the exact
     // all-pairs variant is only ever run on blocks small enough to
-    // broadcast — LSH covers the rest).
-    val l = base.alias("l"); val r = broadcast(base).alias("r")
+    // broadcast — LSH covers the rest). Par.widen: the left leg otherwise
+    // inherits the scan's split count — ONE task owning every pairwise
+    // intersection when the block fits one split (guide §2.5 input skew).
+    val l = graft.ops.Par.widen(base).alias("l"); val r = broadcast(base).alias("r")
     // size-ratio prefilter: jaccard >= θ implies min(|A|,|B|) >= θ·max —
     // exactness-preserving, cuts the candidate set before the array
     // intersection, which is where the time goes. The FINAL filter below is
@@ -446,9 +450,12 @@ object Queries {
     l.join(r, col("l.blk") === col("r.blk") && col("l.id") < col("r.id") &&
         size(col("l.sh")).cast("double") >= lit(thetaPre) * size(col("r.sh")) &&
         size(col("r.sh")).cast("double") >= lit(thetaPre) * size(col("l.sh")))
-      .withColumn("jaccard", round(
-        size(array_intersect(col("l.sh"), col("r.sh"))).cast("double") /
-          size(array_union(col("l.sh"), col("r.sh"))), 6))
+      // |A∪B| = |A|+|B|-|A∩B| exactly (hash-distinct sets): half the array
+      // work of building the union, integer-identical denominator, so the
+      // rounded double is bit-identical
+      .withColumn("_i", size(array_intersect(col("l.sh"), col("r.sh"))))
+      .withColumn("jaccard", round(col("_i").cast("double") /
+        (size(col("l.sh")) + size(col("r.sh")) - col("_i")), 6))
       .filter(col("jaccard") >= 0.5)
       .select(col("l.id").as("a"), col("r.id").as("b"), col("jaccard"))
   }

@@ -59,19 +59,22 @@ object NodeSetOps {
   /** A2 — first-wins distinct by merge-key tuple. Force rows are always kept
     * and never participate in (or update) the dedup index.
     *
-    * One window over one hash-shuffle on the merge keys; no driver state.
+    * r6: one hash AGGREGATION on the merge keys (min_by of the whole row on
+    * the ingest ordinal) instead of a row_number window — map-side partial
+    * aggregation shrinks the exchange and the sort disappears (guide §2.3).
+    * Non-force rows first-win within their key; each force row is its own
+    * singleton group (key + its own ordinal) so it is always kept and never
+    * shadows later non-force rows. Value-identical to the windowed form
+    * (OrdCol is a total order; asserted in NodeSetOpsSpec/PropertySpec).
     */
   def dedupFirstWins(rows: DataFrame, mergeKeys: Seq[String]): DataFrame = {
     val df = withIngestOrder(rows)
     val force: Column = if (hasCol(df, ForceCol)) coalesce(col(ForceCol), lit(false)) else lit(false)
-    // Non-force rows first-win within their key; each force row is its own
-    // singleton partition (key + its own ordinal) so it is always kept and
-    // never shadows later non-force rows.
-    df.withColumn("_graft_rn", row_number().over(
-        Window.partitionBy((mergeKeys.map(col) :+ when(force, col(OrdCol)).otherwise(lit(-1L))): _*)
-          .orderBy(col(OrdCol))))
-      .filter(col("_graft_rn") === 1)
-      .drop("_graft_rn")
+    val others = df.columns.filterNot(mergeKeys.contains).toSeq
+    df.groupBy((mergeKeys.map(col) :+ when(force, col(OrdCol)).otherwise(lit(-1L)).as("_graft_fgrp")): _*)
+      .agg(min_by(struct(others.map(col): _*), col(OrdCol)).as("_graft_row"))
+      .select(df.columns.map(c =>
+        if (mergeKeys.contains(c)) col(c) else col("_graft_row").getField(c).as(c)).toIndexedSeq: _*)
   }
 
   /** B1 — bulk create: blind append, duplicates allowed (create twice doubles
@@ -95,35 +98,51 @@ object NodeSetOps {
     * SET n += properties), preserved props keep the first value, append
     * props accumulate in ingest order (nodeset.py:269-330).
     *
-    * Planned as window functions over a single shuffle on the merge keys.
+    * r6: planned as ONE hash aggregation on the merge keys — partial
+    * (map-side) aggregation shrinks the exchange and there is no
+    * per-partition sort at all (guide §2.3 "aggregate before you shuffle";
+    * the previous window + row_number form shuffled every input row and
+    * sorted each partition). Per-column aggregate rules are value-identical
+    * to the windowed forms given the ingest-order contract (OrdCol is a
+    * total order within a key):
+    *   last non-null  -> max_by(c, ord over rows with c non-null)
+    *   first non-null -> min_by(c, ord over rows with c non-null)
+    *   ordered append -> collect_list(struct(ord, c)) sorted by ord
+    * (max_by/min_by skip rows whose ordering expression is null — the
+    * ignoreNulls equivalence; asserted in NodeSetOpsSpec/PropertySpec and
+    * the B2 gates).
     */
   private[graft] def reduceBatch(rows: DataFrame, spec: NodeSpec): DataFrame = {
     val df = withIngestOrder(rows).drop(ForceCol)
     val keys = spec.mergeKeys
     val propCols = df.columns.filterNot(c => keys.contains(c) || c == OrdCol).toSeq
-    val wAll = Window.partitionBy(keys.map(col): _*).orderBy(col(OrdCol))
-      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    val wRank = Window.partitionBy(keys.map(col): _*).orderBy(col(OrdCol))
-    val reduced = propCols.foldLeft(df) { (acc, c) =>
+    val ord = col(OrdCol)
+    val aggs = propCols.map { c =>
+      val cc = col(c)
       val v =
         if (spec.appendProps.contains(c)) {
-          // accumulate every occurrence (in ingest order) into one array;
-          // inputs may already be arrays (re-merge) — flatten those.
-          acc.schema(c).dataType match {
-            case _: ArrayType => flatten(collect_list(col(c)).over(wAll))
-            case _            => collect_list(col(c)).over(wAll)
+          // accumulate every non-null occurrence in ingest order (the
+          // collect_list-over-window semantics); comparator sort touches
+          // only the ord field, so element types never need orderability
+          val sorted = array_sort(
+            collect_list(when(cc.isNotNull, struct(ord.as("o"), cc.as("v")))),
+            (l, r) => when(l("o") < r("o"), -1).when(l("o") > r("o"), 1).otherwise(0))
+          val vals = transform(sorted, x => x("v"))
+          df.schema(c).dataType match {
+            case _: ArrayType => flatten(vals) // inputs already arrays (re-merge)
+            case _            => vals
           }
-        } else if (spec.preserve.contains(c)) first(col(c), ignoreNulls = true).over(wAll)
-        else if (spec.sumProps.contains(c)) sum(col(c)).over(wAll)
-        else if (spec.minProps.contains(c)) min(col(c)).over(wAll)
-        else if (spec.maxProps.contains(c)) max(col(c)).over(wAll)
-        else last(col(c), ignoreNulls = true).over(wAll)
-      acc.withColumn(c, v)
+        } else if (spec.preserve.contains(c)) min_by(cc, when(cc.isNotNull, ord))
+        else if (spec.sumProps.contains(c)) sum(cc)
+        else if (spec.minProps.contains(c)) min(cc)
+        else if (spec.maxProps.contains(c)) max(cc)
+        else max_by(cc, when(cc.isNotNull, ord))
+      v.as(c)
     }
-    reduced
-      .withColumn("_graft_rn", row_number().over(wRank))
-      .filter(col("_graft_rn") === 1)
-      .drop("_graft_rn", OrdCol)
+    if (aggs.isEmpty) df.drop(OrdCol).distinct() // keys-only batch
+    else df.groupBy(keys.map(col): _*)
+      .agg(aggs.head, aggs.tail: _*)
+      .select(df.columns.filterNot(_ == OrdCol).map(col).toIndexedSeq: _*)
   }
 
   /** B2 — bulk merge (keyed upsert) with the reference's four column rules

@@ -69,10 +69,13 @@ object RelSetOps {
   def uniqueEdges(rows: DataFrame, spec: RelSpec): DataFrame = {
     val df = NodeSetOps.withIngestOrder(rows)
     val keyCols = df.columns.filterNot(_ == OrdCol).toSeq
-    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col(OrdCol))
-    df.withColumn("_graft_rn", row_number().over(w))
-      .filter(col("_graft_rn") === 1)
-      .drop("_graft_rn")
+    // r6: every column except the ordinal IS the group key, so the kept
+    // (first) row differs from its duplicates only in OrdCol — one hash
+    // aggregation taking min(ord) replaces the row_number window (partial
+    // agg, no sort; guide §2.3). Value-identical by construction.
+    df.groupBy(keyCols.map(col): _*)
+      .agg(min(col(OrdCol)).as(OrdCol))
+      .select(df.columns.map(col).toIndexedSeq: _*)
   }
 
   /** Label-set filter on the uber node table. EMPTY label list ⇒ match-all —
@@ -156,27 +159,35 @@ object RelSetOps {
     * relationshipset.py:373-450).
     */
   private[graft] def reduceBatch(resolved: DataFrame, spec: RelSpec): DataFrame = {
+    // r6: same hash-aggregation rewrite as NodeSetOps.reduceBatch (see the
+    // rule table there): partial agg on the edge identity, no sort.
     val keys = Seq(SrcId, DstId, RelType)
     val df = NodeSetOps.withIngestOrder(resolved)
     val propCols = df.columns.filterNot(c => keys.contains(c) || c == OrdCol).toSeq
-    val wAll = Window.partitionBy(keys.map(col): _*).orderBy(col(OrdCol))
-      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    val wRank = Window.partitionBy(keys.map(col): _*).orderBy(col(OrdCol))
-    val reduced = propCols.foldLeft(df) { (acc, c) =>
+    val ord = col(OrdCol)
+    val aggs = propCols.map { c =>
+      val cc = col(c)
       val v =
-        if (spec.appendProps.contains(c)) acc.schema(c).dataType match {
-          case _: ArrayType => flatten(collect_list(col(c)).over(wAll))
-          case _            => collect_list(col(c)).over(wAll)
+        if (spec.appendProps.contains(c)) {
+          val sorted = array_sort(
+            collect_list(when(cc.isNotNull, struct(ord.as("o"), cc.as("v")))),
+            (l, r) => when(l("o") < r("o"), -1).when(l("o") > r("o"), 1).otherwise(0))
+          val vals = transform(sorted, x => x("v"))
+          df.schema(c).dataType match {
+            case _: ArrayType => flatten(vals)
+            case _            => vals
+          }
         }
-        else if (spec.sumProps.contains(c)) sum(col(c)).over(wAll)
-        else if (spec.minProps.contains(c)) min(col(c)).over(wAll)
-        else if (spec.maxProps.contains(c)) max(col(c)).over(wAll)
-        else last(col(c), ignoreNulls = true).over(wAll)
-      acc.withColumn(c, v)
+        else if (spec.sumProps.contains(c)) sum(cc)
+        else if (spec.minProps.contains(c)) min(cc)
+        else if (spec.maxProps.contains(c)) max(cc)
+        else max_by(cc, when(cc.isNotNull, ord))
+      v.as(c)
     }
-    reduced.withColumn("_graft_rn", row_number().over(wRank))
-      .filter(col("_graft_rn") === 1)
-      .drop("_graft_rn", OrdCol)
+    if (aggs.isEmpty) df.drop(OrdCol).distinct()
+    else df.groupBy(keys.map(col): _*)
+      .agg(aggs.head, aggs.tail: _*)
+      .select(df.columns.filterNot(_ == OrdCol).map(col).toIndexedSeq: _*)
   }
 
   /** B4 — bulk edge merge: endpoint resolution as B3, then keyed upsert on

@@ -154,6 +154,120 @@ case class SimHash64(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Hashed word-n-gram shingle set of a text column in ONE pass per row:
+  * `graft_word_shingle_hashes(text, n)` ≡
+  * `array_distinct(transform(wordShingles(text, n), s -> xxhash64(s)))`
+  * where wordShingles = the distinct space-joined n-grams of
+  * `split(lower(trim(text)), "\\s+")` (whole-string shingle when the row
+  * has < n tokens).
+  *
+  * Why native (r6 measurement, guide §1.4): the HOF chain
+  * (split → sequence → transform(slice + array_join) → array_distinct →
+  * transform(xxhash64)) allocates a token-array slice and a joined gram
+  * STRING per shingle plus two intermediate arrays per row, and evaluates
+  * four nested lambdas through the interpreter — measured at ~0.6 ms/doc,
+  * 85% of BOTH q_minhash_pairs and q_simhash_pairs. This expression
+  * tokenizes once, reuses one scratch byte buffer for every gram, hashes
+  * gram bytes in place (no gram string materialized), and dedupes by hash
+  * value — ~20× less per-row work, same values.
+  *
+  * Value parity (asserted in WordShingleHashesSpec):
+  *  - trim/lower call the same UTF8String methods the built-in Trim/Lower
+  *    expressions call, in the same order;
+  *  - tokenization is the same `Pattern.compile("\\s+").split(s, -1)` that
+  *    StringSplit performs;
+  *  - each gram's hash is XXH64 with Spark's seed 42 over exactly the UTF-8
+  *    bytes of `tok_i ⊔ tok_i+1 ⊔ ... ⊔ tok_i+n-1` (⊔ = single space) —
+  *    the bytes xxhash64(array_join(slice(...), " ")) hashes;
+  *  - dedupe keeps first-occurrence order. The HOF form dedupes gram
+  *    STRINGS before hashing; deduping by hash VALUE is identical unless
+  *    two distinct grams of one document collide in 64 bits (~n²/2^64,
+  *    vanishing — and the downstream set algebra dedupes values anyway).
+  *    Hash-distinct output is load-bearing: it licenses the exact identity
+  *    |A∪B| = |A|+|B|-|A∩B| used by the Jaccard verify joins.
+  */
+case class WordShingleHashes(child: Expression, n: Int) extends UnaryExpression {
+  require(n >= 1, s"shingle size must be >= 1, got $n")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_word_shingle_hashes"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case org.apache.spark.sql.types.StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_word_shingle_hashes requires string, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    WordShingleHashes.compute(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    // the companion object's compute has a static forwarder on this class
+    nullSafeCodeGen(ctx, ev, in =>
+      s"${ev.value} = graft.functions.WordShingleHashes.compute($in, $n);")
+
+  override protected def withNewChildInternal(newChild: Expression): WordShingleHashes =
+    copy(child = newChild)
+}
+
+object WordShingleHashes {
+  import org.apache.spark.unsafe.Platform
+  import org.apache.spark.unsafe.types.UTF8String
+
+  private val Ws = java.util.regex.Pattern.compile("\\s+")
+
+  /** One pass: trim → lower → \s+ split → distinct gram hashes.
+    * Static so generated code can call it and whole-stage codegen keeps the
+    * surrounding projection fused.
+    */
+  def compute(text: UTF8String, n: Int): UnsafeArrayData = {
+    // same methods, same order as Lower(Trim(child)); StringSplit then
+    // regex-splits via Pattern on the string form
+    val s = text.trim().toLowerCase.toString
+    val toks = Ws.split(s, -1)
+    val tokBytes = new Array[Array[Byte]](toks.length)
+    var i = 0
+    while (i < toks.length) {
+      tokBytes(i) = toks(i).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      i += 1
+    }
+    val nGrams = if (toks.length < n) 1 else toks.length - n + 1
+    val gramLen = if (toks.length < n) toks.length else n
+    // scratch buffer sized to the longest gram (token bytes + separators)
+    var maxLen = 0
+    i = 0
+    while (i <= toks.length - gramLen) {
+      var len = gramLen - 1
+      var j = 0
+      while (j < gramLen) { len += tokBytes(i + j).length; j += 1 }
+      if (len > maxLen) maxLen = len
+      i += 1
+    }
+    val buf = new Array[Byte](math.max(maxLen, 0))
+    val seen = new java.util.HashSet[java.lang.Long](nGrams * 2)
+    val out = new Array[Long](nGrams)
+    var m = 0
+    i = 0
+    while (i < nGrams) {
+      var len = 0
+      var j = 0
+      while (j < gramLen) {
+        if (j > 0) { buf(len) = ' '; len += 1 }
+        val tb = tokBytes(i + j)
+        System.arraycopy(tb, 0, buf, len, tb.length)
+        len += tb.length
+        j += 1
+      }
+      val h = XXH64.hashUnsafeBytes(buf, Platform.BYTE_ARRAY_OFFSET, len, 42L)
+      if (seen.add(h)) { out(m) = h; m += 1 }
+      i += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(
+      if (m == out.length) out else java.util.Arrays.copyOf(out, m))
+  }
+}
+
 /** Column faces (need the functions injected — every session builder in
   * this repo sets `spark.sql.extensions=graft.functions.GraftExtensions`).
   */
@@ -172,6 +286,9 @@ object functions {
 
   def simhash64(c: Column): Column =
     call_function("graft_simhash64", c)
+
+  def wordShingleHashes(c: Column, n: Int): Column =
+    call_function("graft_word_shingle_hashes", c, lit(n))
 
   def regexpGroups(c: Column, pattern: String): Column =
     call_function("graft_regexp_groups", c, lit(pattern))
@@ -201,6 +318,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => {
         require(args.length == 1, "graft_simhash64(arr)")
         SimHash64(args.head)
+      }))
+    ext.injectFunction((FunctionIdentifier("graft_word_shingle_hashes"),
+      new ExpressionInfo(classOf[WordShingleHashes].getName, "graft_word_shingle_hashes"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "graft_word_shingle_hashes(text, n)")
+        require(args(1).foldable, "graft_word_shingle_hashes: n must be a literal")
+        WordShingleHashes(args.head, args(1).eval().asInstanceOf[Number].intValue())
       }))
     ext.injectFunction((FunctionIdentifier("graft_regexp_groups"),
       new ExpressionInfo(classOf[RegexpGroups].getName, "graft_regexp_groups"),

@@ -170,8 +170,51 @@ object ConnectedComponents {
   /** Convenience for string-keyed vertices: hashes keys to stable longs via
     * xxhash64, runs CC, and returns (key, component_key) where component_key
     * is the minimum ORIGINAL key (lexicographic) in the component.
+    *
+    * r6: size-adaptive like [[run]] — a probe of localThreshold+1 edge rows
+    * decides the path in ONE job. At or below the threshold the probe IS
+    * the complete edge set, and a driver union-find over the strings
+    * replaces the whole distributed chain (hash → CC → idMap join →
+    * canonical groupBy → join → materialize: 6+ driver-serial jobs that
+    * cost seconds of round-trips for millisecond-scale work — the same
+    * argument as run()'s local path, measured on q_cc_events). Above it
+    * the probe is discarded and the distributed path runs unchanged.
+    * Identical assignment: the local path unions original strings with
+    * lexicographic-min roots — the distributed path's min-ORIGINAL-key
+    * canonical, without the vanishing xxhash64 key-collision caveat.
     */
-  def runOnStrings(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+  def runOnStrings(edges: DataFrame, srcCol: String, dstCol: String,
+                   localThreshold: Long = DefaultLocalThreshold): DataFrame = {
+    val spark = edges.sparkSession
+    val probeN = (math.min(localThreshold, Int.MaxValue - 1L) + 1L).toInt
+    val probe = edges.select(col(srcCol).cast("string"), col(dstCol).cast("string"))
+      .limit(probeN).collect()
+    if (probe.length < probeN) {
+      import spark.implicits._
+      val parent = scala.collection.mutable.HashMap.empty[String, String]
+      def find(x0: String): String = {
+        var x = x0
+        var p = parent.getOrElse(x, x)
+        while (p != x) {
+          val gp = parent.getOrElse(p, p)
+          parent.update(x, gp)
+          x = gp
+          p = parent.getOrElse(x, x)
+        }
+        x
+      }
+      probe.foreach { r =>
+        val (ra, rb) = (find(r.getString(0)), find(r.getString(1)))
+        if (ra != rb) { if (ra < rb) parent.update(rb, ra) else parent.update(ra, rb) }
+      }
+      val keys = probe.iterator.flatMap(r => Iterator(r.getString(0), r.getString(1))).toSet
+      return spark.createDataset(keys.iterator.map(k => k -> find(k)).toSeq)
+        .toDF("key", "canonical")
+    }
+    runOnStringsDistributed(edges, srcCol, dstCol)
+  }
+
+  private def runOnStringsDistributed(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
     import org.apache.spark.storage.StorageLevel
     val keyed = edges.select(
       col(srcCol).as("ks"), col(dstCol).as("kd"),

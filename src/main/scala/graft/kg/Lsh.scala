@@ -76,8 +76,10 @@ object Lsh {
     val out = cand
       .join(shingled.select(col("norm").as("a"), col("_sh").as("sha")), Seq("a"))
       .join(shingled.select(col("norm").as("b"), col("_sh").as("shb")), Seq("b"))
+      // |A∪B| = |A|+|B|-|A∩B| exactly (both sides are distinct string
+      // sets) — the union array never needs building (r6, guide §2.3)
       .withColumn("inter", size(array_intersect(col("sha"), col("shb"))))
-      .withColumn("uni", size(array_union(col("sha"), col("shb"))))
+      .withColumn("uni", size(col("sha")) + size(col("shb")) - col("inter"))
       .withColumn("jaccard", col("inter").cast("double") / col("uni"))
       .filter(col("jaccard") >= threshold)
       .select(col("a"), col("b"), col("jaccard"))

@@ -56,9 +56,16 @@ object Dedup {
     * vanishing); intersections/unions/min-hashes on fixed-width longs beat
     * the same ops on shingle STRINGS by a wide margin and shrink every
     * downstream payload ~3×. This is what verify joins carry at scale.
+    *
+    * r6: native one-pass [[graft.functions.WordShingleHashes]] — the HOF
+    * chain (`transform(wordShingles(text, n), s => xxhash64(s))`) allocated
+    * a slice + joined gram string per shingle and was 85% of both banded
+    * dedup benches; value parity asserted in WordShingleHashesSpec. Output
+    * is hash-DISTINCT (first-occurrence order), which the HOF form already
+    * was modulo 64-bit gram collisions.
     */
   def wordShingleHashes(text: Column, n: Int = 3): Column =
-    transform(wordShingles(text, n), s => xxhash64(s))
+    graft.functions.functions.wordShingleHashes(text, n)
 
   /** MinHash-LSH near-dup candidate pairs over word shingles, verified with
     * exact Jaccard. Returns (a, b, jaccard) with a < b.
@@ -75,9 +82,12 @@ object Dedup {
                       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     import org.apache.spark.storage.StorageLevel
     // hashed shingles: min-hash seeding and the Jaccard verify both run on
-    // longs; set sizes (→ jaccard values) preserved modulo xxhash collisions
-    val shingled = docs
-      .select(col(idCol).as("id"), wordShingleHashes(col(textCol)).as("_sh"))
+    // longs; set sizes (→ jaccard values) preserved modulo xxhash collisions.
+    // Par.widen: the signature pass is the CPU-dense stage — spread it over
+    // the cluster even when the input collapses to one split (no-op at
+    // production scan widths)
+    val shingled = Par.widen(docs.select(col(idCol).as("id"), col(textCol).as("_t")))
+      .select(col("id"), wordShingleHashes(col("_t")).as("_sh"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val banded = shingled
       // native one-pass signature (bit-identical to the HOF form — see
@@ -99,9 +109,13 @@ object Dedup {
     val out = cand
       .join(shingled.select(col("id").as("a"), col("_sh").as("sha")), Seq("a"))
       .join(shingled.select(col("id").as("b"), col("_sh").as("shb")), Seq("b"))
+      // |A∪B| = |A|+|B|-|A∩B| exactly (the shingle arrays are hash-distinct
+      // by construction) — halves the per-pair array work vs building the
+      // union; the division is over the same integer values, so the double
+      // result is bit-identical
+      .withColumn("_i", size(array_intersect(col("sha"), col("shb"))))
       .withColumn("jaccard",
-        size(array_intersect(col("sha"), col("shb"))).cast("double") /
-          size(array_union(col("sha"), col("shb"))))
+        col("_i").cast("double") / (size(col("sha")) + size(col("shb")) - col("_i")))
       .filter(col("jaccard") >= threshold)
       .select("a", "b", "jaccard")
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -231,8 +245,10 @@ object Dedup {
     * whole-stage codegen.)
     */
   def simhash(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
-    docs.select(col(idCol).as("id"),
-      graft.functions.functions.simhash64(wordShingleHashes(col(textCol))).as("simhash"))
+    // Par.widen: same CPU-dense-signature argument as minhashLshPairs
+    Par.widen(docs.select(col(idCol).as("id"), col(textCol).as("_t")))
+      .select(col("id"),
+        graft.functions.functions.simhash64(wordShingleHashes(col("_t"))).as("simhash"))
 
   /** SimHash near-dup pairs with hamming distance <= maxHamming, blocked on
     * 16-bit bands (guaranteed complete for maxHamming <= 3).
