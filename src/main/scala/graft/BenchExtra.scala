@@ -61,6 +61,15 @@ object BenchExtra {
       phases(label) = math.min(a, b)
       sc.setJobDescription(null)
     }
+    // for phases that read a deliberately pre-pinned input (no cache clear)
+    def phaseKeepCache(label: String)(f: => Unit): Unit = {
+      sc.setJobDescription(label)
+      f // warm-up
+      val a = timed(f)
+      val b = timed(f)
+      phases(label) = math.min(a, b)
+      sc.setJobDescription(null)
+    }
 
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
 
@@ -122,6 +131,55 @@ object BenchExtra {
             Seq(EqKey("key")), Seq(EqKey("key"))), located)))
     }
     phase("tr_load_only") { loadCustOrderGraph() }
+    // node-batch chain alone (no pin): where inside the load does time go?
+    phase("tr_nodes_unpinned") {
+      import graft.bulk.{NodeSetOps, GraphLoader}
+      import graft.schema.NodeSpec
+      def t(n: String) = spark.read.parquet(s"$sfDir/$n.parquet")
+      val cust = t("customer").select(
+        col("c_custkey").as("key"), col("c_mktsegment").as("seg"))
+      val ords = t("orders").select(
+        (col("o_orderkey") + lit(10000000L)).as("key"),
+        col("o_totalprice").as("price"), col("o_orderstatus").as("status"))
+      val nats = t("nation").select(
+        (col("n_nationkey") + lit(20000000L)).as("key"), col("n_name").as("seg"))
+      val chains = Seq(
+        NodeSetOps.merge(None, cust, NodeSpec(Seq("Customer"), Seq("key"))),
+        NodeSetOps.merge(None, ords, NodeSpec(Seq("Order"), Seq("key"))),
+        NodeSetOps.merge(None, nats, NodeSpec(Seq("Nation"), Seq("key"))))
+      noop(chains.reduce(_.unionByName(_, allowMissingColumns = true)))
+    }
+    // traverse over an ALREADY-LOADED graph (the query minus the load)
+    locally {
+      val g = loadCustOrderGraph()
+      phaseKeepCache("tr_traverse_only") {
+        import graft.schema.{FieldFilter, FilterOp}
+        noop(g.traverse(
+            srcLabels = Seq("Customer"), srcKeys = Seq("key"),
+            relType = "PLACED",
+            dstLabels = Seq("Order"), dstKeys = Seq("key"),
+            srcFilters = Seq(FieldFilter("seg", FilterOp.Eq, "BUILDING")),
+            relFilters = Nil,
+            dstFilters = Seq(FieldFilter("price", FilterOp.Gt, 100000.0)))
+          .select((col("key") - lit(10000000L)).as("o_orderkey"), col("status")))
+      }
+      g.release()
+    }
+    // plan + timing of ONE edge-batch resolve+merge against the pinned
+    // node table (the expensive half of the load)
+    locally {
+      import graft.bulk.RelSetOps
+      import graft.schema.{EqKey, RelSpec}
+      val g = loadCustOrderGraph()
+      val placed = spark.read.parquet(s"$sfDir/orders.parquet").select(
+        col("o_custkey").as("start_key"), (col("o_orderkey") + lit(10000000L)).as("end_key"))
+      val spec = RelSpec("PLACED", Seq("Customer"), Seq("Order"),
+        Seq(EqKey("key")), Seq(EqKey("key")))
+      val resolved = RelSetOps.merge(None, placed, g.nodes, spec)
+      dump("tr_edge_resolve", resolved)
+      phaseKeepCache("tr_edge_resolve") { noop(resolved) }
+      g.release()
+    }
     phase("tr_full") { noop(Queries.traverse1hop(spark, sfDir)) }
 
     // cc_events: distinct edge derivation vs full CC

@@ -1007,7 +1007,13 @@ object Queries {
       .withColumnRenamed("key", "node").withColumnRenamed("canonical", "component")
   }
 
-  /** Salted two-phase per-conversation aggregation over events. */
+  /** Salted two-phase per-conversation aggregation over events.
+    * (r6 note, measured: a Par.widen before the partial aggregation was
+    * tried and REGRESSED 0.69 s → 1.1 s — the keyless repartition's
+    * sort-before-repartition serializes on the narrow scan and costs more
+    * than the parallelism it buys; the partial agg is not CPU-dense enough
+    * to amortize it. Widen stays reserved for signature-grade stages.)
+    */
   def convStats(s: SparkSession, dir: String): DataFrame = {
     val ev = t(s, dir, "events")
     val partial = ev.groupBy(col("user_id"), pmod(col("event_id"), lit(16)).as("_salt"))

@@ -97,7 +97,7 @@ object GraphLoader {
              into: Option[Graph] = None): Graph = {
     val nodeTable = pin(loadNodes(into.map(_.nodes), nodes, create = true).get)
     val edgeTable = loadEdges(into.map(_.edges), nodeTable, edges, create = true)
-    Graph(nodeTable, pin(edgeTable.getOrElse(emptyEdges(nodeTable))))
+    Graph(nodeTable, pinLazy(edgeTable.getOrElse(emptyEdges(nodeTable))))
   }
 
   /** Cascade MERGE: keyed-upsert node sets, then resolve + upsert edges on
@@ -107,7 +107,7 @@ object GraphLoader {
             into: Option[Graph] = None): Graph = {
     val nodeTable = pin(loadNodes(into.map(_.nodes), nodes, create = false).get)
     val edgeTable = loadEdges(into.map(_.edges), nodeTable, edges, create = false)
-    Graph(nodeTable, pin(edgeTable.getOrElse(emptyEdges(nodeTable))))
+    Graph(nodeTable, pinLazy(edgeTable.getOrElse(emptyEdges(nodeTable))))
   }
 
   /** The loaded graph is a materialized artifact (on a cluster: an Iceberg
@@ -125,6 +125,19 @@ object GraphLoader {
     p.count()
     p
   }
+
+  /** The EDGE table's pin stays lazy (r6, measured): the node table must be
+    * eager — the edge-resolution joins reference it twice inside one plan,
+    * and a lazy node pin races its own cache population (see [[pin]]) —
+    * but the edge table is referenced at most once per downstream query
+    * plan, so its first consumer materializes the cache with no race and
+    * the load saves one full count() job + one cache read-back per graph.
+    * A consumer that references edges twice in its very first job merely
+    * computes some edge partitions twice while the cache fills — wasted
+    * work, never wrong results (the resolve cascade is deterministic).
+    */
+  private def pinLazy(df: DataFrame): DataFrame =
+    df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
   private def emptyEdges(nodes: DataFrame): DataFrame = {
     val spark = nodes.sparkSession

@@ -59,22 +59,26 @@ object NodeSetOps {
   /** A2 — first-wins distinct by merge-key tuple. Force rows are always kept
     * and never participate in (or update) the dedup index.
     *
-    * r6: one hash AGGREGATION on the merge keys (min_by of the whole row on
-    * the ingest ordinal) instead of a row_number window — map-side partial
-    * aggregation shrinks the exchange and the sort disappears (guide §2.3).
+    * One window over one hash-shuffle on the merge keys; no driver state.
     * Non-force rows first-win within their key; each force row is its own
-    * singleton group (key + its own ordinal) so it is always kept and never
-    * shadows later non-force rows. Value-identical to the windowed form
-    * (OrdCol is a total order; asserted in NodeSetOpsSpec/PropertySpec).
+    * singleton partition (key + its own ordinal) so it is always kept and
+    * never shadows later non-force rows.
+    *
+    * r6 note (measured, kept deliberately): a min_by(struct(whole row), ord)
+    * aggregation was tried in place of the window — unlike reduceBatch's
+    * per-column aggregates it carries EVERY column inside the struct, so the
+    * map side copies whole rows into the agg hash map while the exchange
+    * still moves the same bytes; the bench regressed 0.96 s → 1.31 s and the
+    * form has no shuffle-byte advantage at scale either. The window stays.
     */
   def dedupFirstWins(rows: DataFrame, mergeKeys: Seq[String]): DataFrame = {
     val df = withIngestOrder(rows)
     val force: Column = if (hasCol(df, ForceCol)) coalesce(col(ForceCol), lit(false)) else lit(false)
-    val others = df.columns.filterNot(mergeKeys.contains).toSeq
-    df.groupBy((mergeKeys.map(col) :+ when(force, col(OrdCol)).otherwise(lit(-1L)).as("_graft_fgrp")): _*)
-      .agg(min_by(struct(others.map(col): _*), col(OrdCol)).as("_graft_row"))
-      .select(df.columns.map(c =>
-        if (mergeKeys.contains(c)) col(c) else col("_graft_row").getField(c).as(c)).toIndexedSeq: _*)
+    df.withColumn("_graft_rn", row_number().over(
+        Window.partitionBy((mergeKeys.map(col) :+ when(force, col(OrdCol)).otherwise(lit(-1L))): _*)
+          .orderBy(col(OrdCol))))
+      .filter(col("_graft_rn") === 1)
+      .drop("_graft_rn")
   }
 
   /** B1 — bulk create: blind append, duplicates allowed (create twice doubles

@@ -97,7 +97,10 @@ object Dedup {
         posexplode(expr(
           s"transform(sequence(0, ${Lsh.NumBands - 1}), b -> hash(slice(_sig, b * ${Lsh.RowsPerBand} + 1, ${Lsh.RowsPerBand})))"))
           .as(Seq("band_idx", "band_key")))
-      // persisted so the NumHashes-hash signature computes once, not per side
+      // persisted so the signature computes once, not per self-join side
+      // (r6 note, measured: dropping this in favor of ReuseExchange was
+      // tried and regressed 1.35 s → 1.7-2.0 s — under AQE the two legs
+      // compile to separate query stages and the exchange is NOT reused)
       .persist(StorageLevel.MEMORY_AND_DISK)
     val l = banded.alias("l"); val r = banded.alias("r")
     val cand = l.join(r,
@@ -264,9 +267,10 @@ object Dedup {
     import org.apache.spark.storage.StorageLevel
     require(maxHamming <= 3, "4-band blocking is only complete for hamming <= 3")
     val sigs = simhash(docs, idCol, textCol)
-    // pinned so the (now shuffle-free) signature projection computes once,
-    // not once per self-join side — the retired aggregate form got this for
-    // free via exchange reuse; a projection has no exchange to reuse
+    // pinned so the signature projection computes once, not once per
+    // self-join side (r6 note, measured: relying on ReuseExchange instead
+    // was tried and regressed — under AQE the legs are separate query
+    // stages and the exchange is not reused; same finding as minhash)
     val banded = sigs.select(col("id"), col("simhash"),
       posexplode(array((0 until 4).map(b =>
         shiftrightunsigned(col("simhash"), b * 16).bitwiseAND(0xFFFFL)): _*))
