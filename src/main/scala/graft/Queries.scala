@@ -1574,8 +1574,11 @@ object Queries {
   private def incrementalRun(s: SparkSession, dir: String): (DataFrame, DataFrame) =
     // keyed by dir CONTENT fingerprint (the pqCbCache rule): a regenerated
     // sf dir in a long-lived JVM must re-run the stream, not serve the
-    // previous dir's results
-    incrCache.getOrElseUpdate(s"$dir@${dirFingerprint(dir, "events")}", {
+    // previous dir's results — and by SESSION identity (ADVICE r5, the
+    // pqEncCache pattern): cached DataFrames are bound to their session,
+    // so a fresh session must not be served another session's plans
+    incrCache.getOrElseUpdate(
+      s"${System.identityHashCode(s)}:$dir@${dirFingerprint(dir, "events")}", {
       import graft.streaming.IncrementalPipeline
       val trip = t(s, dir, "events").select(
         concat(lit("user:"), col("user_id")).as("subj"),

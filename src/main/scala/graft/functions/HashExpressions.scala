@@ -268,6 +268,228 @@ object WordShingleHashes {
   }
 }
 
+/** Fused cosine-similarity PARTS of two numeric arrays in ONE pass per row:
+  * `graft_cosine_parts(a, b)` returns `struct<dot, na, nb>` where
+  *   dot ≡ `aggregate(zip_with(a, b, (x,y) -> x*y), 0d, (acc,v) -> acc+v)`
+  *   na  ≡ `aggregate(a, 0d, (acc,v) -> acc + v*v)`   (nb likewise for b)
+  * and the caller composes `dot / (sqrt(na) * sqrt(nb))` with REAL Spark
+  * sqrt/Divide expressions — so ANSI divide-by-zero behavior and null
+  * propagation through the division stay exactly the engine's own.
+  *
+  * Why native (r6): the HOF composition walks the vectors four times,
+  * materializes the zip_with product array, and dispatches a lambda per
+  * element; the ANN gates and the brute-force bench score every
+  * (query, item) pair with it. One fused loop removes all of that.
+  *
+  * Bit-parity contract (asserted in CosineSimSpec): accumulation is the
+  * same left-to-right double fold; per-element products replicate Spark's
+  * type promotion exactly — float×float multiplies IN FLOAT then widens,
+  * any double operand widens both before a double multiply. Null semantics
+  * per field, exactly as the aggregates define them: `dot` is null when
+  * the lengths differ (zip_with pads with null) or any overlapping element
+  * is null; `na`/`nb` are null when their own array has a null element.
+  */
+case class CosineParts(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  import org.apache.spark.sql.types.{DoubleType, FloatType, StructField, StructType}
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("dot", DoubleType, nullable = true),
+    StructField("na", DoubleType, nullable = true),
+    StructField("nb", DoubleType, nullable = true)))
+  override def prettyName: String = "graft_cosine_parts"
+
+  private def elemOk(dt: DataType): Boolean = dt match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
+    case _ => false
+  }
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (elemOk(left.dataType) && elemOk(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_cosine_parts requires array<float|double> args, got " +
+        s"${left.dataType.simpleString}, ${right.dataType.simpleString}")
+
+  private def isFloat(dt: DataType): Boolean =
+    dt.asInstanceOf[ArrayType].elementType == FloatType
+  @transient private lazy val lFloat = isFloat(left.dataType)
+  @transient private lazy val rFloat = isFloat(right.dataType)
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    CosineParts.compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData], lFloat, rFloat)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.CosineParts.compute($a, $b, $lFloat, $rFloat);")
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): CosineParts =
+    copy(left = newLeft, right = newRight)
+}
+
+object CosineParts {
+  import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+
+  def compute(a: ArrayData, b: ArrayData, aFloat: Boolean, bFloat: Boolean): GenericInternalRow = {
+    val nA = a.numElements()
+    val nB = b.numElements()
+    val out = new GenericInternalRow(3)
+    // dot: null on length mismatch (zip_with pads with null) or any null
+    // element; overlapping region is min(nA, nB) but a mismatch nulls it
+    // outright, so only the equal-length case needs the element loop
+    var dotNull = nA != nB
+    var dot = 0.0d
+    var naNull = false
+    var na = 0.0d
+    var nbNull = false
+    var nb = 0.0d
+    var i = 0
+    while (i < nA && !naNull) {
+      if (a.isNullAt(i)) naNull = true
+      else if (aFloat) { val f = a.getFloat(i); na += (f * f).toDouble }
+      else { val d = a.getDouble(i); na += d * d }
+      i += 1
+    }
+    i = 0
+    while (i < nB && !nbNull) {
+      if (b.isNullAt(i)) nbNull = true
+      else if (bFloat) { val f = b.getFloat(i); nb += (f * f).toDouble }
+      else { val d = b.getDouble(i); nb += d * d }
+      i += 1
+    }
+    val promote = !(aFloat && bFloat) // any double side → double multiply
+    i = 0
+    while (i < nA && !dotNull) {
+      if (a.isNullAt(i) || b.isNullAt(i)) dotNull = true
+      else if (promote) {
+        val xa = if (aFloat) a.getFloat(i).toDouble else a.getDouble(i)
+        val xb = if (bFloat) b.getFloat(i).toDouble else b.getDouble(i)
+        dot += xa * xb
+      } else dot += (a.getFloat(i) * b.getFloat(i)).toDouble // float multiply, widen after
+      i += 1
+    }
+    if (dotNull) out.setNullAt(0) else out.setDouble(0, dot)
+    if (naNull) out.setNullAt(1) else out.setDouble(1, na)
+    if (nbNull) out.setNullAt(2) else out.setDouble(2, nb)
+    out
+  }
+}
+
+/** Count of non-overlapping regex matches: `graft_regexp_count(text, R)` ≡
+  * `size(regexp_extract_all(text, R, 0))` without materializing a string
+  * per match (r6: the BPE-ish token counter allocated every matched token
+  * only to take the array's size). Same java.util.regex engine, same
+  * `Matcher.find` non-overlapping semantics, so the count is identical by
+  * construction (asserted in TextNativeSpec).
+  */
+case class RegexpCount(child: Expression, pattern: String) extends UnaryExpression {
+  import org.apache.spark.sql.types.IntegerType
+
+  @transient private lazy val compiled = java.util.regex.Pattern.compile(pattern)
+
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "graft_regexp_count"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case org.apache.spark.sql.types.StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_regexp_count requires string, got ${other.simpleString}")
+  }
+
+  /** Codegen entry (the ThreadLocal matcher is not serializable; the
+    * expression object is the serialized reference).
+    */
+  @transient private lazy val matchers: ThreadLocal[java.util.regex.Matcher] =
+    ThreadLocal.withInitial(() => compiled.matcher(""))
+  def count(s: org.apache.spark.unsafe.types.UTF8String): Int = {
+    val m = matchers.get()
+    m.reset(s.toString)
+    var c = 0
+    while (m.find()) c += 1
+    c
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    count(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("regexpCount", this, classOf[RegexpCount].getName)
+    nullSafeCodeGen(ctx, ev, in => s"${ev.value} = $ref.count($in);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): RegexpCount =
+    copy(child = newChild)
+}
+
+/** One-pass token statistics for quality scoring:
+  * `graft_text_stats(text)` returns
+  * `struct<n_toks, n_distinct, alpha_len, text_len>` where
+  *   n_toks     ≡ `size(split(lower(trim(text)), "\\s+"))`
+  *   n_distinct ≡ `size(array_distinct(split(lower(trim(text)), "\\s+")))`
+  *                (STRING-distinct, exactly like array_distinct)
+  *   alpha_len  ≡ `length(regexp_replace(lower(text), "[^a-z]", ""))`
+  *                (= count of a-z codepoints in the lowered text)
+  *   text_len   ≡ `length(text)` (codepoints of the ORIGINAL text)
+  * so [[graft.ops.TextOps.qualityScore]] composes the same integers through
+  * the same Spark arithmetic — values unchanged (asserted in
+  * TextNativeSpec + the q_quality oracle). Replaces one regexp_replace
+  * string rebuild + a split + an array_distinct per row with one pass.
+  */
+case class TextStats(child: Expression) extends UnaryExpression {
+  import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_toks", IntegerType, nullable = false),
+    StructField("n_distinct", IntegerType, nullable = false),
+    StructField("alpha_len", IntegerType, nullable = false),
+    StructField("text_len", IntegerType, nullable = false)))
+  override def prettyName: String = "graft_text_stats"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case org.apache.spark.sql.types.StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_text_stats requires string, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    TextStats.compute(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, in =>
+      s"${ev.value} = graft.functions.TextStats.compute($in);")
+
+  override protected def withNewChildInternal(newChild: Expression): TextStats =
+    copy(child = newChild)
+}
+
+object TextStats {
+  import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+  import org.apache.spark.unsafe.types.UTF8String
+
+  private val Ws = java.util.regex.Pattern.compile("\\s+")
+
+  def compute(text: UTF8String): GenericInternalRow = {
+    // same methods/order as the expression forms: Lower(Trim(text)) for the
+    // token stats, Lower(text) (untrimmed) for the alpha count
+    val loweredFull = text.toLowerCase.toString
+    val toks = Ws.split(text.trim().toLowerCase.toString, -1)
+    val distinct = new java.util.HashSet[String](toks.length * 2)
+    var i = 0
+    while (i < toks.length) { distinct.add(toks(i)); i += 1 }
+    var alpha = 0
+    i = 0
+    while (i < loweredFull.length) {
+      val c = loweredFull.charAt(i)
+      if (c >= 'a' && c <= 'z') alpha += 1
+      i += 1
+    }
+    val out = new GenericInternalRow(4)
+    out.setInt(0, toks.length)
+    out.setInt(1, distinct.size)
+    out.setInt(2, alpha)
+    out.setInt(3, text.numChars())
+    out
+  }
+}
+
 /** Column faces (need the functions injected — every session builder in
   * this repo sets `spark.sql.extensions=graft.functions.GraftExtensions`).
   */
@@ -289,6 +511,23 @@ object functions {
 
   def wordShingleHashes(c: Column, n: Int): Column =
     call_function("graft_word_shingle_hashes", c, lit(n))
+
+  def regexpCount(c: Column, pattern: String): Column =
+    call_function("graft_regexp_count", c, lit(pattern))
+
+  def textStats(c: Column): Column =
+    call_function("graft_text_stats", c)
+
+  /** One-pass cosine: fused (dot, |a|², |b|²) parts from the native
+    * expression, composed with the engine's own sqrt/Divide so ANSI
+    * division semantics are untouched. The struct is a single deterministic
+    * subexpression — codegen's subexpression elimination evaluates it once.
+    */
+  def cosineSim(a: Column, b: Column): Column = {
+    val p = call_function("graft_cosine_parts", a, b)
+    p.getField("dot") / (org.apache.spark.sql.functions.sqrt(p.getField("na")) *
+      org.apache.spark.sql.functions.sqrt(p.getField("nb")))
+  }
 
   def regexpGroups(c: Column, pattern: String): Column =
     call_function("graft_regexp_groups", c, lit(pattern))
@@ -318,6 +557,25 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => {
         require(args.length == 1, "graft_simhash64(arr)")
         SimHash64(args.head)
+      }))
+    ext.injectFunction((FunctionIdentifier("graft_regexp_count"),
+      new ExpressionInfo(classOf[RegexpCount].getName, "graft_regexp_count"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "graft_regexp_count(text, pattern)")
+        require(args(1).foldable, "graft_regexp_count: pattern must be a literal")
+        RegexpCount(args.head, args(1).eval().toString)
+      }))
+    ext.injectFunction((FunctionIdentifier("graft_text_stats"),
+      new ExpressionInfo(classOf[TextStats].getName, "graft_text_stats"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "graft_text_stats(text)")
+        TextStats(args.head)
+      }))
+    ext.injectFunction((FunctionIdentifier("graft_cosine_parts"),
+      new ExpressionInfo(classOf[CosineParts].getName, "graft_cosine_parts"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "graft_cosine_parts(a, b)")
+        CosineParts(args(0), args(1))
       }))
     ext.injectFunction((FunctionIdentifier("graft_word_shingle_hashes"),
       new ExpressionInfo(classOf[WordShingleHashes].getName, "graft_word_shingle_hashes"),

@@ -163,8 +163,11 @@ object Checks {
     joint.join(broadcast(mx), Seq("x")).join(broadcast(my), Seq("y"))
       .withColumn("_n", tot)
       .select(col("x"), col("y"), col("n_xy"),
+        // products in DOUBLE — the Long N·n_xy / n_x·n_y forms wrap past
+        // ~3e9 rows (ADVICE r5); exact below 2^53, so values are unchanged
         round((col("n_xy") / col("_n")) *
-          log(col("_n") * col("n_xy") / (col("_nx") * col("_ny"))), 6)
+          log((col("_n").cast("double") * col("n_xy")) /
+            (col("_nx").cast("double") * col("_ny"))), 6)
           .as("mi_term"))
   }
 
@@ -189,10 +192,12 @@ object Checks {
       .select(col("a").as("_c"), col("_na"))
     val mb = base.groupBy("b").agg(count(lit(1)).as("_nb"))
       .select(col("b").as("_c"), col("_nb"))
+    // marginal products and n² in DOUBLE: the Long forms silently wrap past
+    // ~3e9 rows (ADVICE r5); exact integers below 2^53 are unchanged
     val pe2 = ma.join(mb, "_c")
-      .agg(coalesce(sum(col("_na") * col("_nb")), lit(0L)).as("_pe2"))
+      .agg(coalesce(sum(col("_na").cast("double") * col("_nb")), lit(0.0)).as("_pe2"))
     val po = col("_agree") / col("_n")
-    val pe = col("_pe2") / (col("_n") * col("_n"))
+    val pe = col("_pe2") / (col("_n").cast("double") * col("_n"))
     stats.crossJoin(pe2).select(
       col("_n").as("n_items"),
       round(po, 6).as("po"),

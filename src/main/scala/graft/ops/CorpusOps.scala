@@ -188,7 +188,11 @@ object CorpusOps {
     import org.apache.spark.sql.expressions.Window
     val lens = docs.select(col(idCol).as("id"),
       TextOps.tokenCountWs(col(textCol)).cast("long").as("len"))
-    val maxLen = lens.agg(max(col("len"))).head().getLong(0)
+    val maxRow = lens.agg(max(col("len"))).head()
+    require(!maxRow.isNullAt(0),
+      "lengthBucketedBatches requires a non-empty docs input (ADVICE r5: " +
+        "the max-length aggregate is null on empty input)")
+    val maxLen = maxRow.getLong(0)
     val width = math.max(1L, maxLen / nShards + 1L)
     val sharded = lens.withColumn("_shard", floor(col("len") / width))
     val offs = sharded.groupBy("_shard").agg(count(lit(1)).as("_n"))

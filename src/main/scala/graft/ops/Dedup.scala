@@ -183,8 +183,13 @@ object Dedup {
   def blockingQuality(candidates: DataFrame, truth: DataFrame, nRecords: Long,
                       aCol: String = "a", bCol: String = "b"): DataFrame = {
     require(nRecords >= 2, s"nRecords must be >= 2, got $nRecords")
-    val c = candidates.select(col(aCol).as("a"), col(bCol).as("b")).distinct()
-    val t = truth.select(col(aCol).as("a"), col(bCol).as("b")).distinct()
+    // canonicalize pair orientation (ADVICE r5): a truth pair stored (b,a)
+    // must still hit the semi-join; least/greatest before distinct makes
+    // both inputs orientation-insensitive (no-op for already-oriented pairs)
+    val c = candidates.select(least(col(aCol), col(bCol)).as("a"),
+      greatest(col(aCol), col(bCol)).as("b")).distinct()
+    val t = truth.select(least(col(aCol), col(bCol)).as("a"),
+      greatest(col(aCol), col(bCol)).as("b")).distinct()
     val totalPairs = nRecords * (nRecords - 1) / 2
     c.agg(count(lit(1)).as("n_candidates"))
       .crossJoin(t.agg(count(lit(1)).as("n_truth")))

@@ -119,7 +119,11 @@ object Multimodal {
     require(nShards > 0, "nShards must be positive")
     val spark = media.sparkSession
     import spark.implicits._
-    val maxKey = media.agg(max(col(keyCol).cast("long"))).head().getLong(0)
+    val maxKeyRow = media.agg(max(col(keyCol).cast("long"))).head()
+    require(!maxKeyRow.isNullAt(0),
+      "sizeBucketsByKey requires a non-empty media input (ADVICE r5: the " +
+        "max-key aggregate is null on empty input)")
+    val maxKey = maxKeyRow.getLong(0)
     val shardWidth = math.max(1L, maxKey / nShards + 1L)
     val keyed = media.select(col(keyCol).cast("long").as("_k"),
         coalesce(length(col("payload")).cast("long"), lit(0L)).as("n_bytes"))

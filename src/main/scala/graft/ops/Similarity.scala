@@ -28,8 +28,14 @@ object Similarity {
   def norm(a: Column): Column =
     sqrt(aggregate(a, lit(0.0d), (acc, v) => acc + v * v))
 
+  /** r6: native one-pass [[graft.functions.CosineSim]] — bit-identical to
+    * `dot(a, b) / (norm(a) * norm(b))` (same fold order, same float/double
+    * promotion; parity asserted in CosineSimSpec) without the 4 array walks
+    * + zip_with materialization + per-element lambda dispatch of the HOF
+    * composition. Every ANN/near-dup verify scores through this.
+    */
   def cosine(a: Column, b: Column): Column =
-    dot(a, b) / (norm(a) * norm(b))
+    graft.functions.functions.cosineSim(a, b)
 
   /** Exact brute-force top-k: for each query vector, the k nearest corpus
     * vectors by cosine. Query side is broadcast (it is the small side by
@@ -83,6 +89,8 @@ object Similarity {
                      idCol: String = "vec_id", vecCol: String = "embedding",
                      bandBits: Int = 8): DataFrame = {
     import org.apache.spark.storage.StorageLevel
+    require(bandBits >= 1 && bits % bandBits == 0,
+      s"bandBits must be >= 1 and divide bits evenly, got bits=$bits bandBits=$bandBits")
     val numBands = bits / bandBits
     val vecs = embs.select(col(idCol).as("id"), col(vecCol).as("v"))
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -127,6 +135,8 @@ object Similarity {
   def lshCandidatePairs(embs: DataFrame, bits: Int, bandBits: Int,
                         idCol: String = "vec_id",
                         vecCol: String = "embedding"): DataFrame = {
+    require(bandBits >= 1 && bits % bandBits == 0,
+      s"bandBits must be >= 1 and divide bits evenly, got bits=$bits bandBits=$bandBits")
     val numBands = bits / bandBits
     val bandCols = (0 until numBands).map(b =>
       shiftrightunsigned(col("sig"), b * bandBits)
@@ -359,7 +369,11 @@ object Similarity {
                           vecCol: String = "embedding"): (Seq[Double], Seq[Double]) = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
     val v = col(vecCol).cast("array<double>")
-    val dim = embs.select(size(v)).head().getInt(0)
+    val dimRows = embs.select(size(v)).limit(1).collect()
+    require(dimRows.nonEmpty,
+      "meanAndTopComponent requires a non-empty embeddings input (ADVICE " +
+        "r5: head() on an empty input threw an opaque error)")
+    val dim = dimRows(0).getInt(0)
     val muCols = (0 until dim).map(i => avg(element_at(v, i + 1)).as(s"m$i"))
     val mu = embs.agg(muCols.head, muCols.tail: _*).head().toSeq
       .map(x => round6(x.asInstanceOf[Double]))

@@ -20,7 +20,10 @@ object TextOps {
     * non-space symbols — the standard pre-tokenizer shape.
     */
   def tokenCountBpe(text: Column): Column =
-    size(regexp_extract_all(lower(text), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0)))
+    // r6: count-only native regex — the regexp_extract_all form allocated
+    // a string per matched token just to take size(); same engine, same
+    // non-overlapping find() semantics, identical counts (TextNativeSpec)
+    graft.functions.functions.regexpCount(lower(text), "[a-z]+|[0-9]+|[^a-z0-9\\s]")
 
   /** Stopword-hit ratio for a given stopword list: fraction of whitespace
     * tokens that are in the list.
@@ -58,13 +61,18 @@ object TextOps {
     * repetition penalty (distinct-token ratio), mean word length sanity.
     */
   def qualityScore(text: Column): Column = {
-    val toks = split(lower(trim(text)), "\\s+")
-    val n = greatest(size(toks), lit(1))
+    // r6: the four integer inputs (token count, string-distinct token
+    // count, a-z codepoint count of the lowered text, codepoint length)
+    // come from ONE native pass (graft_text_stats) instead of a split +
+    // array_distinct + regexp_replace string rebuild per row; the formula
+    // below is the same Spark arithmetic over the same integers, so the
+    // rounded score is bit-identical (TextNativeSpec + the q_quality gate)
+    val st = graft.functions.functions.textStats(text)
+    val n = greatest(st.getField("n_toks"), lit(1))
     val lenScore = least(n.cast("double") / lit(64.0), lit(1.0))
     val alphaRatio =
-      (length(regexp_replace(lower(text), "[^a-z]", "")).cast("double") /
-        greatest(length(text), lit(1)))
-    val distinctRatio = size(array_distinct(toks)).cast("double") / n
+      st.getField("alpha_len").cast("double") / greatest(st.getField("text_len"), lit(1))
+    val distinctRatio = st.getField("n_distinct").cast("double") / n
     round((lenScore * 0.3 + alphaRatio * 0.35 + distinctRatio * 0.35), 6)
   }
 
